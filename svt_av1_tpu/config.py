@@ -1,0 +1,278 @@
+"""Encoder/decoder configuration and presets.
+
+Mirrors the public configuration surface of the reference encoder
+(``EbSvtAv1EncConfiguration``, /root/reference/Source/API/EbSvtAv1Enc.h:87-723)
+as a frozen dataclass, with the same validation rules as the reference's
+``verify_settings`` (/root/reference/Source/Lib/Encoder/Globals/EbEncHandle.c:2511)
+and per-preset feature derivation in :func:`derive_signals` standing in for the
+reference's ``signal_derivation_*_oq`` family.
+
+Unlike the reference (mutable C struct copied between stages), configuration
+here is immutable: the pipeline closes over it and jitted kernels receive it
+as static arguments, so XLA can specialize on shapes/feature flags.
+"""
+from __future__ import annotations
+
+import dataclasses
+import enum
+from fractions import Fraction
+
+
+class RateControlMode(enum.IntEnum):
+    CQP = 0    # constant qindex (+ TPL-modulated CRF when tpl enabled)
+    VBR = 1
+    CVBR = 2
+
+
+class PredStructure(enum.IntEnum):
+    LOW_DELAY_P = 0
+    LOW_DELAY_B = 1
+    RANDOM_ACCESS = 2
+
+
+class ColorFormat(enum.IntEnum):
+    YUV400 = 0
+    YUV420 = 1
+    YUV422 = 2
+    YUV444 = 3
+
+
+MIN_PRESET = -2   # "MR" modes in the reference (EbDefinitions.h:1997-2007)
+MAX_PRESET = 8
+
+
+class ConfigError(ValueError):
+    """Raised for invalid encoder settings (ref: EbSvtAv1ErrorCodes.h)."""
+
+
+@dataclasses.dataclass(frozen=True)
+class EncoderConfig:
+    """Public encoder configuration.
+
+    Field groups follow the reference API struct; fields default to the
+    reference defaults (``svt_svt_enc_init_parameter``, EbEncHandle.c:3056).
+    A value of ``-1`` on tool toggles means "derived from preset".
+    """
+
+    # --- GOP / structure ---
+    enc_mode: int = MAX_PRESET                  # preset -2..8
+    intra_period_length: int = -2               # -2 auto, -1 = only first frame
+    intra_refresh_type: int = 2                 # 1 CRA (open GOP), 2 IDR (closed)
+    hierarchical_levels: int = 4                # 0..5 -> 1..6 temporal layers
+    pred_structure: PredStructure = PredStructure.RANDOM_ACCESS
+
+    # --- Input description ---
+    source_width: int = 0
+    source_height: int = 0
+    frame_rate: Fraction = Fraction(60, 1)
+    encoder_bit_depth: int = 8                  # 8 or 10
+    encoder_color_format: ColorFormat = ColorFormat.YUV420
+
+    # --- Coding structure ---
+    super_block_size: int = 128                 # 64 or 128
+    partition_depth: int = -1
+
+    # --- Quality / QP ---
+    qp: int = 50                                # 0..63 CQP quantizer
+    use_fixed_qindex_offsets: bool = False
+    qindex_offsets: tuple[int, ...] = ()
+    key_frame_qindex_offset: int = 0
+    stat_report: bool = False
+
+    # --- Rate control ---
+    rate_control_mode: RateControlMode = RateControlMode.CQP
+    target_bit_rate: int = 7_000_000
+    look_ahead_distance: int = -1               # -1 auto
+    enable_tpl_la: bool = True
+    max_qp_allowed: int = 63
+    min_qp_allowed: int = 1
+    vbv_bufsize: int = 0
+    under_shoot_pct: int = 25
+    over_shoot_pct: int = 25
+    enable_adaptive_quantization: int = -1
+
+    # --- Tool toggles (-1 = per-preset auto) ---
+    disable_dlf: bool = False
+    cdef_level: int = -1
+    enable_restoration: int = -1
+    enable_warped_motion: int = -1
+    enable_global_motion: bool = True
+    film_grain_denoise_strength: int = 0
+    enable_paeth: int = -1
+    enable_smooth: int = -1
+    enable_cfl: int = -1
+    intra_angle_delta: int = -1
+    filter_intra_level: int = -1
+    enable_intra_edge_filter: int = -1
+    palette_level: int = -1
+    intrabc_mode: int = -1
+    screen_content_mode: int = -1
+    obmc_level: int = -1
+    compound_level: int = -1
+    inter_intra_compound: int = -1
+    rdoq_level: int = -1
+    enable_mfmv: int = -1
+    frame_end_cdf_update: int = -1
+    pic_based_rate_est: int = -1
+
+    # --- ME / HME ---
+    enable_hme: bool = True
+    enable_hme_level0: bool = True
+    enable_hme_level1: int = -1
+    enable_hme_level2: int = -1
+    search_area_width: int = 16
+    search_area_height: int = 7
+
+    # --- Alt-ref ---
+    tf_level: int = -1
+    altref_strength: int = 5
+    altref_nframes: int = 7
+    enable_overlays: bool = False
+
+    # --- Super-resolution ---
+    superres_mode: int = 0
+    superres_denom: int = 8
+    superres_kf_denom: int = 8
+    superres_qthres: int = 43
+
+    # --- Bitstream conformance ---
+    profile: int = 0
+    tier: int = 0
+    level: int = 0                              # 0 = auto
+
+    # --- Tiles / outputs ---
+    tile_columns: int = 0                       # log2
+    tile_rows: int = 0                          # log2
+    recon_enabled: bool = False
+
+    # --- Platform (TPU-native analog of the reference's thread knobs) ---
+    channel_id: int = 0
+    active_channel_count: int = 1
+    pictures_in_flight: int = -1                # -1 auto from device memory
+
+    def __post_init__(self):
+        validate_config(self)
+
+    # Convenience geometry -------------------------------------------------
+    @property
+    def sb_size(self) -> int:
+        return self.super_block_size
+
+    @property
+    def sb_cols(self) -> int:
+        return -(-self.source_width // self.sb_size)
+
+    @property
+    def sb_rows(self) -> int:
+        return -(-self.source_height // self.sb_size)
+
+    @property
+    def mi_cols(self) -> int:
+        return 2 * ((self.source_width + 7) >> 3)
+
+    @property
+    def mi_rows(self) -> int:
+        return 2 * ((self.source_height + 7) >> 3)
+
+
+def validate_config(cfg: EncoderConfig) -> None:
+    """Reject invalid settings (ref behavior: verify_settings,
+    EbEncHandle.c:2511 — same bounds, raised as exceptions instead of
+    error codes)."""
+    if not (MIN_PRESET <= cfg.enc_mode <= MAX_PRESET):
+        raise ConfigError(f"enc_mode must be in [{MIN_PRESET},{MAX_PRESET}]")
+    if cfg.source_width % 2 or cfg.source_height % 2:
+        raise ConfigError("source dimensions must be even")
+    if cfg.source_width and not (4 <= cfg.source_width <= 16384):
+        raise ConfigError("source_width out of range [4, 16384]")
+    if cfg.source_height and not (4 <= cfg.source_height <= 8704):
+        raise ConfigError("source_height out of range [4, 8704]")
+    if not (0 <= cfg.qp <= 63):
+        raise ConfigError("qp out of range [0, 63]")
+    if cfg.encoder_bit_depth not in (8, 10):
+        raise ConfigError("encoder_bit_depth must be 8 or 10")
+    if cfg.super_block_size not in (64, 128):
+        raise ConfigError("super_block_size must be 64 or 128")
+    if not (0 <= cfg.hierarchical_levels <= 5):
+        raise ConfigError("hierarchical_levels out of range [0, 5]")
+    if cfg.rate_control_mode != RateControlMode.CQP and cfg.target_bit_rate <= 0:
+        raise ConfigError("target_bit_rate must be positive in VBR/CVBR")
+    if not (0 <= cfg.tile_columns <= 6 and 0 <= cfg.tile_rows <= 6):
+        raise ConfigError("tile log2 counts out of range [0, 6]")
+    if cfg.min_qp_allowed > cfg.max_qp_allowed:
+        raise ConfigError("min_qp_allowed > max_qp_allowed")
+
+
+@dataclasses.dataclass(frozen=True)
+class DerivedSignals:
+    """Per-preset feature levels, the analog of the reference's
+    ``signal_derivation_multi_processes_oq``
+    (EbPictureDecisionProcess.c:799) and friends.  Only the signals the
+    current pipeline consumes are here; it grows with the feature set.
+    """
+
+    enable_hme_level1: bool
+    enable_hme_level2: bool
+    tx_search_level: int          # 0 full set, 1 pruned, 2 DCT only
+    enable_paeth: bool
+    enable_smooth: bool
+    enable_cfl: bool
+    enable_filter_intra: bool
+    enable_intra_edge_filter: bool
+    intra_angle_delta: bool
+    cdef_level: int
+    enable_restoration: bool
+    enable_warped_motion: bool
+    obmc_level: int
+    compound_level: int
+    rdoq_level: int
+    tf_level: int
+    md_stage_nics: tuple[int, int, int, int]   # candidates kept per MD stage
+    max_partition_depth: int
+
+
+def derive_signals(cfg: EncoderConfig) -> DerivedSignals:
+    """Map preset -> feature levels.
+
+    The ladder follows the reference's intent (faster presets disable
+    expensive tools), re-tuned for TPU costs: tools that are nearly free in
+    batched form (e.g. multiple TX types evaluated as one extra matmul) stay
+    on at faster presets than in the reference.
+    """
+    m = cfg.enc_mode
+
+    def auto(value: int, default: bool) -> bool:
+        return default if value == -1 else bool(value)
+
+    return DerivedSignals(
+        enable_hme_level1=auto(cfg.enable_hme_level1, True),
+        enable_hme_level2=auto(cfg.enable_hme_level2, m <= 6),
+        tx_search_level=0 if m <= 3 else (1 if m <= 6 else 2),
+        enable_paeth=auto(cfg.enable_paeth, m <= 7),
+        enable_smooth=auto(cfg.enable_smooth, m <= 7),
+        enable_cfl=auto(cfg.enable_cfl, m <= 6),
+        enable_filter_intra=auto(cfg.filter_intra_level, m <= 4),
+        enable_intra_edge_filter=auto(cfg.enable_intra_edge_filter, True),
+        intra_angle_delta=auto(cfg.intra_angle_delta, m <= 5),
+        cdef_level=cfg.cdef_level if cfg.cdef_level != -1 else (4 if m <= 5 else 2),
+        enable_restoration=auto(cfg.enable_restoration, m <= 6),
+        enable_warped_motion=auto(cfg.enable_warped_motion, m <= 5),
+        obmc_level=cfg.obmc_level if cfg.obmc_level != -1 else (2 if m <= 3 else 0),
+        compound_level=cfg.compound_level if cfg.compound_level != -1 else (1 if m <= 5 else 0),
+        rdoq_level=cfg.rdoq_level if cfg.rdoq_level != -1 else (1 if m <= 7 else 0),
+        tf_level=cfg.tf_level if cfg.tf_level != -1 else (1 if m <= 7 else 0),
+        md_stage_nics=(64, 16, 8, 4) if m <= 2 else ((32, 12, 6, 3) if m <= 5 else (16, 8, 4, 2)),
+        max_partition_depth=4 if m <= 4 else 3,
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class DecoderConfig:
+    """Decoder configuration (ref: EbSvtAv1DecConfiguration,
+    Source/API/EbSvtAv1Dec.h)."""
+
+    max_bit_depth: int = 10
+    color_format: ColorFormat = ColorFormat.YUV420
+    skip_frames: int = 0
+    frames_to_decode: int = -1
+    compute_md5: bool = False
