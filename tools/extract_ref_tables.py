@@ -1,0 +1,189 @@
+#!/usr/bin/env python
+"""Extract spec-mandated AV1 constant tables from the reference tree.
+
+The AV1 bitstream specification fixes large numeric tables (default CDF
+probability models, quantizer step lookups, coefficient scan orders).
+Every conformant implementation ships byte-identical copies of these
+constants; they are data, not design.  This tool parses them out of the
+reference sources (/root/reference, read-only) into
+``svt_av1_tpu/entropy/data/av1_tables.npz`` so the codebase itself carries
+no transcribed C.
+
+CDF tables are stored in AOM "inverse CDF" layout with a trailing
+adaptation counter (see svt_av1_tpu/entropy/ec.py).
+
+Run:  python tools/extract_ref_tables.py
+"""
+from __future__ import annotations
+
+import re
+import sys
+from pathlib import Path
+
+import numpy as np
+
+REF = Path("/root/reference/Source/Lib/Common/Codec")
+OUT = Path(__file__).resolve().parent.parent / "svt_av1_tpu" / "entropy" / "data" / "av1_tables.npz"
+
+_CDF_CALL = re.compile(r"AOM_CDF(\d+)\s*\(")
+_DECL = re.compile(
+    r"(?:static\s+)?(?:const\s+)?(?:DECLARE_ALIGNED\s*\(\s*\d+\s*,\s*)?"
+    r"(?:static\s+)?(?:const\s+)?(AomCdfProb|int16_t|int32_t|uint16_t|uint8_t|int)\s*,?\s*"
+    r"(\w+)\s*((?:\[[^\]]*\]\s*)+)\)?\s*=\s*\{",
+    re.S,
+)
+
+
+def _strip_comments(text: str) -> str:
+    text = re.sub(r"/\*.*?\*/", " ", text, flags=re.S)
+    text = re.sub(r"//[^\n]*", " ", text)
+    return text
+
+
+def _expand_cdf_macros(body: str) -> str:
+    """AOM_CDFn(a0..an-2) -> (32768-a0), ..., (32768-an-2), 0, 0"""
+    while True:
+        m = _CDF_CALL.search(body)
+        if not m:
+            return body
+        n = int(m.group(1))
+        # find matching close paren
+        depth = 1
+        i = m.end()
+        while depth:
+            if body[i] == "(":
+                depth += 1
+            elif body[i] == ")":
+                depth -= 1
+            i += 1
+        args = body[m.end():i - 1]
+        vals = [a.strip() for a in args.split(",")]
+        assert len(vals) == n - 1, (n, vals)
+        repl = ", ".join(f"(32768 - ({v}))" for v in vals) + ", 0, 0"
+        body = body[:m.start()] + repl + body[i:]
+
+
+def _parse_braces(body: str):
+    """Parse a C brace initializer into nested python lists of ints."""
+    pos = 0
+
+    def parse_group():
+        nonlocal pos
+        assert body[pos] == "{"
+        pos += 1
+        items = []
+        buf = ""
+
+        def flush():
+            nonlocal buf
+            s = buf.strip()
+            buf = ""
+            if s:
+                items.append(int(eval(s, {"__builtins__": {}})))
+
+        while True:
+            ch = body[pos]
+            if ch == "{":
+                flush()
+                items.append(parse_group())
+            elif ch == "}":
+                flush()
+                pos += 1
+                return items
+            elif ch == ",":
+                flush()
+                pos += 1
+            else:
+                buf += ch
+                pos += 1
+
+    start = body.index("{")
+    pos = start
+    return parse_group()
+
+
+def _leaf_width(nested) -> int:
+    if nested and isinstance(nested[0], list):
+        return max(_leaf_width(x) for x in nested)
+    return len(nested)
+
+
+def _pad_leaves(nested, width: int):
+    if nested and isinstance(nested[0], list):
+        for x in nested:
+            _pad_leaves(x, width)
+    else:
+        nested.extend([0] * (width - len(nested)))
+    return nested
+
+
+def _pad_ragged(nested):
+    """Zero-pad ragged innermost lists to the table-wide max length,
+    matching C's zero-fill of partially initialized rows (e.g. partition
+    CDFs where boundary contexts have fewer symbols than the bound)."""
+    if not isinstance(nested, list):
+        return nested
+    return _pad_leaves(nested, _leaf_width(nested))
+
+
+def _to_array(nested, name: str) -> np.ndarray:
+    arr = np.array(_pad_ragged(nested), dtype=np.int64)
+    if arr.dtype == object:
+        raise ValueError(f"{name}: ragged initializer")
+    return arr
+
+
+def extract_tables(path: Path, names: set[str] | None = None) -> dict[str, np.ndarray]:
+    text = _strip_comments(path.read_text())
+    out = {}
+    for m in _DECL.finditer(text):
+        ctype, name, _dims = m.group(1), m.group(2), m.group(3)
+        if names is not None and name not in names:
+            continue
+        # capture initializer body up to matching closing brace + ';'
+        depth = 1
+        i = m.end()
+        while depth:
+            if text[i] == "{":
+                depth += 1
+            elif text[i] == "}":
+                depth -= 1
+            i += 1
+        body = text[m.end() - 1:i]
+        body = _expand_cdf_macros(body)
+        try:
+            nested = _parse_braces(body)
+            arr = _to_array(nested, name)
+        except Exception as e:  # ragged or non-numeric: skip
+            print(f"  skip {name}: {e}", file=sys.stderr)
+            continue
+        dtype = np.uint16 if ctype in ("AomCdfProb", "uint16_t") else np.int32
+        if ctype == "int16_t":
+            dtype = np.int16
+        out[name] = arr.astype(dtype)
+    return out
+
+
+def main():
+    tables: dict[str, np.ndarray] = {}
+
+    print("extracting default CDFs from EbCabacContextModel.c")
+    tables.update(extract_tables(REF / "EbCabacContextModel.c"))
+
+    print("extracting scan orders from EbCoefficients.h")
+    tables.update(extract_tables(REF / "EbCoefficients.h"))
+
+    print("extracting quantizer lookups from EbInvTransforms.c")
+    tables.update(extract_tables(
+        REF / "EbInvTransforms.c",
+        {"dc_qlookup_q3", "dc_qlookup_10_q3", "dc_qlookup_12_q3",
+         "ac_qlookup_q3", "ac_qlookup_10_q3", "ac_qlookup_12_q3"}))
+
+    OUT.parent.mkdir(parents=True, exist_ok=True)
+    np.savez_compressed(OUT, **tables)
+    total = sum(t.size for t in tables.values())
+    print(f"wrote {len(tables)} tables, {total} values -> {OUT}")
+
+
+if __name__ == "__main__":
+    main()
