@@ -1,0 +1,105 @@
+"""ctypes bindings to the reference C kernels (conformance oracle).
+
+The reference library is compiled once into /tmp/refbin/liboracle.so with
+default symbol visibility (see .claude/skills/verify/SKILL.md for the
+build recipe).  Tests using the oracle skip gracefully when it is absent.
+
+This is the TPU build's analog of the reference's own C-vs-SIMD
+equivalence tests (test/FwdTxfm2dAsmTest.cc etc.): our batched kernels
+must match the reference C kernels bit-exactly.
+"""
+from __future__ import annotations
+
+import ctypes
+import functools
+import os
+from pathlib import Path
+
+import numpy as np
+
+ORACLE_PATH = Path(os.environ.get("SVT_ORACLE_LIB", "/tmp/refbin/liboracle.so"))
+
+I16 = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
+I32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+U16 = np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS")
+U8 = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+
+
+@functools.cache
+def lib() -> ctypes.CDLL | None:
+    if not ORACLE_PATH.exists():
+        return None
+    return ctypes.CDLL(str(ORACLE_PATH), mode=os.RTLD_LAZY)
+
+
+def available() -> bool:
+    return lib() is not None
+
+
+@functools.cache
+def fwd_txfm2d_fn(w: int, h: int):
+    """Reference forward transform entry for a given size."""
+    L = lib()
+    name = (f"svt_av1_transform_two_d_{w}x{h}_c" if w == h
+            else f"svt_av1_fwd_txfm2d_{w}x{h}_c")
+    fn = getattr(L, name)
+    fn.argtypes = [I16, I32, ctypes.c_uint32, ctypes.c_int, ctypes.c_uint8]
+    fn.restype = None
+    return fn
+
+
+def fwd_txfm2d(residual: np.ndarray, tx_type: int, bd: int = 8) -> np.ndarray:
+    h, w = residual.shape
+    out = np.zeros(h * w, dtype=np.int32)
+    src = np.ascontiguousarray(residual, dtype=np.int16)
+    fwd_txfm2d_fn(w, h)(src.reshape(-1), out, w, tx_type, bd)
+    return out.reshape(h, w)
+
+
+# TxSize enum value per (w, h), matching the reference's TxSize ordering.
+_TX_SIZE_OF = {
+    (4, 4): 0, (8, 8): 1, (16, 16): 2, (32, 32): 3, (64, 64): 4,
+    (4, 8): 5, (8, 4): 6, (8, 16): 7, (16, 8): 8, (16, 32): 9,
+    (32, 16): 10, (32, 64): 11, (64, 32): 12, (4, 16): 13, (16, 4): 14,
+    (8, 32): 15, (32, 8): 16, (16, 64): 17, (64, 16): 18,
+}
+# Which rect sizes take (tx_size) / (tx_size, eob) extra args.
+_INV_EXTRA_TXSIZE = {(4, 8), (8, 4), (4, 16), (16, 4)}
+
+
+@functools.cache
+def inv_txfm2d_add_fn(w: int, h: int):
+    L = lib()
+    fn = getattr(L, f"svt_av1_inv_txfm2d_add_{w}x{h}_c")
+    base = [I32, U16, ctypes.c_int32, U16, ctypes.c_int32, ctypes.c_int]
+    if (w, h) in _INV_EXTRA_TXSIZE:
+        base += [ctypes.c_int, ctypes.c_int32]          # tx_size, bd
+    elif w == h:
+        base += [ctypes.c_int32]                        # bd
+    else:
+        base += [ctypes.c_int, ctypes.c_int32, ctypes.c_int32]  # tx_size, eob, bd
+    fn.argtypes = base
+    fn.restype = None
+    return fn
+
+
+def inv_txfm2d_add(coeffs: np.ndarray, pred: np.ndarray, tx_type: int,
+                   bd: int = 8) -> np.ndarray:
+    """Reference inverse transform + add.  coeffs is the full [h, w]
+    plane; 64-point sizes pass the packed top-left 32x32 region like the
+    reference API expects."""
+    h, w = pred.shape
+    cw, ch = min(w, 32), min(h, 32)
+    packed = np.ascontiguousarray(coeffs[:ch, :cw], dtype=np.int32)
+    recon = np.ascontiguousarray(pred, dtype=np.uint16)
+    out = np.zeros_like(recon)
+    fn = inv_txfm2d_add_fn(w, h)
+    args = [packed.reshape(-1), recon.reshape(-1), w, out.reshape(-1), w, tx_type]
+    if (w, h) in _INV_EXTRA_TXSIZE:
+        args += [_TX_SIZE_OF[(w, h)], bd]
+    elif w == h:
+        args += [bd]
+    else:
+        args += [_TX_SIZE_OF[(w, h)], w * h, bd]
+    fn(*args)
+    return out
