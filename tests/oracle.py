@@ -29,7 +29,12 @@ U8 = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
 def lib() -> ctypes.CDLL | None:
     if not ORACLE_PATH.exists():
         return None
-    return ctypes.CDLL(str(ORACLE_PATH), mode=os.RTLD_LAZY)
+    L = ctypes.CDLL(str(ORACLE_PATH), mode=os.RTLD_LAZY)
+    # Populate the rtcd function-pointer tables (C-only build: flags=0),
+    # otherwise helpers like svt_memcpy are NULL.
+    L.setup_common_rtcd_internal(ctypes.c_uint64(0))
+    L.setup_rtcd_internal(ctypes.c_uint64(0))
+    return L
 
 
 def available() -> bool:

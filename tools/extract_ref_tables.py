@@ -28,7 +28,7 @@ OUT = Path(__file__).resolve().parent.parent / "svt_av1_tpu" / "entropy" / "data
 _CDF_CALL = re.compile(r"AOM_CDF(\d+)\s*\(")
 _DECL = re.compile(
     r"(?:static\s+)?(?:const\s+)?(?:DECLARE_ALIGNED\s*\(\s*\d+\s*,\s*)?"
-    r"(?:static\s+)?(?:const\s+)?(AomCdfProb|int16_t|int32_t|uint16_t|uint8_t|int)\s*,?\s*"
+    r"(?:static\s+)?(?:const\s+)?(AomCdfProb|int16_t|int32_t|uint16_t|uint8_t|int8_t|int)\s*,?\s*"
     r"(\w+)\s*((?:\[[^\]]*\]\s*)+)\)?\s*=\s*\{",
     re.S,
 )
@@ -160,6 +160,8 @@ def extract_tables(path: Path, names: set[str] | None = None) -> dict[str, np.nd
         dtype = np.uint16 if ctype in ("AomCdfProb", "uint16_t") else np.int32
         if ctype == "int16_t":
             dtype = np.int16
+        elif ctype == "int8_t":
+            dtype = np.int8
         out[name] = arr.astype(dtype)
     return out
 
@@ -178,6 +180,21 @@ def main():
         REF / "EbInvTransforms.c",
         {"dc_qlookup_q3", "dc_qlookup_10_q3", "dc_qlookup_12_q3",
          "ac_qlookup_q3", "ac_qlookup_10_q3", "ac_qlookup_12_q3"}))
+
+    print("extracting intra tables from EbIntraPrediction.c")
+    tables.update(extract_tables(
+        REF / "EbIntraPrediction.c",
+        {"sm_weight_arrays", "eb_dr_intra_derivative"}))
+    intra_taps = extract_tables(
+        REF.parent.parent / "Common" / "C_DEFAULT" / "filterintra_c.c",
+        {"eb_av1_filter_intra_taps"})
+    if not intra_taps:  # taps table may live elsewhere
+        for cand in (REF / "EbIntraPrediction.c",
+                     REF.parent.parent / "Common" / "C_DEFAULT" / "filterintra_c.c"):
+            intra_taps = extract_tables(cand, {"eb_av1_filter_intra_taps"})
+            if intra_taps:
+                break
+    tables.update(intra_taps)
 
     OUT.parent.mkdir(parents=True, exist_ok=True)
     np.savez_compressed(OUT, **tables)
