@@ -1,0 +1,141 @@
+"""Public encode/decode API.
+
+The analog of the reference's C API surface (Source/API/EbSvtAv1Enc.h
+svt_av1_enc_* / EbSvtAv1Dec.h svt_av1_dec_*): an Encoder accepting frames
+and emitting OBU packets, and a Decoder mapping OBU payloads to pictures.
+
+Current capability: all-intra CQP 8-bit 4:2:0 (BASELINE config[0] class);
+each frame is a shown key frame (intra_period -2/CRA paths land here for
+the all-intra configuration).
+"""
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+
+import numpy as np
+
+from .bitstream.bits import BitWriter, BitReader
+from .bitstream.headers import (FrameHeader, SequenceHeader,
+                                QUANTIZER_TO_QINDEX, iter_obus,
+                                parse_frame_header, parse_sequence_header,
+                                temporal_delimiter_obu, wrap_obu,
+                                write_frame_header, write_sequence_header)
+from .config import EncoderConfig
+from .constants import FrameType, ObuType
+from .pipeline.frame_codec import FrameCodec, ModeDecider
+
+
+class Encoder:
+    """All-intra encoder: send_picture -> packets of OBU bytes."""
+
+    def __init__(self, cfg: EncoderConfig, decider: ModeDecider | None = None):
+        self.cfg = cfg
+        self.decider = decider or ModeDecider()
+        self.seq = SequenceHeader(
+            max_frame_width=cfg.source_width,
+            max_frame_height=cfg.source_height,
+            use_128x128_superblock=cfg.super_block_size == 128,
+            bit_depth=cfg.encoder_bit_depth,
+            enable_filter_intra=False,
+            enable_intra_edge_filter=True,
+        )
+        self.frame_count = 0
+        self.last_recon = None
+
+    def _frame_header(self) -> FrameHeader:
+        return FrameHeader(
+            frame_type=FrameType.KEY_FRAME,
+            show_frame=True,
+            frame_width=self.cfg.source_width,
+            frame_height=self.cfg.source_height,
+            base_q_idx=QUANTIZER_TO_QINDEX[self.cfg.qp],
+        )
+
+    def encode_frame(self, planes) -> bytes:
+        """Encode one (y, u, v) frame; returns the temporal unit bytes
+        (TD + [sequence header] + frame OBU)."""
+        fh = self._frame_header()
+        codec = FrameCodec(self.seq, fh, source_planes=planes)
+        tile_data = codec.encode_tile(self.decider)
+        self.last_recon = codec.cropped_recon()
+
+        w = BitWriter()
+        write_frame_header(w, self.seq, fh)
+        w.byte_align()
+        frame_payload = w.bytes() + tile_data
+
+        out = temporal_delimiter_obu()
+        if self.frame_count == 0:
+            out += wrap_obu(ObuType.OBU_SEQUENCE_HEADER,
+                            write_sequence_header(self.seq))
+        out += wrap_obu(ObuType.OBU_FRAME, frame_payload)
+        self.frame_count += 1
+        return out
+
+
+class Decoder:
+    """All-intra decoder: OBU payloads -> pictures."""
+
+    def __init__(self):
+        self.seq: SequenceHeader | None = None
+        self.md5 = hashlib.md5()
+
+    def decode_frame(self, data: bytes):
+        """Decode one temporal unit; returns (y, u, v) planes or None."""
+        planes = None
+        for obu_type, payload in iter_obus(data):
+            if obu_type == ObuType.OBU_TEMPORAL_DELIMITER:
+                continue
+            if obu_type == ObuType.OBU_SEQUENCE_HEADER:
+                self.seq = parse_sequence_header(payload)
+            elif obu_type == ObuType.OBU_FRAME:
+                planes = self._decode_frame_obu(payload)
+            elif obu_type == ObuType.OBU_FRAME_HEADER:
+                raise NotImplementedError("separate frame header OBUs")
+        return planes
+
+    def _decode_frame_obu(self, payload: bytes):
+        assert self.seq is not None, "no sequence header seen"
+        r = BitReader(payload)
+        fh = parse_frame_header(r, self.seq)
+        tile_data = payload[r.byte_pos:]
+        codec = FrameCodec(self.seq, fh)
+        codec.decode_tile(tile_data)
+        planes = codec.cropped_recon()
+        for p in planes:
+            self.md5.update(np.ascontiguousarray(p).tobytes())
+        return planes
+
+
+def encode_ivf(frames, cfg: EncoderConfig, path: str,
+               decider: ModeDecider | None = None) -> list[bytes]:
+    """Convenience: encode frames to an IVF file; returns recon frames."""
+    from fractions import Fraction
+
+    from .io import IvfWriter
+
+    enc = Encoder(cfg, decider)
+    recons = []
+    with IvfWriter(path, cfg.source_width, cfg.source_height,
+                   cfg.frame_rate) as w:
+        for i, planes in enumerate(frames):
+            payload = enc.encode_frame(planes)
+            w.write_frame(payload, pts=i)
+            recons.append(enc.last_recon)
+    return recons
+
+
+def decode_ivf(path: str):
+    """Decode an IVF file; returns (frames, md5hex)."""
+    from .io import IvfReader
+
+    dec = Decoder()
+    frames = []
+    r = IvfReader(path)
+    for payload, _pts in r:
+        planes = dec.decode_frame(payload)
+        if planes is not None:
+            frames.append(planes)
+    r.close()
+    return frames, dec.md5.hexdigest()

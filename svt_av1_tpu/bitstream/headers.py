@@ -1,0 +1,439 @@
+"""AV1 OBU syntax: sequence header, frame header, OBU wrapping.
+
+Writer and parser for the uncompressed header layer (AV1 spec sections
+5.5 sequence_header_obu, 5.9 frame_header_obu, 5.2 OBU framing).
+Behavioral parity: writer Source/Lib/Encoder/Codec/EbEntropyCoding.c
+(write_sequence_header / write_frame_header_av1), parser
+Source/Lib/Decoder/Codec/EbDecParseObu.c.
+
+Both directions are implemented side by side and kept feature-locked;
+the parser is also the conformance harness for our own streams.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+from ..constants import FrameType, ObuType
+from .bits import BitReader, BitWriter, leb128_decode, leb128_encode
+
+PRIMARY_REF_NONE = 7
+
+# qp (0..63) -> qindex (EbModeDecisionProcess.h:632; libaom convention)
+QUANTIZER_TO_QINDEX = [q * 4 for q in range(62)] + [249, 255]
+
+
+@dataclasses.dataclass
+class SequenceHeader:
+    """The sequence-level feature set (subset of spec fields we emit;
+    all omitted spec fields are written as their 'disabled' choice)."""
+
+    max_frame_width: int = 0
+    max_frame_height: int = 0
+    seq_profile: int = 0
+    seq_level_idx: int = 8          # 4.0; always legal for our sizes
+    seq_tier: int = 0
+    use_128x128_superblock: bool = False
+    enable_filter_intra: bool = True
+    enable_intra_edge_filter: bool = True
+    enable_superres: bool = False
+    enable_cdef: bool = False
+    enable_restoration: bool = False
+    bit_depth: int = 8
+    monochrome: bool = False
+    color_range: int = 0
+    chroma_sample_position: int = 0
+    separate_uv_delta_q: bool = False
+    film_grain_params_present: bool = False
+    still_picture: bool = False
+    # derived
+    frame_width_bits: int = 16
+    frame_height_bits: int = 16
+
+    @property
+    def sb_size(self) -> int:
+        return 128 if self.use_128x128_superblock else 64
+
+
+@dataclasses.dataclass
+class FrameHeader:
+    """Per-frame header state (subset for the all-intra path)."""
+
+    frame_type: FrameType = FrameType.KEY_FRAME
+    show_frame: bool = True
+    frame_width: int = 0
+    frame_height: int = 0
+    base_q_idx: int = 50
+    disable_cdf_update: bool = False
+    allow_screen_content_tools: bool = False
+    allow_intrabc: bool = False
+    tx_mode_select: bool = False     # False -> TX_MODE_LARGEST
+    reduced_tx_set: bool = False
+    filter_level: tuple[int, int] = (0, 0)
+    filter_level_uv: tuple[int, int] = (0, 0)
+    sharpness: int = 0
+    tile_cols_log2: int = 0
+    tile_rows_log2: int = 0
+    primary_ref_frame: int = PRIMARY_REF_NONE
+    refresh_frame_flags: int = 0xFF
+    disable_frame_end_update_cdf: bool = False
+
+    @property
+    def coded_lossless(self) -> bool:
+        return self.base_q_idx == 0
+
+    def mi_cols(self) -> int:
+        return 2 * ((self.frame_width + 7) >> 3)
+
+    def mi_rows(self) -> int:
+        return 2 * ((self.frame_height + 7) >> 3)
+
+
+# --------------------------------------------------------------------------
+# Sequence header
+# --------------------------------------------------------------------------
+
+def write_sequence_header(seq: SequenceHeader) -> bytes:
+    w = BitWriter()
+    w.f(seq.seq_profile, 3)
+    w.flag(seq.still_picture)
+    w.flag(False)                       # reduced_still_picture_header
+    w.flag(False)                       # timing_info_present
+    w.flag(False)                       # initial_display_delay_present
+    w.f(0, 5)                           # operating_points_cnt_minus_1
+    w.f(0, 12)                          # operating_point_idc[0]
+    w.f(seq.seq_level_idx, 5)
+    if seq.seq_level_idx > 7:
+        w.flag(seq.seq_tier)
+    w.f(seq.frame_width_bits - 1, 4)
+    w.f(seq.frame_height_bits - 1, 4)
+    w.f(seq.max_frame_width - 1, seq.frame_width_bits)
+    w.f(seq.max_frame_height - 1, seq.frame_height_bits)
+    w.flag(False)                       # frame_id_numbers_present
+    w.flag(seq.use_128x128_superblock)
+    w.flag(seq.enable_filter_intra)
+    w.flag(seq.enable_intra_edge_filter)
+    w.flag(False)                       # enable_interintra_compound
+    w.flag(False)                       # enable_masked_compound
+    w.flag(False)                       # enable_warped_motion
+    w.flag(False)                       # enable_dual_filter
+    w.flag(False)                       # enable_order_hint
+    w.flag(False)                       # seq_choose_screen_content_tools
+    w.flag(False)                       # seq_force_screen_content_tools = 0
+    w.flag(seq.enable_superres)
+    w.flag(seq.enable_cdef)
+    w.flag(seq.enable_restoration)
+    _write_color_config(w, seq)
+    w.flag(seq.film_grain_params_present)
+    w.trailing_bits()
+    return w.bytes()
+
+
+def _write_color_config(w: BitWriter, seq: SequenceHeader) -> None:
+    high_bitdepth = seq.bit_depth > 8
+    w.flag(high_bitdepth)
+    if seq.seq_profile == 2 and high_bitdepth:
+        w.flag(seq.bit_depth == 12)     # twelve_bit
+    if seq.seq_profile != 1:
+        w.flag(seq.monochrome)
+    w.flag(False)                       # color_description_present
+    if seq.monochrome:
+        w.flag(bool(seq.color_range))
+        return
+    # color unspecified: NOT (ITU-R 709 + sRGB identity) path
+    w.flag(bool(seq.color_range))
+    # profile 0: 420 implied; subsampling_x/y = 1
+    w.f(seq.chroma_sample_position, 2)
+    w.flag(seq.separate_uv_delta_q)
+
+
+def parse_sequence_header(data: bytes) -> SequenceHeader:
+    r = BitReader(data)
+    seq = SequenceHeader()
+    seq.seq_profile = r.f(3)
+    seq.still_picture = r.flag()
+    reduced = r.flag()
+    assert not reduced, "reduced_still_picture_header unsupported"
+    timing = r.flag()
+    assert not timing
+    r.flag()                             # initial_display_delay
+    op_cnt = r.f(5) + 1
+    for _ in range(op_cnt):
+        r.f(12)
+        idx = r.f(5)
+        if idx > 7:
+            r.flag()
+    seq.seq_level_idx = idx
+    seq.frame_width_bits = r.f(4) + 1
+    seq.frame_height_bits = r.f(4) + 1
+    seq.max_frame_width = r.f(seq.frame_width_bits) + 1
+    seq.max_frame_height = r.f(seq.frame_height_bits) + 1
+    fid = r.flag()
+    assert not fid, "frame_id_numbers unsupported"
+    seq.use_128x128_superblock = r.flag()
+    seq.enable_filter_intra = r.flag()
+    seq.enable_intra_edge_filter = r.flag()
+    for _ in range(4):                   # interintra/masked/warped/dual
+        r.flag()
+    enable_order_hint = r.flag()
+    assert not enable_order_hint, "order hints unsupported (intra-only)"
+    choose_sc = r.flag()
+    if choose_sc:
+        force_sc = 2
+    else:
+        force_sc = r.f(1)
+    if force_sc:
+        raise NotImplementedError("screen content tools")
+    seq.enable_superres = r.flag()
+    seq.enable_cdef = r.flag()
+    seq.enable_restoration = r.flag()
+    _parse_color_config(r, seq)
+    seq.film_grain_params_present = r.flag()
+    return seq
+
+
+def _parse_color_config(r: BitReader, seq: SequenceHeader) -> None:
+    high = r.flag()
+    if seq.seq_profile == 2 and high:
+        seq.bit_depth = 12 if r.flag() else 10
+    else:
+        seq.bit_depth = 10 if high else 8
+    seq.monochrome = r.flag() if seq.seq_profile != 1 else False
+    desc = r.flag()
+    if desc:
+        r.f(8)
+        r.f(8)
+        r.f(8)
+    if seq.monochrome:
+        seq.color_range = r.f(1)
+        return
+    seq.color_range = r.f(1)
+    if seq.seq_profile == 0:
+        pass                             # 420
+    else:
+        raise NotImplementedError("profile > 0 chroma")
+    seq.chroma_sample_position = r.f(2)
+    seq.separate_uv_delta_q = r.flag()
+
+
+# --------------------------------------------------------------------------
+# Frame header (key frame / intra-only path)
+# --------------------------------------------------------------------------
+
+def _tile_log2(blk_size: int, target: int) -> int:
+    k = 0
+    while (blk_size << k) < target:
+        k += 1
+    return k
+
+
+def tile_limits(seq: SequenceHeader, fh: FrameHeader):
+    sb_shift = 5 if seq.use_128x128_superblock else 4
+    sb_size_log2 = sb_shift + 2
+    sb_cols = (fh.mi_cols() + (1 << sb_shift) - 1) >> sb_shift
+    sb_rows = (fh.mi_rows() + (1 << sb_shift) - 1) >> sb_shift
+    max_tile_width_sb = 4096 >> sb_size_log2
+    max_tile_area_sb = (4096 * 2304) >> (2 * sb_size_log2)
+    min_log2_tile_cols = _tile_log2(max_tile_width_sb, sb_cols)
+    max_log2_tile_cols = _tile_log2(1, min(sb_cols, 64))
+    max_log2_tile_rows = _tile_log2(1, min(sb_rows, 64))
+    min_log2_tiles = max(min_log2_tile_cols,
+                         _tile_log2(max_tile_area_sb, sb_cols * sb_rows))
+    return (sb_cols, sb_rows, min_log2_tile_cols, max_log2_tile_cols,
+            max_log2_tile_rows, min_log2_tiles)
+
+
+def write_frame_header(w: BitWriter, seq: SequenceHeader, fh: FrameHeader) -> None:
+    """Write the uncompressed header (no trailing bits; the caller
+    byte-aligns per OBU type)."""
+    assert fh.frame_type == FrameType.KEY_FRAME and fh.show_frame
+    w.flag(False)                        # show_existing_frame
+    w.f(int(fh.frame_type), 2)
+    w.flag(fh.show_frame)
+    # error_resilient_mode implied 1 for shown key frames
+    w.flag(fh.disable_cdf_update)
+    # allow_screen_content_tools: seq_force == 0 -> nothing coded
+    w.flag(False)                        # frame_size_override_flag
+    # order hints disabled -> no order_hint
+    # primary_ref_frame: implied NONE for intra
+    # refresh_frame_flags: implied all for shown key frame
+    _write_frame_size(w, seq, fh)
+    _write_render_size(w)
+    # allow_intrabc: only if allow_screen_content_tools
+    # (no interpolation filter/ref info for intra)
+    if not fh.disable_cdf_update:
+        w.flag(fh.disable_frame_end_update_cdf)
+    _write_tile_info(w, seq, fh)
+    _write_quantization_params(w, seq, fh)
+    w.flag(False)                        # segmentation_enabled
+    if fh.base_q_idx > 0:
+        w.flag(False)                    # delta_q_present
+    if not (fh.coded_lossless or fh.allow_intrabc):
+        _write_loop_filter_params(w, seq, fh)
+    _write_cdef_params(w, seq, fh)
+    _write_lr_params(w, seq, fh)
+    if not fh.coded_lossless:
+        w.flag(fh.tx_mode_select)        # read_tx_mode
+    # frame_reference_mode: intra -> skip; skip_mode: not allowed -> skip
+    # allow_warped_motion: intra -> skip
+    w.flag(fh.reduced_tx_set)
+    # global motion: intra -> skip; film grain: not present -> skip
+
+
+def _write_frame_size(w: BitWriter, seq: SequenceHeader, fh: FrameHeader) -> None:
+    # frame_size_override_flag == 0: sizes come from the sequence header
+    assert fh.frame_width == seq.max_frame_width
+    assert fh.frame_height == seq.max_frame_height
+    if seq.enable_superres:
+        w.flag(False)                    # use_superres
+    # compute_image_size side effects only
+
+
+def _write_render_size(w: BitWriter) -> None:
+    w.flag(False)                        # render_and_frame_size_different
+
+
+def _write_tile_info(w: BitWriter, seq: SequenceHeader, fh: FrameHeader) -> None:
+    (sb_cols, sb_rows, min_lc, max_lc, max_lr, min_lt) = tile_limits(seq, fh)
+    assert fh.tile_cols_log2 == 0 and fh.tile_rows_log2 == 0, "multi-tile TBD"
+    assert min_lc == 0 and min_lt == 0, "frame too large for single tile"
+    w.flag(True)                         # uniform_tile_spacing
+    if max_lc > 0:
+        w.flag(False)                    # stop at tile_cols_log2 = 0
+    min_log2_tile_rows = max(min_lt - fh.tile_cols_log2, 0)
+    if max_lr > min_log2_tile_rows:
+        w.flag(False)                    # stop at tile_rows_log2 = 0
+    # single tile: no context_update_tile_id / tile_size_bytes
+
+
+def _write_quantization_params(w: BitWriter, seq: SequenceHeader, fh: FrameHeader) -> None:
+    w.f(fh.base_q_idx, 8)
+    w.flag(False)                        # delta_q_y_dc == 0
+    if not seq.monochrome:
+        if seq.separate_uv_delta_q:
+            w.flag(False)                # diff_uv_delta
+        w.flag(False)                    # delta_q_u_dc
+        w.flag(False)                    # delta_q_u_ac
+    w.flag(False)                        # using_qmatrix
+
+
+def _write_loop_filter_params(w: BitWriter, seq: SequenceHeader, fh: FrameHeader) -> None:
+    w.f(fh.filter_level[0], 6)
+    w.f(fh.filter_level[1], 6)
+    if not seq.monochrome:
+        if fh.filter_level[0] or fh.filter_level[1]:
+            w.f(fh.filter_level_uv[0], 6)
+            w.f(fh.filter_level_uv[1], 6)
+    w.f(fh.sharpness, 3)
+    w.flag(False)                        # loop_filter_delta_enabled
+
+
+def _write_cdef_params(w: BitWriter, seq: SequenceHeader, fh: FrameHeader) -> None:
+    if fh.coded_lossless or fh.allow_intrabc or not seq.enable_cdef:
+        return
+    raise NotImplementedError("cdef signaling")
+
+
+def _write_lr_params(w: BitWriter, seq: SequenceHeader, fh: FrameHeader) -> None:
+    if fh.coded_lossless or fh.allow_intrabc or not seq.enable_restoration:
+        return
+    raise NotImplementedError("lr signaling")
+
+
+def parse_frame_header(r: BitReader, seq: SequenceHeader) -> FrameHeader:
+    fh = FrameHeader()
+    show_existing = r.flag()
+    assert not show_existing, "show_existing_frame unsupported"
+    fh.frame_type = FrameType(r.f(2))
+    fh.show_frame = r.flag()
+    assert fh.frame_type == FrameType.KEY_FRAME and fh.show_frame, \
+        "only shown key frames supported"
+    fh.disable_cdf_update = r.flag()
+    size_override = r.flag()
+    assert not size_override
+    fh.frame_width = seq.max_frame_width
+    fh.frame_height = seq.max_frame_height
+    if seq.enable_superres:
+        assert not r.flag()
+    render_diff = r.flag()
+    assert not render_diff
+    if not fh.disable_cdf_update:
+        fh.disable_frame_end_update_cdf = r.flag()
+    else:
+        fh.disable_frame_end_update_cdf = True
+    # tile info
+    (sb_cols, sb_rows, min_lc, max_lc, max_lr, min_lt) = tile_limits(seq, fh)
+    uniform = r.flag()
+    assert uniform
+    tcl = min_lc
+    while tcl < max_lc:
+        if not r.flag():
+            break
+        tcl += 1
+    fh.tile_cols_log2 = tcl
+    min_log2_tile_rows = max(min_lt - tcl, 0)
+    trl = min_log2_tile_rows
+    while trl < max_lr:
+        if not r.flag():
+            break
+        trl += 1
+    fh.tile_rows_log2 = trl
+    assert tcl == 0 and trl == 0, "multi-tile parse TBD"
+    # quantization
+    fh.base_q_idx = r.f(8)
+    assert not r.flag()                  # delta_q_y_dc
+    if not seq.monochrome:
+        if seq.separate_uv_delta_q:
+            assert not r.flag()
+        assert not r.flag()              # u_dc
+        assert not r.flag()              # u_ac
+    assert not r.flag()                  # using_qmatrix
+    assert not r.flag()                  # segmentation_enabled
+    if fh.base_q_idx > 0:
+        assert not r.flag()              # delta_q_present
+    if not (fh.coded_lossless or fh.allow_intrabc):
+        l0 = r.f(6)
+        l1 = r.f(6)
+        fh.filter_level = (l0, l1)
+        if not seq.monochrome and (l0 or l1):
+            fh.filter_level_uv = (r.f(6), r.f(6))
+        fh.sharpness = r.f(3)
+        assert not r.flag()              # delta enabled
+    # cdef/lr skipped (disabled in seq)
+    if seq.enable_cdef and not (fh.coded_lossless or fh.allow_intrabc):
+        raise NotImplementedError
+    if seq.enable_restoration and not (fh.coded_lossless or fh.allow_intrabc):
+        raise NotImplementedError
+    if not fh.coded_lossless:
+        fh.tx_mode_select = r.flag()
+    fh.reduced_tx_set = r.flag()
+    return fh
+
+
+# --------------------------------------------------------------------------
+# OBU framing
+# --------------------------------------------------------------------------
+
+def wrap_obu(obu_type: ObuType, payload: bytes) -> bytes:
+    header = bytes([(int(obu_type) << 3) | 0x02])   # has_size_field
+    return header + leb128_encode(len(payload)) + payload
+
+
+def temporal_delimiter_obu() -> bytes:
+    return wrap_obu(ObuType.OBU_TEMPORAL_DELIMITER, b"")
+
+
+def iter_obus(data: bytes):
+    """Yield (obu_type, payload) from a frame unit."""
+    pos = 0
+    while pos < len(data):
+        hdr = data[pos]
+        obu_type = ObuType((hdr >> 3) & 0xF)
+        has_ext = (hdr >> 2) & 1
+        has_size = (hdr >> 1) & 1
+        pos += 1 + has_ext
+        if not has_size:
+            yield obu_type, data[pos:]
+            return
+        size, pos = leb128_decode(data, pos)
+        yield obu_type, data[pos:pos + size]
+        pos += size

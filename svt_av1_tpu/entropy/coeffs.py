@@ -202,14 +202,18 @@ def set_dc_sign(cul_level: int, dc_val: int) -> int:
 
 def write_coeffs_txb(enc: RangeEncoder, fc: FrameCdfs, qcoeff: np.ndarray,
                      tx_size: TxSize, tx_type: TxType, plane_type: int,
-                     txb_skip_ctx: int, dc_sign_ctx: int, eob: int) -> int:
+                     txb_skip_ctx: int, dc_sign_ctx: int, eob: int,
+                     tx_type_writer=None) -> int:
     """Write one transform block's coefficients.  qcoeff is the [h, w]
     (coded size, <=32 per dim) quantized level plane.  Returns cul_level
-    for the dc-sign/level neighbor context."""
+    for the dc-sign/level neighbor context.  ``tx_type_writer`` is
+    invoked after txb_skip when eob > 0 (luma ext-tx signaling slot)."""
     ts_ctx = txs_ctx(tx_size)
     enc.encode_symbol(int(eob == 0), fc.txb_skip[ts_ctx][txb_skip_ctx], 2)
     if eob == 0:
         return 0
+    if tx_type_writer is not None:
+        tx_type_writer()
 
     h, w = qcoeff.shape
     bwl = w.bit_length() - 1
@@ -272,17 +276,21 @@ def write_coeffs_txb(enc: RangeEncoder, fc: FrameCdfs, qcoeff: np.ndarray,
 
 def parse_coeffs_txb(dec: RangeDecoder, fc: FrameCdfs, tx_size: TxSize,
                      tx_type: TxType, plane_type: int, txb_skip_ctx: int,
-                     dc_sign_ctx: int) -> tuple[np.ndarray, int, int]:
+                     dc_sign_ctx: int, tx_type_reader=None
+                     ) -> tuple[np.ndarray, int, int, TxType]:
     """Parse one transform block.  Returns (qcoeff [h, w], eob,
-    cul_level).  tx_type must already be known (parsed before coeffs for
-    luma via the ext-tx syntax; the caller handles that ordering)."""
+    cul_level, tx_type).  ``tx_type_reader`` is invoked after a nonzero
+    txb_skip to parse the luma ext-tx syntax; otherwise the passed
+    tx_type is used."""
     h = min(TX_HEIGHT[tx_size], 32)
     w = min(TX_WIDTH[tx_size], 32)
     ts_ctx = txs_ctx(tx_size)
     all_zero = dec.decode_symbol(fc.txb_skip[ts_ctx][txb_skip_ctx], 2)
     qcoeff = np.zeros((h, w), dtype=np.int32)
     if all_zero:
-        return qcoeff, 0, 0
+        return qcoeff, 0, 0, TxType.DCT_DCT
+    if tx_type_reader is not None:
+        tx_type = tx_type_reader()
 
     bwl = w.bit_length() - 1
     tx_class = TX_TYPE_TO_CLASS[tx_type]
@@ -342,4 +350,6 @@ def parse_coeffs_txb(dec: RangeDecoder, fc: FrameCdfs, tx_size: TxSize,
                 flat[pos] = -level
 
     cul_level = min(COEFF_CONTEXT_MASK, cul_level)
-    return qcoeff, eob, set_dc_sign(cul_level, int(flat[int(scan[0])] if eob else 0))
+    return (qcoeff, eob,
+            set_dc_sign(cul_level, int(flat[int(scan[0])] if eob else 0)),
+            tx_type)

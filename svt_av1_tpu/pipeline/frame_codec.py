@@ -1,0 +1,762 @@
+"""Key-frame (all-intra) tile codec: the normative coding loop.
+
+One implementation serves both encoder and decoder through a symmetric
+SymbolIO shim, guaranteeing the two sides agree symbol-for-symbol.
+Behavioral parity: encoder write path EbEntropyCoding.c (write_modes_b:
+5440, encode_partition_av1:1159, encode_intra_luma_mode_av1:1271,
+av1_write_coeffs_txb_1d:548), decoder parse path EbDecParseBlock.c, and
+the recon loop of EbCodingLoop.c av1_encode_decode restructured as
+predict -> transform -> quantize -> inverse -> recon per tx block.
+
+Current scope: key frames, square partitions (NONE/SPLIT), all intra Y
+modes with angle deltas, UV modes (no CFL yet), TX_MODE_LARGEST, 8-bit
+4:2:0, single tile.  The structure extends: each feature adds syntax at
+the marked points identically for both directions.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+
+from ..constants import (BlockSize, FrameType, PredictionMode, TxSize,
+                         TxType, TX_WIDTH, TX_HEIGHT)
+from ..entropy import coeffs as cf
+from ..entropy.ec import RangeDecoder, RangeEncoder
+from ..entropy.tables import FrameCdfs, table
+from ..ops import intra as intra_ops
+from ..ops import quant as qz
+from ..ops import transforms as tf
+from ..bitstream.headers import FrameHeader, SequenceHeader
+
+MI = 4  # mode-info unit in pixels
+
+# intra mode -> kf ctx bucket (libaom intra_mode_context)
+INTRA_MODE_CONTEXT = [0, 1, 2, 3, 4, 4, 4, 4, 3, 0, 1, 2, 0]
+
+PARTITION_NONE, PARTITION_SPLIT = 0, 3
+
+# partition_context_lookup (EbDefinitions.h:1299): (above, left) per bsize
+_PARTITION_CTX_LOOKUP = {
+    4: (31, 31), 8: (30, 30), 16: (28, 28), 32: (24, 24),
+    64: (16, 16), 128: (0, 0),
+}
+
+# chroma tx type derivation for intra (EbCommonUtils.h:68)
+_INTRA_MODE_TO_TX_TYPE = [
+    TxType.DCT_DCT, TxType.ADST_DCT, TxType.DCT_ADST, TxType.DCT_DCT,
+    TxType.ADST_ADST, TxType.ADST_DCT, TxType.DCT_ADST, TxType.DCT_ADST,
+    TxType.ADST_DCT, TxType.ADST_ADST, TxType.ADST_DCT, TxType.DCT_ADST,
+    TxType.ADST_ADST,
+]
+
+# ext-tx set machinery (EbDefinitions.h:1520, EbCabacContextModel.h:824)
+EXT_TX_SET_DCTONLY = 0
+EXT_TX_SET_DCT_IDTX = 1
+EXT_TX_SET_DTT4_IDTX = 2
+EXT_TX_SET_DTT4_IDTX_1DDCT = 3
+EXT_TX_SET_DTT9_IDTX_1DDCT = 4
+EXT_TX_SET_ALL16 = 5
+
+AV1_EXT_TX_IND = [
+    [0] * 16,
+    [1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+    [1, 3, 4, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+    [1, 5, 6, 4, 0, 0, 0, 0, 0, 0, 2, 3, 0, 0, 0, 0],
+    [3, 4, 5, 8, 6, 7, 9, 10, 11, 0, 1, 2, 0, 0, 0, 0],
+    [7, 8, 9, 12, 10, 11, 13, 14, 15, 0, 1, 2, 3, 4, 5, 6],
+]
+AV1_EXT_TX_INV = [
+    [0] * 16,
+    [9, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+    [9, 0, 3, 1, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+    [9, 0, 10, 11, 3, 1, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+    [9, 10, 11, 0, 1, 2, 4, 5, 3, 6, 7, 8, 0, 0, 0, 0],
+    [9, 10, 11, 12, 13, 14, 15, 0, 1, 2, 4, 5, 3, 6, 7, 8],
+]
+AV1_NUM_EXT_TX_SET = [1, 2, 5, 7, 12, 16]
+EXT_TX_SET_INDEX = [[0, -1, 2, 1, -1, -1], [0, 3, -1, -1, 2, 1]]
+
+
+def get_ext_tx_set_type(tx_size: TxSize, is_inter: bool, reduced: bool) -> int:
+    w, h = TX_WIDTH[tx_size], TX_HEIGHT[tx_size]
+    sqr_up = max(w, h)
+    if sqr_up > 32:
+        return EXT_TX_SET_DCTONLY
+    if sqr_up == 32:
+        return EXT_TX_SET_DCT_IDTX if is_inter else EXT_TX_SET_DCTONLY
+    if reduced:
+        return EXT_TX_SET_DCT_IDTX if is_inter else EXT_TX_SET_DTT4_IDTX
+    sqr = min(w, h)
+    if is_inter:
+        return EXT_TX_SET_DTT9_IDTX_1DDCT if sqr == 16 else EXT_TX_SET_ALL16
+    return EXT_TX_SET_DTT4_IDTX if sqr == 16 else EXT_TX_SET_DTT4_IDTX_1DDCT
+
+
+def ext_tx_used(set_type: int, tx_type: TxType) -> bool:
+    if set_type == EXT_TX_SET_DCTONLY:
+        return tx_type == TxType.DCT_DCT
+    ind = AV1_EXT_TX_IND[set_type]
+    return tx_type == TxType.DCT_DCT or ind[tx_type] != 0 or \
+        (set_type >= EXT_TX_SET_DTT4_IDTX and tx_type == TxType.IDTX)
+
+
+def max_txsize_rect(w: int, h: int) -> TxSize:
+    """Largest tx for a (w, h) block (square path; rect later)."""
+    for ts in TxSize:
+        if TX_WIDTH[ts] == min(w, 64) and TX_HEIGHT[ts] == min(h, 64):
+            return ts
+    raise ValueError((w, h))
+
+
+# --------------------------------------------------------------------------
+# Symbol IO: one code path, two directions
+# --------------------------------------------------------------------------
+
+class SymbolWriter:
+    is_decoder = False
+
+    def __init__(self):
+        self.ec = RangeEncoder()
+
+    def symbol(self, value: int, cdf: np.ndarray, nsyms: int) -> int:
+        self.ec.encode_symbol(value, cdf, nsyms)
+        return value
+
+    def literal(self, value: int, bits: int) -> int:
+        self.ec.encode_literal(value, bits)
+        return value
+
+
+class SymbolReader:
+    is_decoder = True
+
+    def __init__(self, data: bytes):
+        self.ec = RangeDecoder(data)
+
+    def symbol(self, value, cdf: np.ndarray, nsyms: int) -> int:
+        return self.ec.decode_symbol(cdf, nsyms)
+
+    def literal(self, value, bits: int) -> int:
+        return self.ec.decode_literal(bits)
+
+
+# --------------------------------------------------------------------------
+# Decisions (encoder side)
+# --------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class BlockDecision:
+    y_mode: PredictionMode = PredictionMode.DC_PRED
+    angle_delta_y: int = 0
+    uv_mode: int = 0                    # UVPredictionMode (no CFL yet)
+    angle_delta_uv: int = 0
+    tx_type_y: TxType = TxType.DCT_DCT
+
+
+class ModeDecider:
+    """Chooses partitions and modes.  The base version: fixed square
+    partition to ``block_size``, per-block intra mode by prediction SSE
+    against the source (open-loop on recon edges)."""
+
+    def __init__(self, block_size: int = 32,
+                 modes=(PredictionMode.DC_PRED, PredictionMode.V_PRED,
+                        PredictionMode.H_PRED, PredictionMode.SMOOTH_PRED,
+                        PredictionMode.PAETH_PRED)):
+        self.block_size = block_size
+        self.modes = modes
+
+    def partition(self, bsize: int, mi_row: int, mi_col: int,
+                  has_rows: bool = True, has_cols: bool = True) -> int:
+        if bsize > self.block_size or not (has_rows and has_cols):
+            return PARTITION_SPLIT
+        return PARTITION_NONE
+
+    def decide(self, codec: "FrameCodec", x: int, y: int, bw: int, bh: int
+               ) -> BlockDecision:
+        src = codec.source[0][y:y + bh, x:x + bw].astype(np.int64)
+        best, best_mode = None, PredictionMode.DC_PRED
+        for mode in self.modes:
+            pred = codec.predict(0, mode, 0, x, y, bw, bh,
+                                 max_txsize_rect(bw, bh))
+            sse = int(((src - pred) ** 2).sum())
+            if best is None or sse < best:
+                best, best_mode = sse, mode
+        d = BlockDecision(y_mode=best_mode)
+        # chroma: DC or follow luma if it maps to a chroma mode cheaply
+        d.uv_mode = int(best_mode) if best_mode <= PredictionMode.PAETH_PRED else 0
+        return d
+
+
+# --------------------------------------------------------------------------
+# The codec
+# --------------------------------------------------------------------------
+
+class FrameCodec:
+    """Encodes or decodes one key frame's tile data."""
+
+    def __init__(self, seq: SequenceHeader, fh: FrameHeader,
+                 source_planes=None):
+        self.seq = seq
+        self.fh = fh
+        self.mi_cols = fh.mi_cols()
+        self.mi_rows = fh.mi_rows()
+        self.aligned_w = self.mi_cols * MI
+        self.aligned_h = self.mi_rows * MI
+        self.sub_x = self.sub_y = 1      # 4:2:0
+        self.num_planes = 1 if seq.monochrome else 3
+        # buffers are SB-aligned: blocks may legally overhang the frame
+        # edge (partition allowed while the half boundary starts inside)
+        sb = seq.sb_size
+        self.buf_w = -(-self.aligned_w // sb) * sb
+        self.buf_h = -(-self.aligned_h // sb) * sb
+        cw, ch = self.buf_w >> 1, self.buf_h >> 1
+        self.recon = [np.zeros((self.buf_h, self.buf_w), np.int32),
+                      np.zeros((ch, cw), np.int32),
+                      np.zeros((ch, cw), np.int32)]
+        if source_planes is not None:
+            self.source = [self._pad_plane(p, i) for i, p in enumerate(source_planes)]
+        else:
+            self.source = None
+        self.fc = FrameCdfs(fh.base_q_idx)
+        self.yq, self.uq, self.vq = qz.build_quantizer(seq.bit_depth)
+        # tile-level contexts
+        self.above_part = np.zeros(self.mi_cols + 32, np.int32)
+        self.left_part = np.zeros(self.mi_rows + 32, np.int32)
+        self.y_modes = np.zeros((self.mi_rows, self.mi_cols), np.int32)
+        self.skips = np.zeros((self.mi_rows, self.mi_cols), np.int32)
+        self.partitions = np.zeros((self.mi_rows, self.mi_cols), np.int32)
+        # txb level|dcsign contexts per plane (4px units in plane space)
+        self.txb_above = [np.zeros(self.buf_w >> (2 + (p > 0)), np.int32)
+                          for p in range(3)]
+        self.txb_left = [np.zeros(self.buf_h >> (2 + (p > 0)), np.int32)
+                         for p in range(3)]
+        self.io = None
+        self.decider = None
+
+    def _pad_plane(self, p: np.ndarray, plane: int) -> np.ndarray:
+        tw = self.buf_w >> (1 if plane else 0)
+        th = self.buf_h >> (1 if plane else 0)
+        out = np.zeros((th, tw), np.int32)
+        h, w = p.shape
+        out[:h, :w] = p
+        if w < tw:
+            out[:h, w:] = p[:, w - 1:w]
+        if h < th:
+            out[h:, :] = out[h - 1:h, :]
+        return out
+
+    # -- public entries ----------------------------------------------------
+
+    def encode_tile(self, decider: ModeDecider) -> bytes:
+        self.decider = decider
+        self.io = SymbolWriter()
+        self._walk_superblocks()
+        return self.io.ec.done()
+
+    def decode_tile(self, data: bytes) -> None:
+        self.io = SymbolReader(data)
+        self._walk_superblocks()
+
+    # -- structure ---------------------------------------------------------
+
+    def _walk_superblocks(self):
+        sb = self.seq.sb_size
+        sb_mi = sb // MI
+        for mi_row in range(0, self.mi_rows, sb_mi):
+            for mi_col in range(0, self.mi_cols, sb_mi):
+                self._partition(sb, mi_row, mi_col)
+
+    def _partition(self, bsize: int, mi_row: int, mi_col: int):
+        if mi_row >= self.mi_rows or mi_col >= self.mi_cols:
+            return
+        bs_mi = bsize // MI
+        hbs = bs_mi // 2
+        has_rows = mi_row + hbs < self.mi_rows
+        has_cols = mi_col + hbs < self.mi_cols
+        if bsize >= 8:
+            part = self._code_partition(bsize, mi_row, mi_col, has_rows, has_cols)
+        else:
+            part = PARTITION_NONE
+        if part == PARTITION_NONE:
+            self._block(bsize, mi_row, mi_col)
+            # update partition contexts (subsize == bsize for NONE)
+            pa, pl = _PARTITION_CTX_LOOKUP[bsize]
+            self.above_part[mi_col:mi_col + bs_mi] = pa
+            self.left_part[mi_row:mi_row + bs_mi] = pl
+        elif part == PARTITION_SPLIT:
+            half = bsize // 2
+            self._partition(half, mi_row, mi_col)
+            self._partition(half, mi_row, mi_col + hbs)
+            self._partition(half, mi_row + hbs, mi_col)
+            self._partition(half, mi_row + hbs, mi_col + hbs)
+        else:
+            raise NotImplementedError(f"partition {part}")
+
+    def _code_partition(self, bsize, mi_row, mi_col, has_rows, has_cols) -> int:
+        bsl = (bsize // 8).bit_length() - 1      # mi_size_wide_log2 - 1
+        above = (int(self.above_part[mi_col]) >> bsl) & 1
+        left = (int(self.left_part[mi_row]) >> bsl) & 1
+        ctx = (left * 2 + above) + bsl * 4
+        n = 4 if bsize == 8 else (8 if bsize == 128 else 10)
+        cdf = self.fc.partition[ctx]
+        if not has_rows and not has_cols:
+            return PARTITION_SPLIT
+        if self.io.is_decoder:
+            if has_rows and has_cols:
+                return self.io.symbol(None, cdf, n)
+            gathered = self._gather_split_cdf(cdf, bsize, vert=not has_rows)
+            is_split = self.io.symbol(None, gathered, 2)
+            return PARTITION_SPLIT if is_split else (
+                1 if not has_rows else 2)        # HORZ / VERT forced
+        part = self.decider.partition(bsize, mi_row, mi_col, has_rows, has_cols)
+        if has_rows and has_cols:
+            self.io.symbol(part, cdf, n)
+        else:
+            assert part == PARTITION_SPLIT, "boundary partitions must split"
+            gathered = self._gather_split_cdf(cdf, bsize, vert=not has_rows)
+            self.io.symbol(1, gathered, 2)
+        return part
+
+    @staticmethod
+    def _gather_split_cdf(cdf: np.ndarray, bsize: int, vert: bool) -> np.ndarray:
+        """partition_gather_{horz,vert}_alike (EbCabacContextModel.h:863).
+        Returns a 2-symbol icdf for P(split-alike).  Note: 'vert' True
+        means we gather vertical-alike probabilities (!has_rows case)."""
+        def elem(e):
+            prev = 32768 if e == 0 else int(cdf[e - 1])
+            return prev - int(cdf[e])
+        top = 32768
+        if vert:
+            for e in (2, 3, 6, 7):      # VERT, SPLIT, VERT_A, VERT_B? see below
+                pass
+        # gather per reference: horz-alike: HORZ,SPLIT,HORZ_A,HORZ_B,VERT_A,(HORZ_4)
+        if not vert:
+            items = [1, 3, 4, 5, 6]
+            if bsize != 128:
+                items.append(8)
+        else:
+            items = [2, 3, 4, 6, 7]
+            if bsize != 128:
+                items.append(9)
+        for e in items:
+            top -= elem(e)
+        out = np.zeros(3, np.uint16)
+        out[0] = 32768 - top
+        out[1] = 0
+        out[2] = 0
+        return out
+
+    # -- block level -------------------------------------------------------
+
+    def _block(self, bsize: int, mi_row: int, mi_col: int):
+        io = self.io
+        bw = bh = bsize
+        x, y = mi_col * MI, mi_row * MI
+        bs_mi = bsize // MI
+        up_avail = mi_row > 0
+        left_avail = mi_col > 0
+
+        decision = None
+        txbs = None
+        if not io.is_decoder:
+            decision = self.decider.decide(self, x, y, bw, bh)
+            txbs = self._compute_block(decision, x, y, bw, bh)
+            skip = all(t["eob"] == 0 for t in txbs)
+        else:
+            skip = None
+
+        # skip flag (ctx: above/left skip)
+        skip_ctx = 0
+        if up_avail:
+            skip_ctx += int(self.skips[mi_row - 1, mi_col])
+        if left_avail:
+            skip_ctx += int(self.skips[mi_row, mi_col - 1])
+        skip = io.symbol(None if skip is None else int(skip),
+                         self.fc.skip[skip_ctx], 2)
+
+        # intra_frame_y_mode
+        above_mode = int(self.y_modes[mi_row - 1, mi_col]) if up_avail else 0
+        left_mode = int(self.y_modes[mi_row, mi_col - 1]) if left_avail else 0
+        kf_cdf = self.fc.kf_y_mode[INTRA_MODE_CONTEXT[above_mode]][
+            INTRA_MODE_CONTEXT[left_mode]]
+        y_mode = io.symbol(None if decision is None else int(decision.y_mode),
+                           kf_cdf, 13)
+        angle_delta_y = 0
+        if bsize >= 8 and intra_ops.is_directional(PredictionMode(y_mode)):
+            sym = io.symbol(None if decision is None
+                            else decision.angle_delta_y + 3,
+                            self.fc.angle_delta[y_mode - 1], 7)
+            angle_delta_y = sym - 3
+
+        # chroma
+        uv_mode = 0
+        angle_delta_uv = 0
+        if self.num_planes > 1:
+            cfl_allowed = bw <= 32 and bh <= 32
+            uv_cdf = self.fc.uv_mode[int(cfl_allowed)][y_mode]
+            uv_mode = io.symbol(None if decision is None else decision.uv_mode,
+                                uv_cdf, 14 if cfl_allowed else 13)
+            assert uv_mode != 13, "CFL not implemented"
+            if bsize >= 8 and intra_ops.is_directional(PredictionMode(uv_mode)):
+                sym = io.symbol(None if decision is None
+                                else decision.angle_delta_uv + 3,
+                                self.fc.angle_delta[uv_mode - 1], 7)
+                angle_delta_uv = sym - 3
+
+        # filter_intra (only when allowed; signal "off")
+        if (self.seq.enable_filter_intra and y_mode == 0
+                and bw <= 32 and bh <= 32):
+            use_fi = io.symbol(0 if not io.is_decoder else None,
+                               self.fc.filter_intra[_bsize_enum(bw, bh)], 2)
+            assert not use_fi, "filter_intra decode not implemented"
+
+        if io.is_decoder:
+            decision = BlockDecision(
+                y_mode=PredictionMode(y_mode), angle_delta_y=angle_delta_y,
+                uv_mode=uv_mode, angle_delta_uv=angle_delta_uv)
+
+        # record mode info
+        self.y_modes[mi_row:mi_row + bs_mi, mi_col:mi_col + bs_mi] = y_mode
+        self.skips[mi_row:mi_row + bs_mi, mi_col:mi_col + bs_mi] = int(skip)
+
+        # residual
+        if io.is_decoder:
+            self._decode_residual(decision, skip, x, y, bw, bh)
+        else:
+            self._write_residual(decision, txbs, skip, x, y, bw, bh)
+
+    # -- compute (encoder) -------------------------------------------------
+
+    def tx_size_for(self, plane: int, bw: int, bh: int) -> TxSize:
+        if plane == 0:
+            return max_txsize_rect(bw, bh)
+        return max_txsize_rect(max(bw >> self.sub_x, 4),
+                               max(bh >> self.sub_y, 4))
+
+    def tx_type_for(self, plane: int, decision: BlockDecision,
+                    tx_size: TxSize) -> TxType:
+        if max(TX_WIDTH[tx_size], TX_HEIGHT[tx_size]) > 32:
+            return TxType.DCT_DCT
+        if plane == 0:
+            return decision.tx_type_y
+        mode = decision.uv_mode
+        tt = _INTRA_MODE_TO_TX_TYPE[mode]
+        set_type = get_ext_tx_set_type(tx_size, False, self.fh.reduced_tx_set)
+        if not ext_tx_used(set_type, tt):
+            return TxType.DCT_DCT
+        return tt
+
+    def _plane_quant(self, plane: int) -> qz.PlaneQuant:
+        return (self.yq, self.uq, self.vq)[plane]
+
+    def _compute_block(self, decision, x, y, bw, bh):
+        """Predict/transform/quantize/recon every tx block; returns their
+        coded info in plane order (y, u, v)."""
+        out = []
+        for plane in range(self.num_planes):
+            sx = self.sub_x if plane else 0
+            sy = self.sub_y if plane else 0
+            px, py = x >> sx, y >> sy
+            pw, ph = bw >> sx, bh >> sy
+            ts = self.tx_size_for(plane, bw, bh)
+            tt = self.tx_type_for(plane, decision, ts)
+            mode = decision.y_mode if plane == 0 else PredictionMode(decision.uv_mode)
+            delta = decision.angle_delta_y if plane == 0 else decision.angle_delta_uv
+            pred = self.predict(plane, mode, delta, px, py, pw, ph, ts)
+            src = self.source[plane][py:py + ph, px:px + pw]
+            resid = src.astype(np.int32) - pred
+            coeffs = np.asarray(tf.fwd_txfm2d(resid, tt, ts, self.seq.bit_depth))
+            qc, dqc = qz.quantize_b(coeffs, self.fh.base_q_idx,
+                                    self._plane_quant(plane), ts)
+            qc, dqc = np.asarray(qc), np.asarray(dqc)
+            ch = min(TX_HEIGHT[ts], 32)
+            cw = min(TX_WIDTH[ts], 32)
+            eob = cf.compute_eob(qc[:ch, :cw], ts, tt)
+            if eob == 0:
+                dqc = np.zeros_like(dqc)
+            recon = np.asarray(tf.inv_txfm2d_add(dqc, pred, tt, ts,
+                                                 self.seq.bit_depth))
+            self.recon[plane][py:py + ph, px:px + pw] = recon
+            out.append(dict(plane=plane, tx_size=ts, tx_type=tt,
+                            qcoeff=qc[:ch, :cw], eob=eob,
+                            px=px, py=py, pw=pw, ph=ph))
+        return out
+
+    # -- prediction --------------------------------------------------------
+
+    def predict(self, plane: int, mode: PredictionMode, angle_delta: int,
+                px: int, py: int, pw: int, ph: int, tx_size: TxSize
+                ) -> np.ndarray:
+        """Normative intra prediction for a tx block at plane position
+        (px, py) with the current recon state."""
+        rec = self.recon[plane]
+        plane_w = self.aligned_w >> (self.sub_x if plane else 0)
+        plane_h = self.aligned_h >> (self.sub_y if plane else 0)
+        txw, txh = TX_WIDTH[tx_size], TX_HEIGHT[tx_size]
+        have_top = py > 0
+        have_left = px > 0
+        xr = plane_w - (px + txw)
+        yd = plane_h - (py + txh)
+        mi_row, mi_col = (py << (self.sub_y if plane else 0)) // MI, \
+            (px << (self.sub_x if plane else 0)) // MI
+        sub = (self.sub_x, self.sub_y) if plane else (0, 0)
+        right_available = mi_col * MI // MI + ((txw << sub[0]) >> 2) < self.mi_cols \
+            if False else (mi_col + ((txw >> 2) << sub[0])) < self.mi_cols
+        bottom_available = yd > 0 and \
+            (mi_row + ((txh >> 2) << sub[1])) < self.mi_rows
+        have_top_right = _has_top_right(
+            self.seq.sb_size, pw, ph, mi_row, mi_col, have_top,
+            right_available, tx_size, 0, 0, sub[0], sub[1])
+        have_bottom_left = _has_bottom_left(
+            self.seq.sb_size, pw, ph, mi_row, mi_col, bottom_available,
+            have_left, tx_size, 0, 0, sub[0], sub[1])
+
+        n_top = min(txw, xr + txw) if have_top else 0
+        n_topright = min(txw, xr) if have_top_right else 0
+        n_left = min(txh, yd + txh) if have_left else 0
+        n_bottomleft = min(txh, yd) if have_bottom_left else 0
+
+        above_ref = rec[py - 1, px:px + n_top + n_topright + txw] if have_top else None
+        if above_ref is not None and len(above_ref) < n_top + n_topright:
+            n_topright = max(0, len(above_ref) - n_top)
+        left_ref = rec[py:py + n_left + n_bottomleft, px - 1] if have_left else None
+        topleft = int(rec[py - 1, px - 1]) if (have_top and have_left) else None
+        filt_type = self._filter_type(plane, px, py)
+        return np.asarray(intra_ops.predict_intra_block(
+            mode, angle_delta, tx_size, above_ref, left_ref, topleft,
+            n_top, n_topright, n_left, n_bottomleft, filt_type,
+            disable_edge_filter=not self.seq.enable_intra_edge_filter))
+
+    def _filter_type(self, plane: int, px: int, py: int) -> int:
+        """Edge-filter type: 1 when above AND left neighbors are smooth
+        intra modes (dec_get_filt_type).  All-intra: check neighbor
+        y_modes for SMOOTH family."""
+        mi_row = (py << (self.sub_y if plane else 0)) // MI
+        mi_col = (px << (self.sub_x if plane else 0)) // MI
+        def smooth(r, c):
+            if r < 0 or c < 0:
+                return False
+            m = int(self.y_modes[r, c])
+            return m in (9, 10, 11)
+        ab = smooth(mi_row - 1, mi_col)
+        le = smooth(mi_row, mi_col - 1)
+        return 1 if (ab or le) else 0
+
+    # -- residual ----------------------------------------------------------
+
+    def _txb_ctx(self, plane: int, px: int, py: int, pw: int, ph: int,
+                 tx_size: TxSize, bsize_eq_tx: bool):
+        """txb_skip + dc_sign contexts (get_txb_ctx, EbEntropyCoding.c:362)."""
+        above = self.txb_above[plane]
+        left = self.txb_left[plane]
+        x4, y4 = px >> 2, py >> 2
+        plane_w = self.aligned_w >> (1 if plane else 0)
+        plane_h = self.aligned_h >> (1 if plane else 0)
+        wu = min(TX_WIDTH[tx_size] >> 2, (plane_w - px) >> 2)
+        hu = min(TX_HEIGHT[tx_size] >> 2, (plane_h - py) >> 2)
+        signs = [0, -1, 1]
+        dc_sign = 0
+        for k in range(wu):
+            dc_sign += signs[int(above[x4 + k]) >> cf.COEFF_CONTEXT_BITS]
+        for k in range(hu):
+            dc_sign += signs[int(left[y4 + k]) >> cf.COEFF_CONTEXT_BITS]
+        dc_ctx = 2 if dc_sign > 0 else (1 if dc_sign < 0 else 0)
+
+        if plane == 0:
+            if bsize_eq_tx:
+                return 0, dc_ctx
+            skip_contexts = [[1, 2, 2, 2, 3], [1, 4, 4, 4, 5], [1, 4, 4, 4, 5],
+                             [1, 4, 4, 4, 5], [1, 4, 4, 4, 6]]
+            top = 0
+            lft = 0
+            for k in range(wu):
+                top |= int(above[x4 + k])
+            for k in range(hu):
+                lft |= int(left[y4 + k])
+            top &= cf.COEFF_CONTEXT_MASK
+            lft &= cf.COEFF_CONTEXT_MASK
+            mx = min(top | lft, 4)
+            mn = min(min(top, lft), 4)
+            return skip_contexts[mn][mx], dc_ctx
+        ctx_base = int(any(above[x4 + k] for k in range(wu))) + \
+            int(any(left[y4 + k] for k in range(hu)))
+        ctx_offset = 7 if (pw == TX_WIDTH[tx_size] and ph == TX_HEIGHT[tx_size]) else 10
+        return ctx_base + ctx_offset, dc_ctx
+
+    def _update_txb_ctx(self, plane, px, py, tx_size, cul_level):
+        x4, y4 = px >> 2, py >> 2
+        wu, hu = TX_WIDTH[tx_size] >> 2, TX_HEIGHT[tx_size] >> 2
+        self.txb_above[plane][x4:x4 + wu] = cul_level
+        self.txb_left[plane][y4:y4 + hu] = cul_level
+
+    def _tx_type_io(self, plane, tx_size, y_mode, tx_type_val):
+        """Signal/parse the luma tx type (av1_write_tx_type)."""
+        if plane != 0 or self.fh.base_q_idx == 0:
+            return tx_type_val
+        set_type = get_ext_tx_set_type(tx_size, False, self.fh.reduced_tx_set)
+        nset = AV1_NUM_EXT_TX_SET[set_type]
+        if nset <= 1:
+            return TxType.DCT_DCT
+        eset = EXT_TX_SET_INDEX[0][set_type]
+        sq = cf._sq_idx(min(TX_WIDTH[tx_size], TX_HEIGHT[tx_size]))
+        cdf = self.fc.intra_ext_tx[eset][sq][y_mode]
+        if self.io.is_decoder:
+            sym = self.io.symbol(None, cdf, nset)
+            return TxType(AV1_EXT_TX_INV[set_type][sym])
+        self.io.symbol(AV1_EXT_TX_IND[set_type][tx_type_val], cdf, nset)
+        return tx_type_val
+
+    def _write_residual(self, decision, txbs, skip, x, y, bw, bh):
+        if skip:
+            for plane in range(self.num_planes):
+                sx = 1 if plane else 0
+                t = txbs[plane]
+                # re-run recon with zero coeffs (decision pass may have coded
+                # nonzero levels that skip now discards)
+                self._recon_skip(plane, decision, t)
+                self._update_txb_ctx(plane, t["px"], t["py"], t["tx_size"], 0)
+            return
+        for t in txbs:
+            plane = t["plane"]
+            plane_type = int(plane > 0)
+            bsize_eq_tx = (t["pw"] == TX_WIDTH[t["tx_size"]]
+                           and t["ph"] == TX_HEIGHT[t["tx_size"]])
+            sk_ctx, dc_ctx = self._txb_ctx(plane, t["px"], t["py"], t["pw"],
+                                           t["ph"], t["tx_size"], bsize_eq_tx)
+            cul = cf.write_coeffs_txb(
+                self.io.ec, self.fc, t["qcoeff"], t["tx_size"], t["tx_type"],
+                plane_type, sk_ctx, dc_ctx, t["eob"],
+                tx_type_writer=(lambda ts=t["tx_size"], tt=t["tx_type"],
+                                ym=int(decision.y_mode):
+                                self._tx_type_io(plane, ts, ym, tt))
+                if plane == 0 else None)
+            self._update_txb_ctx(plane, t["px"], t["py"], t["tx_size"], cul)
+
+    def _recon_skip(self, plane, decision, t):
+        """Redo recon with zero residual for skip blocks."""
+        mode = decision.y_mode if plane == 0 else PredictionMode(decision.uv_mode)
+        delta = decision.angle_delta_y if plane == 0 else decision.angle_delta_uv
+        pred = self.predict(plane, mode, delta, t["px"], t["py"], t["pw"],
+                            t["ph"], t["tx_size"])
+        self.recon[plane][t["py"]:t["py"] + t["ph"],
+                          t["px"]:t["px"] + t["pw"]] = pred
+
+    def _decode_residual(self, decision, skip, x, y, bw, bh):
+        for plane in range(self.num_planes):
+            sx = self.sub_x if plane else 0
+            sy = self.sub_y if plane else 0
+            px, py = x >> sx, y >> sy
+            pw, ph = bw >> sx, bh >> sy
+            ts = self.tx_size_for(plane, bw, bh)
+            mode = decision.y_mode if plane == 0 else PredictionMode(decision.uv_mode)
+            delta = decision.angle_delta_y if plane == 0 else decision.angle_delta_uv
+            if skip:
+                pred = self.predict(plane, mode, delta, px, py, pw, ph, ts)
+                self.recon[plane][py:py + ph, px:px + pw] = pred
+                self._update_txb_ctx(plane, px, py, ts, 0)
+                continue
+            plane_type = int(plane > 0)
+            bsize_eq_tx = (pw == TX_WIDTH[ts] and ph == TX_HEIGHT[ts])
+            sk_ctx, dc_ctx = self._txb_ctx(plane, px, py, pw, ph, ts, bsize_eq_tx)
+            default_tt = self.tx_type_for(plane, decision, ts)
+            qc, eob, cul, tt = cf.parse_coeffs_txb(
+                self.io.ec, self.fc, ts,
+                default_tt, plane_type, sk_ctx, dc_ctx,
+                tx_type_reader=(lambda ts=ts, ym=int(decision.y_mode):
+                                self._tx_type_io(plane, ts, ym, None))
+                if plane == 0 else None)
+            self._update_txb_ctx(plane, px, py, ts, cul)
+            pred = self.predict(plane, mode, delta, px, py, pw, ph, ts)
+            if eob == 0:
+                self.recon[plane][py:py + ph, px:px + pw] = pred
+                continue
+            full = np.zeros((TX_HEIGHT[ts], TX_WIDTH[ts]), np.int32)
+            full[:qc.shape[0], :qc.shape[1]] = qc
+            dqc = np.asarray(qz.dequant_block(full, self.fh.base_q_idx,
+                                              self._plane_quant(plane), ts))
+            recon = np.asarray(tf.inv_txfm2d_add(dqc, pred, tt, ts,
+                                                 self.seq.bit_depth))
+            self.recon[plane][py:py + ph, px:px + pw] = recon
+
+    def cropped_recon(self):
+        w, h = self.fh.frame_width, self.fh.frame_height
+        return [self.recon[0][:h, :w].astype(np.uint8),
+                self.recon[1][:h >> 1, :w >> 1].astype(np.uint8),
+                self.recon[2][:h >> 1, :w >> 1].astype(np.uint8)]
+
+
+def _bsize_enum(bw: int, bh: int) -> int:
+    """BlockSize enum value from dimensions (square + rect)."""
+    table_ = {(4, 4): 0, (4, 8): 1, (8, 4): 2, (8, 8): 3, (8, 16): 4,
+              (16, 8): 5, (16, 16): 6, (16, 32): 7, (32, 16): 8,
+              (32, 32): 9, (32, 64): 10, (64, 32): 11, (64, 64): 12,
+              (64, 128): 13, (128, 64): 14, (128, 128): 15, (4, 16): 16,
+              (16, 4): 17, (8, 32): 18, (32, 8): 19, (16, 64): 20,
+              (64, 16): 21}
+    return table_[(bw, bh)]
+
+
+# --------------------------------------------------------------------------
+# Intra top-right / bottom-left availability (EbIntraPrediction.c:431+)
+# --------------------------------------------------------------------------
+
+@functools.cache
+def _has_table(kind: str, bw: int, bh: int) -> np.ndarray:
+    return table(f"has_{kind}_{bw}x{bh}")
+
+
+def _has_top_right(sb_size, bw, bh, mi_row, mi_col, top_available,
+                   right_available, txsz, row_off, col_off, ss_x, ss_y) -> bool:
+    if not top_available or not right_available:
+        return False
+    bw_unit = bw >> 2 << (ss_x if False else 0)
+    # block dims here are PLANE dims; convert to luma units
+    bw_l, bh_l = bw << ss_x, bh << ss_y
+    plane_bw_unit = max((bw_l >> 2) >> ss_x, 1)
+    tr_count = TX_WIDTH[txsz] >> 2
+    if row_off > 0:
+        return col_off + tr_count < plane_bw_unit
+    if col_off + tr_count < plane_bw_unit:
+        return True
+    bw_mi_log2 = (bw_l >> 2).bit_length() - 1
+    bh_mi_log2 = (bh_l >> 2).bit_length() - 1
+    sb_mi = sb_size >> 2
+    blk_row_in_sb = (mi_row & (sb_mi - 1)) >> bh_mi_log2
+    blk_col_in_sb = (mi_col & (sb_mi - 1)) >> bw_mi_log2
+    if blk_row_in_sb == 0:
+        return True
+    if ((blk_col_in_sb + 1) << bw_mi_log2) >= sb_mi:
+        return False
+    idx = (blk_row_in_sb << (5 - bw_mi_log2)) + blk_col_in_sb
+    tbl = _has_table("tr", bw_l, bh_l)
+    return bool((int(tbl[idx // 8]) >> (idx % 8)) & 1)
+
+
+def _has_bottom_left(sb_size, bw, bh, mi_row, mi_col, bottom_available,
+                     left_available, txsz, row_off, col_off, ss_x, ss_y) -> bool:
+    if not bottom_available or not left_available:
+        return False
+    if col_off > 0:
+        return False
+    bw_l, bh_l = bw << ss_x, bh << ss_y
+    plane_bh_unit = max((bh_l >> 2) >> ss_y, 1)
+    bl_count = TX_HEIGHT[txsz] >> 2
+    if row_off + bl_count < plane_bh_unit:
+        return True
+    bw_mi_log2 = (bw_l >> 2).bit_length() - 1
+    bh_mi_log2 = (bh_l >> 2).bit_length() - 1
+    sb_mi = sb_size >> 2
+    blk_row_in_sb = (mi_row & (sb_mi - 1)) >> bh_mi_log2
+    blk_col_in_sb = (mi_col & (sb_mi - 1)) >> bw_mi_log2
+    if blk_col_in_sb == 0:
+        blk_start_row_off = blk_row_in_sb << (bh_mi_log2 + 2 - 2) >> ss_y
+        row_off_in_sb = blk_start_row_off + row_off
+        sb_height_unit = sb_mi >> ss_y
+        return row_off_in_sb + bl_count < sb_height_unit
+    if ((blk_row_in_sb + 1) << bh_mi_log2) >= sb_mi:
+        return False
+    idx = (blk_row_in_sb << (5 - bw_mi_log2)) + blk_col_in_sb
+    tbl = _has_table("bl", bw_l, bh_l)
+    return bool((int(tbl[idx // 8]) >> (idx % 8)) & 1)

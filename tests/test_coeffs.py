@@ -56,8 +56,8 @@ def test_coeff_roundtrip(tx_size, tx_type, qindex):
     dec = RangeDecoder(data)
     fcd = FrameCdfs(qindex)
     for q, cul_e in zip(blocks, culs_e):
-        got, eob, cul_d = cf.parse_coeffs_txb(dec, fcd, tx_size, tx_type,
-                                              0, 4, 1)
+        got, eob, cul_d, _ = cf.parse_coeffs_txb(dec, fcd, tx_size, tx_type,
+                                                 0, 4, 1)
         np.testing.assert_array_equal(got, q)
         assert cul_d == cul_e
         assert eob == cf.compute_eob(q, tx_size, tx_type)
@@ -75,8 +75,8 @@ def test_all_zero_block():
                               0, 0, 0, 0)
     assert cul == 0
     dec = RangeDecoder(enc.done())
-    got, eob, cul_d = cf.parse_coeffs_txb(dec, fcd, TxSize.TX_8X8,
-                                          TxType.DCT_DCT, 0, 0, 0)
+    got, eob, cul_d, _ = cf.parse_coeffs_txb(dec, fcd, TxSize.TX_8X8,
+                                             TxType.DCT_DCT, 0, 0, 0)
     assert eob == 0 and cul_d == 0
     np.testing.assert_array_equal(got, q)
 
@@ -92,7 +92,7 @@ def test_large_level_golomb():
     eob = cf.compute_eob(q, TxSize.TX_4X4, TxType.DCT_DCT)
     cf.write_coeffs_txb(enc, fce, q, TxSize.TX_4X4, TxType.DCT_DCT, 0, 2, 0, eob)
     dec = RangeDecoder(enc.done())
-    got, _, _ = cf.parse_coeffs_txb(dec, fcd, TxSize.TX_4X4, TxType.DCT_DCT, 0, 2, 0)
+    got, _, _, _ = cf.parse_coeffs_txb(dec, fcd, TxSize.TX_4X4, TxType.DCT_DCT, 0, 2, 0)
     np.testing.assert_array_equal(got, q)
 
 

@@ -1,0 +1,120 @@
+"""End-to-end conformance tests (analog of test/e2e_test/SvtAv1E2EFramework):
+encode synthetic clips, verify (a) our decoder reproduces the encoder's
+recon exactly, (b) the reference SvtAv1DecApp decodes our bitstream to the
+same pictures bit-exactly."""
+import os
+import subprocess
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from svt_av1_tpu.api import decode_ivf, encode_ivf
+from svt_av1_tpu.config import EncoderConfig
+from svt_av1_tpu.constants import PredictionMode as P
+from svt_av1_tpu.pipeline.frame_codec import ModeDecider
+
+REF_DECAPP = Path("/tmp/refbin/SvtAv1DecApp")
+needs_refdec = pytest.mark.skipif(not REF_DECAPP.exists(),
+                                  reason="reference DecApp not built")
+
+ALL_MODES = [P.DC_PRED, P.V_PRED, P.H_PRED, P.D45_PRED, P.D135_PRED,
+             P.D113_PRED, P.D157_PRED, P.D203_PRED, P.D67_PRED,
+             P.SMOOTH_PRED, P.SMOOTH_V_PRED, P.SMOOTH_H_PRED, P.PAETH_PRED]
+
+
+def synthetic_clip(w, h, n, seed=0):
+    rng = np.random.default_rng(seed)
+    frames = []
+    for i in range(n):
+        yy, xx = np.mgrid[0:h, 0:w]
+        y = (110 + 70 * np.sin(xx / 17 + i * 0.5) + 50 * np.cos(yy / 23 + i)
+             + rng.integers(-10, 11, (h, w))).clip(0, 255).astype(np.uint8)
+        u = (128 + 40 * np.sin(yy[:h // 2, :w // 2] / 9)).clip(0, 255).astype(np.uint8)
+        v = (128 - 40 * np.cos(xx[:h // 2, :w // 2] / 13)).clip(0, 255).astype(np.uint8)
+        frames.append((y, u, v))
+    return frames
+
+
+def ref_decode(path, w, h):
+    env = dict(os.environ, LD_LIBRARY_PATH=str(REF_DECAPP.parent))
+    out = str(path) + ".ref.yuv"
+    r = subprocess.run([str(REF_DECAPP), "-i", str(path), "-o", out],
+                       env=env, capture_output=True, timeout=120)
+    assert Path(out).exists(), r.stderr.decode()[-500:]
+    data = Path(out).read_bytes()
+    fsz = w * h * 3 // 2
+    frames = []
+    for i in range(len(data) // fsz):
+        off = i * fsz
+        y = np.frombuffer(data[off:off + w * h], np.uint8).reshape(h, w)
+        u = np.frombuffer(data[off + w * h:off + w * h + fsz // 6],
+                          np.uint8).reshape(h // 2, w // 2)
+        v = np.frombuffer(data[off + w * h + fsz // 6:off + fsz],
+                          np.uint8).reshape(h // 2, w // 2)
+        frames.append((y, u, v))
+    return frames
+
+
+def run_roundtrip(tmp_path, w, h, n_frames, qp, block_size, modes,
+                  check_ref=True, seed=0):
+    frames = synthetic_clip(w, h, n_frames, seed)
+    cfg = EncoderConfig(source_width=w, source_height=h, qp=qp)
+    path = tmp_path / f"clip_{w}x{h}_q{qp}_b{block_size}.ivf"
+    recons = encode_ivf(frames, cfg, str(path),
+                        ModeDecider(block_size=block_size, modes=modes))
+    ours, _ = decode_ivf(str(path))
+    assert len(ours) == n_frames
+    for i, (o, r) in enumerate(zip(ours, recons)):
+        for p in range(3):
+            np.testing.assert_array_equal(o[p], r[p],
+                                          err_msg=f"self frame {i} plane {p}")
+    if check_ref and REF_DECAPP.exists():
+        refs = ref_decode(path, w, h)
+        assert len(refs) == n_frames
+        for i, (o, r) in enumerate(zip(ours, refs)):
+            for p in range(3):
+                np.testing.assert_array_equal(
+                    o[p], r[p], err_msg=f"ref frame {i} plane {p}")
+    return frames, ours
+
+
+def test_e2e_small_dc_only(tmp_path):
+    run_roundtrip(tmp_path, 64, 64, 2, 40, 32, [P.DC_PRED], check_ref=False)
+
+
+@needs_refdec
+def test_e2e_conformance_64(tmp_path):
+    run_roundtrip(tmp_path, 64, 64, 2, 40, 32, ALL_MODES)
+
+
+@needs_refdec
+def test_e2e_conformance_cif_partial_sbs(tmp_path):
+    """352x288: fractional superblocks at right/bottom edges."""
+    frames, ours = run_roundtrip(tmp_path, 352, 288, 2, 40, 32, ALL_MODES)
+    # quality sanity: recon should track the source
+    err = np.abs(ours[0][0].astype(int) - frames[0][0].astype(int)).mean()
+    assert err < 8
+
+
+@needs_refdec
+def test_e2e_conformance_16x16_blocks_ext_tx(tmp_path):
+    """16x16 partitions exercise ext-tx-type signaling."""
+    run_roundtrip(tmp_path, 128, 128, 2, 35, 16, ALL_MODES)
+
+
+@needs_refdec
+def test_e2e_conformance_high_qp_skip(tmp_path):
+    """qp 63 drives most blocks to skip."""
+    run_roundtrip(tmp_path, 96, 64, 2, 63, 32, ALL_MODES)
+
+
+@needs_refdec
+def test_e2e_conformance_low_qp(tmp_path):
+    run_roundtrip(tmp_path, 64, 96, 1, 8, 32, ALL_MODES)
+
+
+@needs_refdec
+def test_e2e_odd_sizes(tmp_path):
+    """Dimensions not multiples of the block size."""
+    run_roundtrip(tmp_path, 200, 120, 1, 40, 32, ALL_MODES)

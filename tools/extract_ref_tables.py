@@ -185,6 +185,11 @@ def main():
     tables.update(extract_tables(
         REF / "EbIntraPrediction.c",
         {"sm_weight_arrays", "eb_dr_intra_derivative"}))
+    # top-right / bottom-left availability bit tables (spec z-scan order)
+    intra_text = (REF / "EbIntraPrediction.c").read_text()
+    has_names = set(re.findall(r"(has_(?:tr|bl)(?:_vert)?_\w+)\s*\[", intra_text))
+    has_names = {n for n in has_names if not n.endswith("_tables")}
+    tables.update(extract_tables(REF / "EbIntraPrediction.c", has_names))
     intra_taps = extract_tables(
         REF.parent.parent / "Common" / "C_DEFAULT" / "filterintra_c.c",
         {"eb_av1_filter_intra_taps"})
