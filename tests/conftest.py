@@ -7,9 +7,15 @@ The env vars must be set before jax is first imported.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# the axon sitecustomize pins jax_platforms to the TPU backend; tests
+# always run on the virtual CPU mesh
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
