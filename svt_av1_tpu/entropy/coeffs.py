@@ -164,6 +164,57 @@ def get_br_ctx(levels: np.ndarray, pos: int, bwl: int, tx_class: int) -> int:
     return mag + 14
 
 
+def nz_ctx_map(levels: np.ndarray, h: int, w: int, tx_class: int) -> np.ndarray:
+    """Vectorized base-level context for every position (non-eob path).
+    ``levels`` is the padded |level| buffer from txb_levels."""
+    c3 = np.minimum(levels, 3)
+    if tx_class == TX_CLASS_2D:
+        mag = (c3[:h, 1:w + 1] + c3[1:h + 1, :w] + c3[1:h + 1, 1:w + 1]
+               + c3[:h, 2:w + 2] + c3[2:h + 2, :w])
+        ctx = np.minimum((mag + 1) >> 1, 4) + _nz_ctx_offset_2d(w, h)
+        ctx[0, 0] = 0
+        return ctx
+    if tx_class == TX_CLASS_VERT:
+        mag = (c3[:h, 1:w + 1] + c3[1:h + 1, :w] + c3[2:h + 2, :w]
+               + c3[3:h + 3, :w] + c3[4:h + 4, :w])
+        off = np.full((h, 1), 36, np.int32)
+        off[0] = 26
+        if h > 1:
+            off[1] = 31
+        return np.minimum((mag + 1) >> 1, 4) + off
+    mag = (c3[:h, 1:w + 1] + c3[1:h + 1, :w] + c3[:h, 2:w + 2]
+           + c3[:h, 3:w + 3] + c3[:h, 4:w + 4])
+    off = np.full((1, w), 36, np.int32)
+    off[0, 0] = 26
+    if w > 1:
+        off[0, 1] = 31
+    return np.minimum((mag + 1) >> 1, 4) + off
+
+
+def br_ctx_map(levels: np.ndarray, h: int, w: int, tx_class: int) -> np.ndarray:
+    """Vectorized br context for every position."""
+    lv = levels
+    rows = np.arange(h)[:, None]
+    cols = np.arange(w)[None, :]
+    if tx_class == TX_CLASS_2D:
+        mag = lv[:h, 1:w + 1] + lv[1:h + 1, :w] + lv[1:h + 1, 1:w + 1]
+        mag = np.minimum((mag + 1) >> 1, 6)
+        out = np.where((rows < 2) & (cols < 2), mag + 7, mag + 14)
+        out[0, 0] = mag[0, 0]
+        return out
+    if tx_class == TX_CLASS_HORIZ:
+        mag = lv[:h, 1:w + 1] + lv[1:h + 1, :w] + lv[:h, 2:w + 2]
+        mag = np.minimum((mag + 1) >> 1, 6)
+        out = np.where(cols == 0, mag + 7, mag + 14)
+        out[0, 0] = mag[0, 0]
+        return out
+    mag = lv[:h, 1:w + 1] + lv[1:h + 1, :w] + lv[2:h + 2, :w]
+    mag = np.minimum((mag + 1) >> 1, 6)
+    out = np.where(rows == 0, mag + 7, mag + 14)
+    out[0, 0] = mag[0, 0]
+    return out
+
+
 def _write_golomb(enc: RangeEncoder, level: int) -> None:
     x = level + 1
     length = x.bit_length()
@@ -235,20 +286,29 @@ def write_coeffs_txb(enc: RangeEncoder, fc: FrameCdfs, qcoeff: np.ndarray,
         for i in range(1, offset_bits):
             enc.encode_bit((eob_extra >> (offset_bits - 1 - i)) & 1)
 
+    # vectorized context maps (positions' base/br contexts depend only on
+    # the full |level| plane, so they batch; TPU path computes these maps
+    # on device)
+    ctx_map = nz_ctx_map(levels, h, w, tx_class).reshape(-1)
+    brctx_map = br_ctx_map(levels, h, w, tx_class).reshape(-1)
+    abs_flat = np.abs(flat)
+    scan_eob = scan[:eob]
+    lv_scan = abs_flat[scan_eob]
+    base_cdf = fc.coeff_base[ts_ctx][plane_type]
+    base_eob_cdf = fc.coeff_base_eob[ts_ctx][plane_type]
+    br_cdf_set = fc.coeff_br[min(ts_ctx, 3)][plane_type]
+
     for c in range(eob - 1, -1, -1):
-        pos = int(scan[c])
-        level = abs(int(flat[pos]))
-        ctx = get_nz_map_ctx(levels, pos, bwl, h, c, c == eob - 1, w, tx_class)
+        pos = int(scan_eob[c])
+        level = int(lv_scan[c])
         if c == eob - 1:
-            enc.encode_symbol(min(level, 3) - 1,
-                              fc.coeff_base_eob[ts_ctx][plane_type][ctx], 3)
+            ctx = get_nz_map_ctx(levels, pos, bwl, h, c, True, w, tx_class)
+            enc.encode_symbol(min(level, 3) - 1, base_eob_cdf[ctx], 3)
         else:
-            enc.encode_symbol(min(level, 3),
-                              fc.coeff_base[ts_ctx][plane_type][ctx], 4)
+            enc.encode_symbol(min(level, 3), base_cdf[ctx_map[pos]], 4)
         if level > NUM_BASE_LEVELS:
             base_range = level - 1 - NUM_BASE_LEVELS
-            br_ctx = get_br_ctx(levels, pos, bwl, tx_class)
-            br_cdf = fc.coeff_br[min(ts_ctx, 3)][plane_type][br_ctx]
+            br_cdf = br_cdf_set[brctx_map[pos]]
             for idx in range(0, COEFF_BASE_RANGE, BR_CDF_SIZE - 1):
                 k = min(base_range - idx, BR_CDF_SIZE - 1)
                 enc.encode_symbol(k, br_cdf, BR_CDF_SIZE)

@@ -118,7 +118,8 @@ class SymbolWriter:
     is_decoder = False
 
     def __init__(self):
-        self.ec = RangeEncoder()
+        from ..entropy.native_ec import make_range_encoder
+        self.ec = make_range_encoder()
 
     def symbol(self, value: int, cdf: np.ndarray, nsyms: int) -> int:
         self.ec.encode_symbol(value, cdf, nsyms)
@@ -625,13 +626,18 @@ class FrameCodec:
                            and t["ph"] == TX_HEIGHT[t["tx_size"]])
             sk_ctx, dc_ctx = self._txb_ctx(plane, t["px"], t["py"], t["pw"],
                                            t["ph"], t["tx_size"], bsize_eq_tx)
-            cul = cf.write_coeffs_txb(
-                self.io.ec, self.fc, t["qcoeff"], t["tx_size"], t["tx_type"],
-                plane_type, sk_ctx, dc_ctx, t["eob"],
-                tx_type_writer=(lambda ts=t["tx_size"], tt=t["tx_type"],
-                                ym=int(decision.y_mode):
-                                self._tx_type_io(plane, ts, ym, tt))
-                if plane == 0 else None)
+            ttw = (lambda ts=t["tx_size"], tt=t["tx_type"],
+                   ym=int(decision.y_mode):
+                   self._tx_type_io(plane, ts, ym, tt)) if plane == 0 else None
+            if hasattr(self.io.ec, "write_coeffs_fast"):
+                cul = self.io.ec.write_coeffs_fast(
+                    self.fc, t["qcoeff"], t["tx_size"], t["tx_type"],
+                    plane_type, sk_ctx, dc_ctx, t["eob"], tx_type_writer=ttw)
+            else:
+                cul = cf.write_coeffs_txb(
+                    self.io.ec, self.fc, t["qcoeff"], t["tx_size"],
+                    t["tx_type"], plane_type, sk_ctx, dc_ctx, t["eob"],
+                    tx_type_writer=ttw)
             self._update_txb_ctx(plane, t["px"], t["py"], t["tx_size"], cul)
 
     def _recon_skip(self, plane, decision, t):
