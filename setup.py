@@ -11,5 +11,10 @@ setup(
             sources=["svt_av1_tpu/native/ec_native.c"],
             extra_compile_args=["-O3", "-std=c11"],
         ),
+        Extension(
+            "svt_av1_tpu.native.tx_native",
+            sources=["svt_av1_tpu/native/tx_native.c"],
+            extra_compile_args=["-O3", "-std=c11"],
+        ),
     ],
 )

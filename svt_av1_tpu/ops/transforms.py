@@ -88,6 +88,12 @@ def _sinpi(bit: int) -> np.ndarray:
     return _tables()["sinpi_arr_data"][bit - 10]
 
 
+try:
+    from ..native import tx_native as _tx_native
+except ImportError:  # pragma: no cover - build-environment dependent
+    _tx_native = None
+
+
 class _Network:
     """Vectorized interpreter for one extracted butterfly network."""
 
@@ -96,6 +102,9 @@ class _Network:
         stmts = t[f"{name}_stmts"]          # [n, 5]
         offs = t[f"{name}_offsets"]
         clamp = t[f"{name}_clamp"]
+        self._stmts = np.ascontiguousarray(stmts, dtype=np.int32)
+        self._offsets = np.ascontiguousarray(offs, dtype=np.int32)
+        self._clamp_flat = np.ascontiguousarray(clamp, dtype=np.int8)
         self.stages = []
         for s in range(len(offs) - 1):
             rows = stmts[offs[s]:offs[s + 1]]
@@ -124,6 +133,16 @@ class _Network:
 
     def __call__(self, x, cos_bit: int, clamp_bit: int, xp=np):
         """Apply to int32 array [..., N]."""
+        if xp is np and _tx_native is not None:
+            xs = np.ascontiguousarray(x, dtype=np.int32)
+            shape = xs.shape
+            n = shape[-1]
+            flat = xs.reshape(-1, n)
+            out = _tx_native.apply_network(
+                flat, self._stmts, self._offsets, self._clamp_flat,
+                np.ascontiguousarray(_cospi(cos_bit), dtype=np.int32),
+                cos_bit, clamp_bit, flat.shape[0], n)
+            return out.reshape(shape[:-1] + (out.shape[-1],))
         consts = self._stage_consts(cos_bit)
         cb = max(clamp_bit, 1)
         cmax = np.int32((1 << (cb - 1)) - 1)
