@@ -44,12 +44,19 @@ class Encoder:
         self.last_recon = None
 
     def _frame_header(self) -> FrameHeader:
+        from .ops.dlf import filter_levels_from_qindex
+
+        qindex = QUANTIZER_TO_QINDEX[self.cfg.qp]
+        lvl = 0 if self.cfg.disable_dlf else filter_levels_from_qindex(
+            qindex, self.cfg.encoder_bit_depth)
         return FrameHeader(
             frame_type=FrameType.KEY_FRAME,
             show_frame=True,
             frame_width=self.cfg.source_width,
             frame_height=self.cfg.source_height,
-            base_q_idx=QUANTIZER_TO_QINDEX[self.cfg.qp],
+            base_q_idx=qindex,
+            filter_level=(lvl, lvl),
+            filter_level_uv=(lvl, lvl),
         )
 
     def encode_frame(self, planes) -> bytes:
@@ -58,6 +65,7 @@ class Encoder:
         fh = self._frame_header()
         codec = FrameCodec(self.seq, fh, source_planes=planes)
         tile_data = codec.encode_tile(self.decider)
+        codec.apply_loop_filter()
         self.last_recon = codec.cropped_recon()
 
         w = BitWriter()
@@ -102,6 +110,7 @@ class Decoder:
         tile_data = payload[r.byte_pos:]
         codec = FrameCodec(self.seq, fh)
         codec.decode_tile(tile_data)
+        codec.apply_loop_filter()
         planes = codec.cropped_recon()
         for p in planes:
             self.md5.update(np.ascontiguousarray(p).tobytes())

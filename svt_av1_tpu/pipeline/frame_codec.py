@@ -233,6 +233,14 @@ class FrameCodec:
                           for p in range(3)]
         self.txb_left = [np.zeros(self.buf_h >> (2 + (p > 0)), np.int32)
                          for p in range(3)]
+        # per-plane tx geometry grids (4px units) for the loop filter
+        def _g(p):
+            return np.zeros((self.buf_h >> (2 + (p > 0)),
+                             self.buf_w >> (2 + (p > 0))), np.int32)
+        self.tx_w_grid = [_g(p) for p in range(3)]
+        self.tx_h_grid = [_g(p) for p in range(3)]
+        self.bedge_x = [_g(p).astype(bool) for p in range(3)]
+        self.bedge_y = [_g(p).astype(bool) for p in range(3)]
         self.io = None
         self.decider = None
 
@@ -480,6 +488,7 @@ class FrameCodec:
             recon = np.asarray(tf.inv_txfm2d_add(dqc, pred, tt, ts,
                                                  self.seq.bit_depth))
             self.recon[plane][py:py + ph, px:px + pw] = recon
+            self._record_tx_geometry(plane, px, py, pw, ph, ts)
             out.append(dict(plane=plane, tx_size=ts, tx_type=tt,
                             qcoeff=qc[:ch, :cw], eob=eob,
                             px=px, py=py, pw=pw, ph=ph))
@@ -656,6 +665,7 @@ class FrameCodec:
             px, py = x >> sx, y >> sy
             pw, ph = bw >> sx, bh >> sy
             ts = self.tx_size_for(plane, bw, bh)
+            self._record_tx_geometry(plane, px, py, pw, ph, ts)
             mode = decision.y_mode if plane == 0 else PredictionMode(decision.uv_mode)
             delta = decision.angle_delta_y if plane == 0 else decision.angle_delta_uv
             if skip:
@@ -685,6 +695,40 @@ class FrameCodec:
             recon = np.asarray(tf.inv_txfm2d_add(dqc, pred, tt, ts,
                                                  self.seq.bit_depth))
             self.recon[plane][py:py + ph, px:px + pw] = recon
+
+    def _record_tx_geometry(self, plane, px, py, pw, ph, ts):
+        x4, y4 = px >> 2, py >> 2
+        w4, h4 = pw >> 2, ph >> 2
+        self.tx_w_grid[plane][y4:y4 + h4, x4:x4 + w4] = TX_WIDTH[ts]
+        self.tx_h_grid[plane][y4:y4 + h4, x4:x4 + w4] = TX_HEIGHT[ts]
+        self.bedge_x[plane][y4:y4 + h4, x4] = True
+        self.bedge_y[plane][y4, x4:x4 + w4] = True
+
+    def apply_loop_filter(self):
+        """Normative in-loop deblocking over the recon planes (applied
+        after the whole frame reconstructs; intra prediction saw the
+        unfiltered recon, matching the spec pipeline)."""
+        from ..ops import dlf
+
+        fh = self.fh
+        if fh.coded_lossless or fh.allow_intrabc:
+            return
+        lv, lh = fh.filter_level
+        lu, lvv = fh.filter_level_uv
+        # all-intra: intra blocks never count as skip for DLF edge rules
+        levels = [(lv, lh), (lu, lu), (lvv, lvv)]
+        for plane in range(self.num_planes):
+            plv, plh = levels[plane]
+            if plv == 0 and plh == 0:
+                continue
+            sx = 1 if plane else 0
+            skip0 = np.zeros_like(self.tx_w_grid[plane], dtype=bool)
+            dlf.loop_filter_plane(
+                self.recon[plane], self.tx_w_grid[plane],
+                self.tx_h_grid[plane], skip0,
+                self.bedge_x[plane], self.bedge_y[plane],
+                self.aligned_w >> sx, self.aligned_h >> sx,
+                plv, plh, fh.sharpness, plane > 0)
 
     def cropped_recon(self):
         w, h = self.fh.frame_width, self.fh.frame_height
