@@ -31,7 +31,18 @@ class Encoder:
 
     def __init__(self, cfg: EncoderConfig, decider: ModeDecider | None = None):
         self.cfg = cfg
-        self.decider = decider or ModeDecider()
+        if decider is None:
+            # preset ladder: slower presets buy full-RD mode decision
+            # (the reference's MD-stage funnel analog, pipeline/rdo.py)
+            if cfg.enc_mode <= 6:
+                from .pipeline.rdo import RdoDecider
+                sig = __import__("svt_av1_tpu.config", fromlist=["derive_signals"]
+                                 ).derive_signals(cfg)
+                decider = RdoDecider(n_full_rd=sig.md_stage_nics[2],
+                                     try_angle_delta=cfg.enc_mode <= 4)
+            else:
+                decider = ModeDecider()
+        self.decider = decider
         self.seq = SequenceHeader(
             max_frame_width=cfg.source_width,
             max_frame_height=cfg.source_height,

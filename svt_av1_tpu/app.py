@@ -1,0 +1,133 @@
+"""Command-line encoder/decoder app.
+
+The analog of the reference's SvtAv1EncApp / SvtAv1DecApp
+(Source/App/EncApp/EbAppMain.c, Source/App/DecApp/EbDecAppMain.c):
+
+  python -m svt_av1_tpu.app enc -i in.y4m -b out.ivf -q 40 [-n N] [--stat-report]
+  python -m svt_av1_tpu.app enc -i in.yuv -w 352 -h 288 --fps 30 -b out.ivf
+  python -m svt_av1_tpu.app dec -i in.ivf -o out.yuv [--md5]
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from fractions import Fraction
+
+import numpy as np
+
+from .api import Decoder, Encoder
+from .config import EncoderConfig
+from .io import IvfReader, IvfWriter, Y4MReader
+from .io.y4m import VideoInfo, read_planar_frame
+from .utils.metrics import frame_psnr
+
+
+def _enc(args) -> int:
+    if args.input.endswith(".y4m"):
+        reader = Y4MReader(args.input)
+        info = reader.info
+        frames = iter(reader)
+    else:
+        if not (args.width and args.height):
+            print("raw yuv input needs -w/-h", file=sys.stderr)
+            return 1
+        info = VideoInfo(args.width, args.height,
+                         Fraction(args.fps or 30), 8, "420")
+
+        def yuv_iter():
+            with open(args.input, "rb") as f:
+                while True:
+                    try:
+                        yield read_planar_frame(f, info)
+                    except EOFError:
+                        return
+        frames = yuv_iter()
+
+    cfg = EncoderConfig(source_width=info.width, source_height=info.height,
+                        qp=args.qp, frame_rate=info.frame_rate,
+                        disable_dlf=args.no_dlf)
+    enc = Encoder(cfg)
+    t0 = time.time()
+    n = 0
+    total_bytes = 0
+    psnrs = []
+    with IvfWriter(args.bitstream, info.width, info.height,
+                   info.frame_rate) as w:
+        for planes in frames:
+            if args.frames and n >= args.frames:
+                break
+            payload = enc.encode_frame(planes)
+            w.write_frame(payload, pts=n)
+            total_bytes += len(payload)
+            if args.stat_report:
+                p = frame_psnr(planes, enc.last_recon)
+                psnrs.append(p)
+                print(f"frame {n}: {len(payload):6d} B  "
+                      f"psnr Y {p[0]:.2f} U {p[1]:.2f} V {p[2]:.2f}")
+            n += 1
+    dt = time.time() - t0
+    fps = n / dt if dt else 0.0
+    kbps = total_bytes * 8 * float(info.frame_rate) / max(n, 1) / 1000
+    print(f"SUMMARY: {n} frames, {total_bytes} bytes ({kbps:.1f} kbps), "
+          f"{dt:.2f}s, Average Speed: {fps:.3f} fps")
+    if psnrs:
+        avg = np.mean(np.array(psnrs), axis=0)
+        print(f"Average PSNR Y {avg[0]:.3f}  U {avg[1]:.3f}  V {avg[2]:.3f}  "
+              f"combined {avg[3]:.3f}")
+    return 0
+
+
+def _dec(args) -> int:
+    dec = Decoder()
+    n = 0
+    t0 = time.time()
+    out = open(args.output, "wb") if args.output else None
+    r = IvfReader(args.input)
+    for payload, _pts in r:
+        planes = dec.decode_frame(payload)
+        if planes is None:
+            continue
+        if out:
+            for p in planes:
+                out.write(np.ascontiguousarray(p).tobytes())
+        n += 1
+    r.close()
+    if out:
+        out.close()
+    dt = time.time() - t0
+    print(f"SUMMARY: decoded {n} frames in {dt:.2f}s "
+          f"({n / dt if dt else 0:.2f} fps)")
+    if args.md5:
+        print(f"MD5: {dec.md5.hexdigest()}")
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="svt_av1_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    e = sub.add_parser("enc", help="encode y4m/yuv -> ivf")
+    e.add_argument("-i", "--input", required=True)
+    e.add_argument("-b", "--bitstream", required=True)
+    e.add_argument("-q", "--qp", type=int, default=50)
+    e.add_argument("-n", "--frames", type=int, default=0)
+    e.add_argument("-w", "--width", type=int, default=0)
+    e.add_argument("--height", type=int, default=0)
+    e.add_argument("--fps", type=int, default=0)
+    e.add_argument("--no-dlf", action="store_true")
+    e.add_argument("--stat-report", action="store_true")
+    e.set_defaults(fn=_enc)
+
+    d = sub.add_parser("dec", help="decode ivf -> yuv")
+    d.add_argument("-i", "--input", required=True)
+    d.add_argument("-o", "--output", default="")
+    d.add_argument("--md5", action="store_true")
+    d.set_defaults(fn=_dec)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -254,17 +254,21 @@ def filter_intra_predictor(w, h, above, left, topleft: int, fi_mode: int, xp=np)
 # --------------------------------------------------------------------------
 
 def filter_intra_edge(p: np.ndarray, sz: int, strength: int) -> np.ndarray:
-    """In-place smoothing of edge array p[:sz] (svt_av1_filter_intra_edge_c)."""
-    if not strength:
+    """In-place smoothing of edge array p[:sz] (svt_av1_filter_intra_edge_c).
+    Each output depends only on the original edge, so the taps vectorize
+    as shifted adds over a replicated-padded copy."""
+    if not strength or sz <= 1:
         return p
     kernel = [(0, 4, 8, 4, 0), (0, 5, 6, 5, 0), (2, 4, 4, 4, 2)][strength - 1]
-    edge = p[:sz].copy().astype(np.int32)
-    for i in range(1, sz):
-        s = 0
-        for j in range(5):
-            k = int(np.clip(i - 2 + j, 0, sz - 1))
-            s += kernel[j] * int(edge[k])
-        p[i] = (s + 8) >> 4
+    e = np.empty(sz + 4, dtype=np.int32)
+    e[2:sz + 2] = p[:sz]
+    e[0] = e[1] = e[2]
+    e[sz + 2] = e[sz + 3] = e[sz + 1]
+    s = np.zeros(sz - 1, dtype=np.int32)
+    for j, k in enumerate(kernel):
+        if k:
+            s += k * e[j + 1: j + sz]
+    p[1:sz] = (s + 8) >> 4
     return p
 
 

@@ -110,25 +110,40 @@ def _round_pow2(x, n):
     return (x + (1 << (n - 1))) >> n if n > 0 else x
 
 
+@functools.lru_cache(maxsize=512)
+def _qparams_cached(pq_id: int, qindex: int, tx_size: TxSize):
+    """Broadcast dc/ac quantizer maps for one (plane-tables, q, size)."""
+    pq = _PQ_REGISTRY[pq_id]
+    log_scale = tx_log_scale(tx_size)
+    h, w = TX_HEIGHT[tx_size], TX_WIDTH[tx_size]
+    dc_mask = np.zeros((h, w), dtype=bool)
+    dc_mask[0, 0] = True
+
+    def dcac(vec):
+        return np.where(dc_mask, np.int32(vec[0]), np.int32(vec[1]))
+
+    return (_round_pow2(dcac(pq.zbin[qindex]), log_scale),
+            _round_pow2(dcac(pq.round[qindex]), log_scale),
+            dcac(pq.quant[qindex]), dcac(pq.quant_shift[qindex]),
+            dcac(pq.dequant[qindex]), log_scale)
+
+
+_PQ_REGISTRY: dict[int, "PlaneQuant"] = {}
+
+
 def quantize_b(coeffs, qindex: int, pq: PlaneQuant, tx_size: TxSize, xp=np):
     """Quantize a [..., H, W] coefficient plane.
 
     Returns (qcoeff, dqcoeff) int32 arrays of the same shape.  The eob is
     derived later from the scan order by the coefficient coder.
     """
-    log_scale = tx_log_scale(tx_size)
-    h, w = TX_HEIGHT[tx_size], TX_WIDTH[tx_size]
-    dc_mask = np.zeros((h, w), dtype=bool)
-    dc_mask[0, 0] = True
-
-    def dcac(vec):  # [2] -> [h, w] broadcast of dc/ac entries
-        return xp.where(dc_mask, int(vec[0]), int(vec[1]))
-
-    zbin = _round_pow2(dcac(pq.zbin[qindex]), log_scale)
-    rnd = _round_pow2(dcac(pq.round[qindex]), log_scale)
-    quant = dcac(pq.quant[qindex])
-    shift = dcac(pq.quant_shift[qindex])
-    dequant = dcac(pq.dequant[qindex])
+    _PQ_REGISTRY.setdefault(id(pq), pq)
+    zbin, rnd, quant, shift, dequant, log_scale = _qparams_cached(
+        id(pq), qindex, tx_size)
+    if xp is not np:
+        zbin, rnd, quant, shift, dequant = (
+            xp.asarray(zbin), xp.asarray(rnd), xp.asarray(quant),
+            xp.asarray(shift), xp.asarray(dequant))
 
     c = coeffs.astype(xp.int32)
     sign = xp.where(c < 0, -1, 1).astype(xp.int32)
