@@ -28,7 +28,7 @@ OUT = Path(__file__).resolve().parent.parent / "svt_av1_tpu" / "entropy" / "data
 _CDF_CALL = re.compile(r"AOM_CDF(\d+)\s*\(")
 _DECL = re.compile(
     r"(?:static\s+)?(?:const\s+)?(?:DECLARE_ALIGNED\s*\(\s*\d+\s*,\s*)?"
-    r"(?:static\s+)?(?:const\s+)?(AomCdfProb|int16_t|int32_t|uint16_t|uint8_t|int8_t|int)\s*,?\s*"
+    r"(?:static\s+)?(?:const\s+)?(AomCdfProb|InterpKernel|int16_t|int32_t|uint16_t|uint8_t|int8_t|int)\s*,?\s*"
     r"(\w+)\s*((?:\[[^\]]*\]\s*)+)\)?\s*=\s*\{",
     re.S,
 )
@@ -158,7 +158,7 @@ def extract_tables(path: Path, names: set[str] | None = None) -> dict[str, np.nd
             print(f"  skip {name}: {e}", file=sys.stderr)
             continue
         dtype = np.uint16 if ctype in ("AomCdfProb", "uint16_t") else np.int32
-        if ctype == "int16_t":
+        if ctype in ("int16_t", "InterpKernel"):
             dtype = np.int16
         elif ctype == "int8_t":
             dtype = np.int8
@@ -200,6 +200,13 @@ def main():
             if intra_taps:
                 break
     tables.update(intra_taps)
+
+    print("extracting interp filter kernels from EbInterPrediction.c")
+    tables.update(extract_tables(
+        REF / "EbInterPrediction.c",
+        {"sub_pel_filters_8", "sub_pel_filters_4", "sub_pel_filters_8sharp",
+         "sub_pel_filters_8smooth", "bilinear_filters",
+         "sub_pel_filters_4smooth"}))
 
     OUT.parent.mkdir(parents=True, exist_ok=True)
     np.savez_compressed(OUT, **tables)
