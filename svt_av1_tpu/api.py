@@ -53,15 +53,26 @@ class Encoder:
         )
         self.frame_count = 0
         self.last_recon = None
+        self._ref_planes = None          # DPB slot 0 (post-loop-filter)
 
-    def _frame_header(self) -> FrameHeader:
+    def _is_key_frame(self) -> bool:
+        period = self.cfg.intra_period_length
+        if self.frame_count == 0 or self._ref_planes is None:
+            return True
+        if period == -2:
+            return True                  # all-intra (auto default for now)
+        if period == -1:
+            return False                 # single key frame then IPP
+        return self.frame_count % (period + 1) == 0
+
+    def _frame_header(self, is_key: bool) -> FrameHeader:
         from .ops.dlf import filter_levels_from_qindex
 
         qindex = QUANTIZER_TO_QINDEX[self.cfg.qp]
         lvl = 0 if self.cfg.disable_dlf else filter_levels_from_qindex(
             qindex, self.cfg.encoder_bit_depth)
         return FrameHeader(
-            frame_type=FrameType.KEY_FRAME,
+            frame_type=FrameType.KEY_FRAME if is_key else FrameType.INTER_FRAME,
             show_frame=True,
             frame_width=self.cfg.source_width,
             frame_height=self.cfg.source_height,
@@ -73,11 +84,16 @@ class Encoder:
     def encode_frame(self, planes) -> bytes:
         """Encode one (y, u, v) frame; returns the temporal unit bytes
         (TD + [sequence header] + frame OBU)."""
-        fh = self._frame_header()
-        codec = FrameCodec(self.seq, fh, source_planes=planes)
+        is_key = self._is_key_frame()
+        fh = self._frame_header(is_key)
+        codec = FrameCodec(self.seq, fh, source_planes=planes,
+                           refs=None if is_key else [self._ref_planes])
         tile_data = codec.encode_tile(self.decider)
         codec.apply_loop_filter()
         self.last_recon = codec.cropped_recon()
+        # DPB stores the VISIBLE picture: the spec's MC edge semantics
+        # replicate from the visible frame edge, not the coded overhang
+        self._ref_planes = [p.astype(np.int32) for p in self.last_recon]
 
         w = BitWriter()
         write_frame_header(w, self.seq, fh)
@@ -99,6 +115,7 @@ class Decoder:
     def __init__(self):
         self.seq: SequenceHeader | None = None
         self.md5 = hashlib.md5()
+        self._ref_planes = None
 
     def decode_frame(self, data: bytes):
         """Decode one temporal unit; returns (y, u, v) planes or None."""
@@ -119,10 +136,13 @@ class Decoder:
         r = BitReader(payload)
         fh = parse_frame_header(r, self.seq)
         tile_data = payload[r.byte_pos:]
-        codec = FrameCodec(self.seq, fh)
+        is_key = fh.frame_type == FrameType.KEY_FRAME
+        codec = FrameCodec(self.seq, fh,
+                           refs=None if is_key else [self._ref_planes])
         codec.decode_tile(tile_data)
         codec.apply_loop_filter()
         planes = codec.cropped_recon()
+        self._ref_planes = [p.astype(np.int32) for p in planes]
         for p in planes:
             self.md5.update(np.ascontiguousarray(p).tobytes())
         return planes

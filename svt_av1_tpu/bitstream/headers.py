@@ -245,21 +245,36 @@ def tile_limits(seq: SequenceHeader, fh: FrameHeader):
 def write_frame_header(w: BitWriter, seq: SequenceHeader, fh: FrameHeader) -> None:
     """Write the uncompressed header (no trailing bits; the caller
     byte-aligns per OBU type)."""
-    assert fh.frame_type == FrameType.KEY_FRAME and fh.show_frame
+    is_inter = fh.frame_type == FrameType.INTER_FRAME
+    assert fh.show_frame
     w.flag(False)                        # show_existing_frame
     w.f(int(fh.frame_type), 2)
     w.flag(fh.show_frame)
-    # error_resilient_mode implied 1 for shown key frames
+    if is_inter:
+        # error_resilient_mode = 1: fresh CDFs/contexts every frame
+        w.flag(True)
+    # (key+shown frames imply error_resilient = 1, not coded)
     w.flag(fh.disable_cdf_update)
     # allow_screen_content_tools: seq_force == 0 -> nothing coded
     w.flag(False)                        # frame_size_override_flag
     # order hints disabled -> no order_hint
-    # primary_ref_frame: implied NONE for intra
-    # refresh_frame_flags: implied all for shown key frame
-    _write_frame_size(w, seq, fh)
-    _write_render_size(w)
-    # allow_intrabc: only if allow_screen_content_tools
-    # (no interpolation filter/ref info for intra)
+    # primary_ref_frame: error_resilient/intra -> NONE, not coded
+    if is_inter:
+        w.f(fh.refresh_frame_flags, 8)
+        for _ in range(7):
+            w.f(0, 3)                    # ref_frame_idx[i] = slot 0
+        _write_frame_size(w, seq, fh)
+        _write_render_size(w)
+        w.flag(False)                    # allow_high_precision_mv
+        w.flag(False)                    # is_filter_switchable
+        w.f(0, 2)                        # interpolation_filter = REGULAR
+        w.flag(False)                    # is_motion_mode_switchable
+        # use_ref_frame_mvs: error_resilient -> skipped
+    else:
+        # refresh_frame_flags implied all for shown key frames
+        _write_frame_size(w, seq, fh)
+        _write_render_size(w)
+        # allow_intrabc: only if allow_screen_content_tools
     if not fh.disable_cdf_update:
         w.flag(fh.disable_frame_end_update_cdf)
     _write_tile_info(w, seq, fh)
@@ -273,10 +288,15 @@ def write_frame_header(w: BitWriter, seq: SequenceHeader, fh: FrameHeader) -> No
     _write_lr_params(w, seq, fh)
     if not fh.coded_lossless:
         w.flag(fh.tx_mode_select)        # read_tx_mode
-    # frame_reference_mode: intra -> skip; skip_mode: not allowed -> skip
-    # allow_warped_motion: intra -> skip
+    if fh.frame_type == FrameType.INTER_FRAME:
+        w.flag(False)                    # reference_select (single ref)
+    # skip_mode: not allowed (no order hints) -> skip
+    # allow_warped_motion: error_res / seq-disabled -> skip
     w.flag(fh.reduced_tx_set)
-    # global motion: intra -> skip; film grain: not present -> skip
+    if fh.frame_type == FrameType.INTER_FRAME:
+        for _ in range(7):
+            w.flag(False)                # is_global (LAST..ALTREF)
+    # film grain: not present -> skip
 
 
 def _write_frame_size(w: BitWriter, seq: SequenceHeader, fh: FrameHeader) -> None:
@@ -345,17 +365,33 @@ def parse_frame_header(r: BitReader, seq: SequenceHeader) -> FrameHeader:
     assert not show_existing, "show_existing_frame unsupported"
     fh.frame_type = FrameType(r.f(2))
     fh.show_frame = r.flag()
-    assert fh.frame_type == FrameType.KEY_FRAME and fh.show_frame, \
-        "only shown key frames supported"
+    is_inter = fh.frame_type == FrameType.INTER_FRAME
+    assert fh.show_frame and fh.frame_type in (
+        FrameType.KEY_FRAME, FrameType.INTER_FRAME), "unsupported frame type"
+    if is_inter:
+        err_res = r.flag()
+        assert err_res, "non-error-resilient inter frames unsupported"
     fh.disable_cdf_update = r.flag()
     size_override = r.flag()
     assert not size_override
     fh.frame_width = seq.max_frame_width
     fh.frame_height = seq.max_frame_height
-    if seq.enable_superres:
-        assert not r.flag()
-    render_diff = r.flag()
-    assert not render_diff
+    if is_inter:
+        fh.refresh_frame_flags = r.f(8)
+        for _ in range(7):
+            assert r.f(3) == 0, "only ref slot 0 supported"
+        if seq.enable_superres:
+            assert not r.flag()
+        assert not r.flag()              # render size diff
+        assert not r.flag()              # allow_high_precision_mv
+        assert not r.flag()              # is_filter_switchable
+        assert r.f(2) == 0               # REGULAR filter
+        assert not r.flag()              # is_motion_mode_switchable
+    else:
+        if seq.enable_superres:
+            assert not r.flag()
+        render_diff = r.flag()
+        assert not render_diff
     if not fh.disable_cdf_update:
         fh.disable_frame_end_update_cdf = r.flag()
     else:
@@ -405,7 +441,12 @@ def parse_frame_header(r: BitReader, seq: SequenceHeader) -> FrameHeader:
         raise NotImplementedError
     if not fh.coded_lossless:
         fh.tx_mode_select = r.flag()
+    if is_inter:
+        assert not r.flag()              # reference_select
     fh.reduced_tx_set = r.flag()
+    if is_inter:
+        for _ in range(7):
+            assert not r.flag()          # is_global
     return fh
 
 

@@ -181,23 +181,30 @@ class FrameCdfs:
     defaults (key frames / primary_ref_none).
     """
 
-    __slots__ = tuple(_FRAME_CDF_TABLES) + tuple(_COEF_CDF_TABLES)
+    __slots__ = tuple(_FRAME_CDF_TABLES) + tuple(_COEF_CDF_TABLES) + ("nmv",)
 
     def __init__(self, base_qindex: int = 0):
         self.reset(base_qindex)
 
     def reset(self, base_qindex: int) -> None:
+        from .mv import NmvContext
+
         data = _load()
         for attr, name in _FRAME_CDF_TABLES.items():
             setattr(self, attr, data[name].copy())
         qctx = get_qctx(base_qindex)
         for attr, name in _COEF_CDF_TABLES.items():
             setattr(self, attr, data[name][qctx].copy())
+        self.nmv = NmvContext()
 
     def copy(self) -> "FrameCdfs":
+        import copy as _copy
+
         out = object.__new__(FrameCdfs)
         for attr in self.__slots__:
-            setattr(out, attr, getattr(self, attr).copy())
+            v = getattr(self, attr)
+            setattr(out, attr, v.copy() if isinstance(v, np.ndarray)
+                    else _copy.deepcopy(v))
         return out
 
     def eob_flag(self, eob_pt_alphabet_size_log2: int) -> np.ndarray:

@@ -29,6 +29,13 @@ from ..ops import intra as intra_ops
 from ..ops import quant as qz
 from ..ops import transforms as tf
 from ..bitstream.headers import FrameHeader, SequenceHeader
+from ..entropy.mv import (MV_SUBPEL_LOW_PRECISION, decode_mv, encode_mv)
+from . import mv_pred
+from ..ops import inter as inter_ops
+
+# intra size groups (size_group_lookup) for the non-key y-mode cdf
+_SIZE_GROUP = {4: 0, 8: 1, 16: 2, 32: 3, 64: 3, 128: 3}
+REF_PAD = 96
 
 MI = 4  # mode-info unit in pixels
 
@@ -154,6 +161,11 @@ class BlockDecision:
     uv_mode: int = 0                    # UVPredictionMode (no CFL yet)
     angle_delta_uv: int = 0
     tx_type_y: TxType = TxType.DCT_DCT
+    # inter fields
+    is_inter: bool = False
+    inter_mode: int = 0                 # PredictionMode NEARESTMV..NEWMV
+    mv: tuple = (0, 0)                  # (row, col) 1/8 pel
+    ref_mv_idx: int = 0
 
 
 class ModeDecider:
@@ -173,6 +185,64 @@ class ModeDecider:
         if bsize > self.block_size or not (has_rows and has_cols):
             return PARTITION_SPLIT
         return PARTITION_NONE
+
+    def decide_inter(self, codec: "FrameCodec", x, y, bw, bh,
+                     mi_row, mi_col, bs_mi) -> BlockDecision:
+        """Inter-frame decision: try NEAREST/GLOBAL/NEW against the best
+        intra mode by prediction SAD (full RD in RdoDecider)."""
+        from . import mv_pred as mp
+        from ..ops import me as me_ops
+
+        src = codec.source[0][y:y + bh, x:x + bw].astype(np.int32)
+        stack_res = mp.find_mv_stack(
+            codec.mi, mi_row, mi_col, bs_mi, bs_mi, 1,
+            codec.mi_rows, codec.mi_cols, sb_mi=codec.seq.sb_size // 4)
+
+        def mc_sad(mv):
+            pred = codec.predict_inter(0, mv, x, y, bw, bh)
+            return int(np.abs(src - pred).sum())
+
+        in_frame = lambda mv: codec.mv_window_in_frame(mv, x, y, bw, bh)
+        cands = []
+        nearest = stack_res.ref_mv_list[0]
+        near = stack_res.ref_mv_list[1]
+        if in_frame(nearest):
+            cands.append((mc_sad(nearest), mp.NEARESTMV, nearest, 0))
+        if len(stack_res.stack) >= 2 and near != nearest and in_frame(near):
+            cands.append((mc_sad(near) + 16, mp.NEARMV, near, 0))
+        if in_frame((0, 0)):
+            cands.append((mc_sad((0, 0)) + 32, mp.GLOBALMV, (0, 0), 0))
+        # NEWMV: full-pel ME around the nearest predictor, window kept
+        # inside the visible frame (the reference decoder build does not
+        # pad references in its MT path, so out-of-frame reads are
+        # avoided entirely, like SVT's restricted-MV default)
+        vis_w, vis_h = codec.fh.frame_width, codec.fh.frame_height
+        blk = src.astype(np.uint8)
+        ref_vis = codec.refs[0][0][REF_PAD:REF_PAD + vis_h,
+                                   REF_PAD:REF_PAD + vis_w]
+        if bw <= vis_w and bh <= vis_h and x + bw <= vis_w and y + bh <= vis_h:
+            cx = int(np.clip(x + (nearest[1] >> 3), 4, max(vis_w - bw - 4, 4)))
+            cy = int(np.clip(y + (nearest[0] >> 3), 4, max(vis_h - bh - 4, 4)))
+            dx, dy, sad = me_ops.hme_search(blk, ref_vis, cx, cy, 24, 24)
+            best_x = int(np.clip(cx + dx, 4, vis_w - bw - 4))
+            best_y = int(np.clip(cy + dy, 4, vis_h - bh - 4))
+            new_mv = ((best_y - y) * 8, (best_x - x) * 8)
+            if in_frame(new_mv):
+                cands.append((sad + 96, mp.NEWMV, new_mv, 0))
+        if not cands:
+            return self.decide(codec, x, y, bw, bh)
+
+        best = min(cands, key=lambda c: c[0])
+        # intra fallback
+        intra_d = self.decide(codec, x, y, bw, bh)
+        pred = codec.predict(0, intra_d.y_mode, 0, x, y, bw, bh,
+                             max_txsize_rect(bw, bh))
+        intra_sad = int(np.abs(src - pred).sum()) + 128
+        if intra_sad < best[0]:
+            return intra_d
+        return BlockDecision(is_inter=True, inter_mode=best[1],
+                             mv=(int(best[2][0]), int(best[2][1])),
+                             ref_mv_idx=best[3])
 
     def decide(self, codec: "FrameCodec", x: int, y: int, bw: int, bh: int
                ) -> BlockDecision:
@@ -198,7 +268,7 @@ class FrameCodec:
     """Encodes or decodes one key frame's tile data."""
 
     def __init__(self, seq: SequenceHeader, fh: FrameHeader,
-                 source_planes=None):
+                 source_planes=None, refs=None):
         self.seq = seq
         self.fh = fh
         self.mi_cols = fh.mi_cols()
@@ -241,8 +311,18 @@ class FrameCodec:
         self.tx_h_grid = [_g(p) for p in range(3)]
         self.bedge_x = [_g(p).astype(bool) for p in range(3)]
         self.bedge_y = [_g(p).astype(bool) for p in range(3)]
+        self.skip_grid = [_g(p).astype(bool) for p in range(3)]
+        self.mi = mv_pred.MiGrid.create(self.mi_rows, self.mi_cols)
+        # reference frames (padded) for inter frames
+        self.refs = None
+        if refs is not None:
+            self.refs = [[self._pad_ref(p) for p in ref] for ref in refs]
         self.io = None
         self.decider = None
+
+    @staticmethod
+    def _pad_ref(plane: np.ndarray) -> np.ndarray:
+        return np.pad(plane.astype(np.int32), REF_PAD, mode="edge")
 
     def _pad_plane(self, p: np.ndarray, plane: int) -> np.ndarray:
         tw = self.buf_w >> (1 if plane else 0)
@@ -337,9 +417,6 @@ class FrameCodec:
             prev = 32768 if e == 0 else int(cdf[e - 1])
             return prev - int(cdf[e])
         top = 32768
-        if vert:
-            for e in (2, 3, 6, 7):      # VERT, SPLIT, VERT_A, VERT_B? see below
-                pass
         # gather per reference: horz-alike: HORZ,SPLIT,HORZ_A,HORZ_B,VERT_A,(HORZ_4)
         if not vert:
             items = [1, 3, 4, 5, 6]
@@ -360,6 +437,8 @@ class FrameCodec:
     # -- block level -------------------------------------------------------
 
     def _block(self, bsize: int, mi_row: int, mi_col: int):
+        if self.fh.frame_type == FrameType.INTER_FRAME:
+            return self._block_inter(bsize, mi_row, mi_col)
         io = self.io
         bw = bh = bsize
         x, y = mi_col * MI, mi_row * MI
@@ -429,6 +508,8 @@ class FrameCodec:
         # record mode info
         self.y_modes[mi_row:mi_row + bs_mi, mi_col:mi_col + bs_mi] = y_mode
         self.skips[mi_row:mi_row + bs_mi, mi_col:mi_col + bs_mi] = int(skip)
+
+        self._record_mi(mi_row, mi_col, bs_mi, decision, int(skip))
 
         # residual
         if io.is_decoder:
@@ -722,13 +803,415 @@ class FrameCodec:
             if plv == 0 and plh == 0:
                 continue
             sx = 1 if plane else 0
-            skip0 = np.zeros_like(self.tx_w_grid[plane], dtype=bool)
             dlf.loop_filter_plane(
                 self.recon[plane], self.tx_w_grid[plane],
-                self.tx_h_grid[plane], skip0,
+                self.tx_h_grid[plane], self.skip_grid[plane],
                 self.bedge_x[plane], self.bedge_y[plane],
                 self.aligned_w >> sx, self.aligned_h >> sx,
                 plv, plh, fh.sharpness, plane > 0)
+
+
+    # -- inter frames ------------------------------------------------------
+
+    def _record_mi(self, mi_row, mi_col, bs_mi, decision, skip):
+        g = self.mi
+        r0, r1 = mi_row, min(mi_row + bs_mi, self.mi_rows)
+        c0, c1 = mi_col, min(mi_col + bs_mi, self.mi_cols)
+        if decision.is_inter:
+            g.ref_frame[r0:r1, c0:c1] = 1          # LAST
+            g.mv_row[r0:r1, c0:c1] = decision.mv[0]
+            g.mv_col[r0:r1, c0:c1] = decision.mv[1]
+            g.mode[r0:r1, c0:c1] = decision.inter_mode
+        else:
+            g.ref_frame[r0:r1, c0:c1] = 0
+            g.mv_row[r0:r1, c0:c1] = 0
+            g.mv_col[r0:r1, c0:c1] = 0
+            g.mode[r0:r1, c0:c1] = int(decision.y_mode)
+        g.bw4[r0:r1, c0:c1] = bs_mi
+        g.bh4[r0:r1, c0:c1] = bs_mi
+        # DLF skip grids (inter blocks only count as skip for edge rules)
+        dlf_skip = bool(skip) and decision.is_inter
+        for plane in range(self.num_planes):
+            sh = 1 if plane else 0
+            y4a = (mi_row * MI >> sh) >> 2
+            x4a = (mi_col * MI >> sh) >> 2
+            h4 = max((bs_mi * MI >> sh) >> 2, 1)
+            self.skip_grid[plane][y4a:y4a + h4, x4a:x4a + h4] = dlf_skip
+
+    def _intra_inter_ctx(self, mi_row, mi_col):
+        up = mi_row > 0
+        left = mi_col > 0
+        above_intra = up and self.mi.ref_frame[mi_row - 1, mi_col] == 0
+        left_intra = left and self.mi.ref_frame[mi_row, mi_col - 1] == 0
+        if up and left:
+            return 3 if (above_intra and left_intra) else int(above_intra or left_intra)
+        if up or left:
+            return 2 * int(above_intra if up else left_intra)
+        return 0
+
+    def _neighbor_ref_counts(self, mi_row, mi_col):
+        counts = np.zeros(8, np.int32)
+        if mi_row > 0 and self.mi.ref_frame[mi_row - 1, mi_col] > 0:
+            counts[int(self.mi.ref_frame[mi_row - 1, mi_col])] += 1
+        if mi_col > 0 and self.mi.ref_frame[mi_row, mi_col - 1] > 0:
+            counts[int(self.mi.ref_frame[mi_row, mi_col - 1])] += 1
+        return counts
+
+    @staticmethod
+    def _ctx3(a, b):
+        return 1 if a == b else (0 if a < b else 2)
+
+    def _code_ref_frames(self, mi_row, mi_col):
+        """Single-reference signaling; we emit/expect LAST
+        (read_ref_frames, EbDecParseInterBlock.c:242)."""
+        io = self.io
+        rc = self._neighbor_ref_counts(mi_row, mi_col)
+        fwd = rc[1] + rc[2] + rc[3] + rc[4]
+        bwd = rc[5] + rc[6] + rc[7]
+        p1_ctx = self._ctx3(fwd, bwd)
+        bit0 = io.symbol(0 if not io.is_decoder else None,
+                         self.fc.single_ref[p1_ctx][0], 2)
+        assert bit0 == 0, "backward refs unsupported"
+        p_ctx = self._ctx3(rc[1] + rc[2], rc[3] + rc[4])
+        bit2 = io.symbol(0 if not io.is_decoder else None,
+                         self.fc.single_ref[p_ctx][2], 2)
+        assert bit2 == 0, "LAST3/GOLDEN unsupported"
+        p4_ctx = self._ctx3(rc[1], rc[2])
+        bit3 = io.symbol(0 if not io.is_decoder else None,
+                         self.fc.single_ref[p4_ctx][3], 2)
+        assert bit3 == 0, "LAST2 unsupported"
+        return 1  # LAST_FRAME
+
+    def _code_inter_mode(self, mode_ctx, mode):
+        """newmv/zeromv/refmv flag ladder."""
+        io = self.io
+        newmv_ctx = mode_ctx & mv_pred.NEWMV_CTX_MASK
+        notnew = io.symbol(None if io.is_decoder else int(mode != mv_pred.NEWMV),
+                           self.fc.newmv[newmv_ctx], 2)
+        if not notnew:
+            return mv_pred.NEWMV
+        zero_ctx = (mode_ctx >> mv_pred.GLOBALMV_OFFSET) & mv_pred.GLOBALMV_CTX_MASK
+        notzero = io.symbol(None if io.is_decoder
+                            else int(mode != mv_pred.GLOBALMV),
+                            self.fc.zeromv[zero_ctx], 2)
+        if not notzero:
+            return mv_pred.GLOBALMV
+        ref_ctx = (mode_ctx >> mv_pred.REFMV_OFFSET) & mv_pred.REFMV_CTX_MASK
+        nearmv = io.symbol(None if io.is_decoder
+                           else int(mode != mv_pred.NEARESTMV),
+                           self.fc.refmv[ref_ctx], 2)
+        return mv_pred.NEARMV if nearmv else mv_pred.NEARESTMV
+
+    def _code_drl(self, mode, stack, ref_mv_idx):
+        io = self.io
+        out_idx = 0
+        if mode == mv_pred.NEWMV:
+            for idx in range(2):
+                if len(stack) > idx + 1:
+                    ctx = mv_pred.drl_ctx(stack, idx)
+                    bit = io.symbol(None if io.is_decoder
+                                    else int(ref_mv_idx != idx),
+                                    self.fc.drl[ctx], 2)
+                    out_idx = idx
+                    if not bit:
+                        return out_idx
+                    out_idx = idx + 1
+        elif mode == mv_pred.NEARMV:
+            for idx in range(1, 3):
+                if len(stack) > idx + 1:
+                    ctx = mv_pred.drl_ctx(stack, idx)
+                    bit = io.symbol(None if io.is_decoder
+                                    else int(ref_mv_idx > idx - 1),
+                                    self.fc.drl[ctx], 2)
+                    out_idx = idx + bit - 1
+                    if not bit:
+                        return out_idx
+        return out_idx
+
+    def mv_window_in_frame(self, mv, x, y, bw, bh) -> bool:
+        """True when the MC read windows (luma + chroma, incl. 8-tap
+        margins) stay inside the visible frame for this mv."""
+        for plane in (0, 1):
+            sh = 1 if plane else 0
+            px, py = x >> sh, y >> sh
+            pw, ph = bw >> sh, bh >> sh
+            vw = self.fh.frame_width >> sh
+            vh = self.fh.frame_height >> sh
+            pos_x = (px << 4) + (mv[1] << (1 - sh))
+            pos_y = (py << 4) + (mv[0] << (1 - sh))
+            ix, iy = pos_x >> 4, pos_y >> 4
+            sub_x, sub_y = pos_x & 15, pos_y & 15
+            mx0 = 3 if sub_x else 0
+            mx1 = 4 if sub_x else 0
+            my0 = 3 if sub_y else 0
+            my1 = 4 if sub_y else 0
+            if ix - mx0 < 0 or iy - my0 < 0:
+                return False
+            if ix + pw + mx1 > vw or iy + ph + my1 > vh:
+                return False
+        return True
+
+    def predict_inter(self, plane, mv, px, py, pw, ph):
+        """Motion-compensated prediction from the LAST reference."""
+        ref = self.refs[0][plane]
+        sh = 1 if plane else 0
+        pos_x = (px << 4) + (mv[1] << (1 - sh))
+        pos_y = (py << 4) + (mv[0] << (1 - sh))
+        int_x = (pos_x >> 4) + REF_PAD
+        int_y = (pos_y >> 4) + REF_PAD
+        sub_x = pos_x & 15
+        sub_y = pos_y & 15
+        int_x = int(np.clip(int_x, 4, ref.shape[1] - pw - 8))
+        int_y = int(np.clip(int_y, 4, ref.shape[0] - ph - 8))
+        return np.asarray(inter_ops.convolve_2d_sr(
+            ref, int_x, int_y, pw, ph, sub_x, sub_y,
+            bd=self.seq.bit_depth))
+
+    def _compute_block_inter(self, decision, x, y, bw, bh):
+        """Predict (MC or intra) / transform / quantize / recon per plane."""
+        out = []
+        for plane in range(self.num_planes):
+            sx = 1 if plane else 0
+            px, py = x >> sx, y >> sx
+            pw, ph = bw >> sx, bh >> sx
+            ts = self.tx_size_for(plane, bw, bh)
+            if decision.is_inter:
+                tt = TxType.DCT_DCT
+                pred = self.predict_inter(plane, decision.mv, px, py, pw, ph)
+            else:
+                tt = self.tx_type_for(plane, decision, ts)
+                mode = decision.y_mode if plane == 0 else PredictionMode(decision.uv_mode)
+                delta = decision.angle_delta_y if plane == 0 else decision.angle_delta_uv
+                pred = self.predict(plane, mode, delta, px, py, pw, ph, ts)
+            src = self.source[plane][py:py + ph, px:px + pw]
+            resid = src.astype(np.int32) - pred
+            coeffs = np.asarray(tf.fwd_txfm2d(resid, tt, ts, self.seq.bit_depth))
+            qc, dqc = qz.quantize_b(coeffs, self.fh.base_q_idx,
+                                    self._plane_quant(plane), ts)
+            qc, dqc = np.asarray(qc), np.asarray(dqc)
+            ch = min(TX_HEIGHT[ts], 32)
+            cw = min(TX_WIDTH[ts], 32)
+            eob = cf.compute_eob(qc[:ch, :cw], ts, tt)
+            if eob == 0:
+                dqc = np.zeros_like(dqc)
+            recon = np.asarray(tf.inv_txfm2d_add(dqc, pred, tt, ts,
+                                                 self.seq.bit_depth))
+            self.recon[plane][py:py + ph, px:px + pw] = recon
+            self._record_tx_geometry(plane, px, py, pw, ph, ts)
+            out.append(dict(plane=plane, tx_size=ts, tx_type=tt,
+                            qcoeff=qc[:ch, :cw], eob=eob, pred=pred,
+                            px=px, py=py, pw=pw, ph=ph))
+        return out
+
+    def _block_inter(self, bsize: int, mi_row: int, mi_col: int):
+        io = self.io
+        bw = bh = bsize
+        x, y = mi_col * MI, mi_row * MI
+        bs_mi = bsize // MI
+        up_avail = mi_row > 0
+        left_avail = mi_col > 0
+
+        decision = None
+        txbs = None
+        if not io.is_decoder:
+            decision = self.decider.decide_inter(self, x, y, bw, bh,
+                                                 mi_row, mi_col, bs_mi)
+            txbs = self._compute_block_inter(decision, x, y, bw, bh)
+            skip = all(t["eob"] == 0 for t in txbs)
+        else:
+            skip = None
+
+        skip_ctx = 0
+        if up_avail:
+            skip_ctx += int(self.skips[mi_row - 1, mi_col])
+        if left_avail:
+            skip_ctx += int(self.skips[mi_row, mi_col - 1])
+        skip = io.symbol(None if skip is None else int(skip),
+                         self.fc.skip[skip_ctx], 2)
+
+        ii_ctx = self._intra_inter_ctx(mi_row, mi_col)
+        is_inter = io.symbol(None if decision is None
+                             else int(decision.is_inter),
+                             self.fc.intra_inter[ii_ctx], 2)
+
+        if is_inter:
+            self._code_ref_frames(mi_row, mi_col)
+            stack_res = mv_pred.find_mv_stack(
+                self.mi, mi_row, mi_col, bs_mi, bs_mi, 1,
+                self.mi_rows, self.mi_cols,
+                sb_mi=self.seq.sb_size // MI)
+            mode = self._code_inter_mode(
+                stack_res.mode_context,
+                None if decision is None else decision.inter_mode)
+            ref_mv_idx = self._code_drl(
+                mode, stack_res.stack,
+                0 if decision is None else decision.ref_mv_idx)
+            nearestmv = stack_res.ref_mv_list[0]
+            nearmv = stack_res.ref_mv_list[1]
+            if ref_mv_idx > 0 and mode == mv_pred.NEARMV:
+                nearmv = stack_res.stack[1 + ref_mv_idx][0]
+            if mode == mv_pred.NEWMV:
+                ref_mv = nearestmv
+                if len(stack_res.stack) > 1:
+                    ref_mv = stack_res.stack[ref_mv_idx][0]
+                if io.is_decoder:
+                    mv = decode_mv(io.ec, ref_mv[0], ref_mv[1], self.fc.nmv,
+                                   MV_SUBPEL_LOW_PRECISION)
+                else:
+                    mv = decision.mv
+                    encode_mv(io.ec, mv[0], mv[1], ref_mv[0], ref_mv[1],
+                              self.fc.nmv, MV_SUBPEL_LOW_PRECISION)
+            elif mode == mv_pred.NEARESTMV:
+                mv = nearestmv
+            elif mode == mv_pred.NEARMV:
+                mv = nearmv
+            else:
+                mv = (0, 0)              # GLOBALMV (identity model)
+            if io.is_decoder:
+                decision = BlockDecision(is_inter=True, inter_mode=mode,
+                                         mv=(int(mv[0]), int(mv[1])),
+                                         ref_mv_idx=ref_mv_idx)
+        else:
+            decision2 = self._code_intra_in_inter(decision, bw, bh)
+            if io.is_decoder:
+                decision = decision2
+
+        self.y_modes[mi_row:mi_row + bs_mi, mi_col:mi_col + bs_mi] = \
+            0 if is_inter else int(decision.y_mode)
+        self.skips[mi_row:mi_row + bs_mi, mi_col:mi_col + bs_mi] = int(skip)
+        self._record_mi(mi_row, mi_col, bs_mi, decision, int(skip))
+
+        if io.is_decoder:
+            self._decode_residual_inter(decision, skip, x, y, bw, bh)
+        else:
+            self._write_residual_inter(decision, txbs, skip, x, y, bw, bh)
+
+    def _code_intra_in_inter(self, decision, bw, bh):
+        """Intra mode syntax inside an inter frame (y_mode_cdf by size
+        group instead of the kf neighbor-context cdf)."""
+        io = self.io
+        grp = _SIZE_GROUP[max(bw, bh)]
+        y_mode = io.symbol(None if decision is None else int(decision.y_mode),
+                           self.fc.y_mode[grp], 13)
+        angle_delta_y = 0
+        if bw >= 8 and intra_ops.is_directional(PredictionMode(y_mode)):
+            sym = io.symbol(None if decision is None
+                            else decision.angle_delta_y + 3,
+                            self.fc.angle_delta[y_mode - 1], 7)
+            angle_delta_y = sym - 3
+        uv_mode = 0
+        angle_delta_uv = 0
+        if self.num_planes > 1:
+            cfl_allowed = bw <= 32 and bh <= 32
+            uv_cdf = self.fc.uv_mode[int(cfl_allowed)][y_mode]
+            uv_mode = io.symbol(None if decision is None else decision.uv_mode,
+                                uv_cdf, 14 if cfl_allowed else 13)
+            assert uv_mode != 13, "CFL not implemented"
+            if bw >= 8 and intra_ops.is_directional(PredictionMode(uv_mode)):
+                sym = io.symbol(None if decision is None
+                                else decision.angle_delta_uv + 3,
+                                self.fc.angle_delta[uv_mode - 1], 7)
+                angle_delta_uv = sym - 3
+        if (self.seq.enable_filter_intra and y_mode == 0
+                and bw <= 32 and bh <= 32):
+            use_fi = io.symbol(0 if not io.is_decoder else None,
+                               self.fc.filter_intra[_bsize_enum(bw, bh)], 2)
+            assert not use_fi
+        return BlockDecision(y_mode=PredictionMode(y_mode),
+                             angle_delta_y=angle_delta_y, uv_mode=uv_mode,
+                             angle_delta_uv=angle_delta_uv)
+
+    def _inter_tx_type_io(self, tx_size, tx_type_val):
+        """Luma tx-type signaling for inter blocks (inter ext-tx sets)."""
+        if self.fh.base_q_idx == 0:
+            return TxType.DCT_DCT
+        set_type = get_ext_tx_set_type(tx_size, True, self.fh.reduced_tx_set)
+        nset = AV1_NUM_EXT_TX_SET[set_type]
+        if nset <= 1:
+            return TxType.DCT_DCT
+        eset = EXT_TX_SET_INDEX[1][set_type]
+        sq = cf._sq_idx(min(TX_WIDTH[tx_size], TX_HEIGHT[tx_size]))
+        cdf = self.fc.inter_ext_tx[eset][sq]
+        if self.io.is_decoder:
+            sym = self.io.symbol(None, cdf, nset)
+            return TxType(AV1_EXT_TX_INV[set_type][sym])
+        self.io.symbol(AV1_EXT_TX_IND[set_type][tx_type_val], cdf, nset)
+        return tx_type_val
+
+    def _write_residual_inter(self, decision, txbs, skip, x, y, bw, bh):
+        if skip:
+            for t in txbs:
+                plane = t["plane"]
+                self.recon[plane][t["py"]:t["py"] + t["ph"],
+                                  t["px"]:t["px"] + t["pw"]] = t["pred"]
+                self._update_txb_ctx(plane, t["px"], t["py"], t["tx_size"], 0)
+            return
+        for t in txbs:
+            plane = t["plane"]
+            plane_type = int(plane > 0)
+            bsize_eq_tx = (t["pw"] == TX_WIDTH[t["tx_size"]]
+                           and t["ph"] == TX_HEIGHT[t["tx_size"]])
+            sk_ctx, dc_ctx = self._txb_ctx(plane, t["px"], t["py"], t["pw"],
+                                           t["ph"], t["tx_size"], bsize_eq_tx)
+            if decision.is_inter:
+                ttw = (lambda ts=t["tx_size"], tt=t["tx_type"]:
+                       self._inter_tx_type_io(ts, tt)) if plane == 0 else None
+            else:
+                ttw = (lambda ts=t["tx_size"], tt=t["tx_type"],
+                       ym=int(decision.y_mode):
+                       self._tx_type_io(plane, ts, ym, tt)) if plane == 0 else None
+            if hasattr(self.io.ec, "write_coeffs_fast"):
+                cul = self.io.ec.write_coeffs_fast(
+                    self.fc, t["qcoeff"], t["tx_size"], t["tx_type"],
+                    plane_type, sk_ctx, dc_ctx, t["eob"], tx_type_writer=ttw)
+            else:
+                cul = cf.write_coeffs_txb(
+                    self.io.ec, self.fc, t["qcoeff"], t["tx_size"],
+                    t["tx_type"], plane_type, sk_ctx, dc_ctx, t["eob"],
+                    tx_type_writer=ttw)
+            self._update_txb_ctx(plane, t["px"], t["py"], t["tx_size"], cul)
+
+    def _decode_residual_inter(self, decision, skip, x, y, bw, bh):
+        for plane in range(self.num_planes):
+            sx = 1 if plane else 0
+            px, py = x >> sx, y >> sx
+            pw, ph = bw >> sx, bh >> sx
+            ts = self.tx_size_for(plane, bw, bh)
+            self._record_tx_geometry(plane, px, py, pw, ph, ts)
+            if decision.is_inter:
+                pred = self.predict_inter(plane, decision.mv, px, py, pw, ph)
+                default_tt = TxType.DCT_DCT
+                ttr = (lambda ts=ts: self._inter_tx_type_io(ts, None)) \
+                    if plane == 0 else None
+            else:
+                mode = decision.y_mode if plane == 0 else PredictionMode(decision.uv_mode)
+                delta = decision.angle_delta_y if plane == 0 else decision.angle_delta_uv
+                pred = self.predict(plane, mode, delta, px, py, pw, ph, ts)
+                default_tt = self.tx_type_for(plane, decision, ts)
+                ttr = (lambda ts=ts, ym=int(decision.y_mode):
+                       self._tx_type_io(plane, ts, ym, None)) \
+                    if plane == 0 else None
+            if skip:
+                self.recon[plane][py:py + ph, px:px + pw] = pred
+                self._update_txb_ctx(plane, px, py, ts, 0)
+                continue
+            plane_type = int(plane > 0)
+            bsize_eq_tx = (pw == TX_WIDTH[ts] and ph == TX_HEIGHT[ts])
+            sk_ctx, dc_ctx = self._txb_ctx(plane, px, py, pw, ph, ts, bsize_eq_tx)
+            qc, eob, cul, tt = cf.parse_coeffs_txb(
+                self.io.ec, self.fc, ts, default_tt, plane_type,
+                sk_ctx, dc_ctx, tx_type_reader=ttr)
+            self._update_txb_ctx(plane, px, py, ts, cul)
+            if eob == 0:
+                self.recon[plane][py:py + ph, px:px + pw] = pred
+                continue
+            full = np.zeros((TX_HEIGHT[ts], TX_WIDTH[ts]), np.int32)
+            full[:qc.shape[0], :qc.shape[1]] = qc
+            dqc = np.asarray(qz.dequant_block(full, self.fh.base_q_idx,
+                                              self._plane_quant(plane), ts))
+            recon = np.asarray(tf.inv_txfm2d_add(dqc, pred, tt, ts,
+                                                 self.seq.bit_depth))
+            self.recon[plane][py:py + ph, px:px + pw] = recon
 
     def cropped_recon(self):
         w, h = self.fh.frame_width, self.fh.frame_height

@@ -1,0 +1,339 @@
+"""Reference MV stack construction (AV1 spec 7.10.2 find_mv_stack).
+
+Single-reference path without temporal MVs (our sequences disable order
+hints, so use_ref_frame_mvs is always 0).  Behavioral parity:
+dec_setup_ref_mv_list (/root/reference/Source/Lib/Decoder/Codec/
+EbDecParseInterBlock.c:809) with scan_row_mbmi:460, scan_col_mbmi:515,
+scan_blk_mbmi:569, add_ref_mv_candidate:388,
+process_single_ref_mv_candidate:772.
+
+Mode info is read from per-mi grids held by the frame codec: ref_frame
+(int, 0=intra/-1 outside), mv (row, col in 1/8 pel), mode, bsize dims.
+Both encoder and decoder run this identically, so any divergence breaks
+conformance loudly.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+MAX_REF_MV_STACK_SIZE = 8
+MAX_MV_REF_CANDIDATES = 2
+MVREF_ROW_COLS = 3
+REF_CAT_LEVEL = 640
+MV_BORDER = 16 << 3
+
+GLOBALMV_OFFSET = 3
+REFMV_OFFSET = 4
+NEWMV_CTX_MASK = (1 << GLOBALMV_OFFSET) - 1
+GLOBALMV_CTX_MASK = (1 << (REFMV_OFFSET - GLOBALMV_OFFSET)) - 1
+REFMV_CTX_MASK = (1 << (8 - REFMV_OFFSET)) - 1
+
+# inter modes (PredictionMode numbering from constants.py)
+NEARESTMV, NEARMV, GLOBALMV, NEWMV = 13, 14, 15, 16
+
+
+def has_newmv(mode: int) -> bool:
+    return mode == NEWMV
+
+
+@dataclasses.dataclass
+class MiGrid:
+    """Per-mi mode info the stack scans (filled by the frame codec)."""
+
+    ref_frame: np.ndarray      # [mi_rows, mi_cols] int8; 0 = intra
+    mv_row: np.ndarray         # [mi_rows, mi_cols] int16 (1/8 pel)
+    mv_col: np.ndarray
+    mode: np.ndarray           # [mi_rows, mi_cols] uint8
+    bw4: np.ndarray            # block width in mi units at that mi
+    bh4: np.ndarray
+
+    @classmethod
+    def create(cls, mi_rows: int, mi_cols: int) -> "MiGrid":
+        z = lambda dt: np.zeros((mi_rows, mi_cols), dt)
+        return cls(z(np.int8), z(np.int16), z(np.int16), z(np.uint8),
+                   np.ones((mi_rows, mi_cols), np.int16),
+                   np.ones((mi_rows, mi_cols), np.int16))
+
+
+@dataclasses.dataclass
+class MvStackResult:
+    stack: list                # [(mv(row,col), weight)]
+    mode_context: int
+    newmv_count: int
+    ref_mv_list: list          # 2 entries for NEAREST/NEAR
+
+
+def find_mv_stack(grid: MiGrid, mi_row: int, mi_col: int, bw4: int, bh4: int,
+                  ref_frame: int, mi_rows: int, mi_cols: int,
+                  sb_mi: int = 16, gm_mv=(0, 0), allow_hp: bool = False,
+                  force_int: bool = False) -> MvStackResult:
+    stack: list[list] = []     # [mv_row, mv_col, weight]
+    found_above = 0
+    found_left = 0
+    newmv_count = 0
+
+    def add_candidate(r, c, weight):
+        nonlocal newmv_count, found_above, found_left
+        pass  # replaced below per scan kind
+
+    def add_ref_mv(cand_rc, weight, bump):
+        """add_ref_mv_candidate for single ref."""
+        nonlocal newmv_count
+        r, c = cand_rc
+        if grid.ref_frame[r, c] != ref_frame:
+            return 0
+        mv = (int(grid.mv_row[r, c]), int(grid.mv_col[r, c]))
+        for ent in stack:
+            if (ent[0], ent[1]) == mv:
+                ent[2] += weight
+                break
+        else:
+            if len(stack) < MAX_REF_MV_STACK_SIZE:
+                stack.append([mv[0], mv[1], weight])
+        if has_newmv(int(grid.mode[r, c])):
+            newmv_count += 1
+        return 1
+
+    row_adj = (bh4 < 2) and (mi_row & 1)
+    col_adj = (bw4 < 2) and (mi_col & 1)
+    up_avail = mi_row > 0
+    left_avail = mi_col > 0
+
+    max_row_offset = 0
+    max_col_offset = 0
+    if up_avail:
+        max_row_offset = -(MVREF_ROW_COLS << 1) + row_adj
+        if bh4 < 2:
+            max_row_offset = -(2 << 1) + row_adj
+        max_row_offset = int(np.clip(max_row_offset, -mi_row, mi_rows - mi_row - 1))
+    if left_avail:
+        max_col_offset = -(MVREF_ROW_COLS << 1) + col_adj
+        if bw4 < 2:
+            max_col_offset = -(2 << 1) + col_adj
+        max_col_offset = int(np.clip(max_col_offset, -mi_col, mi_cols - mi_col - 1))
+
+    processed_rows = 0
+    processed_cols = 0
+
+    def scan_row(delta_row):
+        nonlocal found_above, processed_rows
+        end4 = min(min(bw4, mi_cols - mi_col), 16)
+        delta_col = 0
+        use_step_16 = bw4 >= 16
+        if abs(delta_row) > 1:
+            delta_col = 1
+            if (mi_col & 1) and bw4 < 2:
+                delta_col -= 1
+        i = 0
+        while i < end4:
+            mv_row = mi_row + delta_row
+            mv_col = mi_col + delta_col + i
+            if not (0 <= mv_col < mi_cols and 0 <= mv_row < mi_rows):
+                break
+            cand_bw4 = int(grid.bw4[mv_row, mv_col])
+            cand_bh4 = int(grid.bh4[mv_row, mv_col])
+            length = min(bw4, cand_bw4)
+            if use_step_16:
+                length = max(4, length)
+            elif abs(delta_row) > 1:
+                length = max(2, length)
+            weight = 2
+            if bw4 >= 2 and bw4 <= cand_bw4:
+                inc = min(-max_row_offset + delta_row + 1, cand_bh4)
+                weight = max(weight, inc)
+                processed_rows = inc - delta_row - 1
+            found_above += add_ref_mv((mv_row, mv_col), length * weight, True)
+            i += length
+
+    def scan_col(delta_col):
+        nonlocal found_left, processed_cols
+        end4 = min(min(bh4, mi_rows - mi_row), 16)
+        delta_row = 0
+        use_step_16 = bh4 >= 16
+        if abs(delta_col) > 1:
+            delta_row = 1
+            if (mi_row & 1) and bh4 < 2:
+                delta_row -= 1
+        i = 0
+        while i < end4:
+            mv_row = mi_row + delta_row + i
+            mv_col = mi_col + delta_col
+            if not (0 <= mv_col < mi_cols and 0 <= mv_row < mi_rows):
+                break
+            cand_bw4 = int(grid.bw4[mv_row, mv_col])
+            cand_bh4 = int(grid.bh4[mv_row, mv_col])
+            length = min(bh4, cand_bh4)
+            if abs(delta_col) > 1:
+                length = max(2, length)
+            if use_step_16:
+                length = max(4, length)
+            weight = 2
+            if bh4 >= 2 and bh4 <= cand_bh4:
+                inc = min(-max_col_offset + delta_col + 1, cand_bw4)
+                weight = max(weight, inc)
+                processed_cols = inc - delta_col - 1
+            found_left += add_ref_mv((mv_row, mv_col), length * weight, True)
+            i += length
+
+    def scan_blk(delta_row, delta_col):
+        nonlocal found_above
+        mv_row, mv_col = mi_row + delta_row, mi_col + delta_col
+        if 0 <= mv_col < mi_cols and 0 <= mv_row < mi_rows:
+            found_above_inc = add_ref_mv((mv_row, mv_col), 4, False)
+            found_above += found_above_inc
+
+    if abs(max_row_offset) >= 1:
+        scan_row(-1)
+    if abs(max_col_offset) >= 1:
+        scan_col(-1)
+    if _has_top_right_mv(mi_row, mi_col, bw4, bh4, sb_mi):
+        scan_blk(-1, bw4)
+
+    nearest_match = (found_above > 0) + (found_left > 0)
+    num_nearest = len(stack)
+    num_new = newmv_count
+    for ent in stack:
+        ent[2] += REF_CAT_LEVEL
+
+    # no temporal MVs (use_ref_frame_mvs == 0): the reference leaves the
+    # GLOBALMV context bit clear in this case (dec_setup_ref_mv_list)
+    mode_context = 0
+
+    scan_blk(-1, -1)
+    for idx in range(2, MVREF_ROW_COLS + 1):
+        row_offset = -(idx << 1) + 1 + row_adj
+        col_offset = -(idx << 1) + 1 + col_adj
+        if abs(row_offset) <= abs(max_row_offset) and abs(row_offset) > processed_rows:
+            scan_row(row_offset)
+        if abs(col_offset) <= abs(max_col_offset) and abs(col_offset) > processed_cols:
+            scan_col(col_offset)
+
+    # stable partial bubble sorts (nearest group, then the rest)
+    def sort_span(start, end):
+        while end > start:
+            new_end = start
+            for idx in range(start + 1, end):
+                if stack[idx - 1][2] < stack[idx][2]:
+                    stack[idx - 1], stack[idx] = stack[idx], stack[idx - 1]
+                    new_end = idx
+            end = new_end
+
+    sort_span(0, num_nearest)
+    sort_span(num_nearest, len(stack))
+
+    # extra search process (single ref): any inter neighbor's mvs
+    if len(stack) < MAX_MV_REF_CANDIDATES:
+        mi_width = min(min(16, bw4), mi_cols - mi_col)
+        mi_height = min(min(16, bh4), mi_rows - mi_row)
+        mi_size = min(mi_width, mi_height)
+        for pass_ in range(2):
+            idx = 0
+            while idx < mi_size and len(stack) < MAX_MV_REF_CANDIDATES:
+                if pass_ == 0:
+                    mv_row, mv_col = mi_row - 1, mi_col + idx
+                else:
+                    mv_row, mv_col = mi_row + idx, mi_col - 1
+                if not (0 <= mv_col < mi_cols and 0 <= mv_row < mi_rows):
+                    break
+                if grid.ref_frame[mv_row, mv_col] > 0:
+                    mv = (int(grid.mv_row[mv_row, mv_col]),
+                          int(grid.mv_col[mv_row, mv_col]))
+                    if all((e[0], e[1]) != mv for e in stack):
+                        stack.append([mv[0], mv[1], 2])
+                idx += int(grid.bh4[mv_row, mv_col]) if pass_ else \
+                    int(grid.bw4[mv_row, mv_col])
+
+    # clamp
+    bw_px, bh_px = bw4 * 4, bh4 * 4
+    mb_to_left = -(mi_col * 4) * 8
+    mb_to_right = ((mi_cols - bw4 - mi_col) * 4) * 8
+    mb_to_top = -(mi_row * 4) * 8
+    mb_to_bottom = ((mi_rows - bh4 - mi_row) * 4) * 8
+    for ent in stack:
+        ent[1] = int(np.clip(ent[1], mb_to_left - bw_px * 8 - MV_BORDER,
+                             mb_to_right + bw_px * 8 + MV_BORDER))
+        ent[0] = int(np.clip(ent[0], mb_to_top - bh_px * 8 - MV_BORDER,
+                             mb_to_bottom + bh_px * 8 + MV_BORDER))
+
+    ref_match_count = (found_above > 0) + (found_left > 0)
+    if nearest_match == 0:
+        if ref_match_count >= 1:
+            mode_context |= 1
+        if ref_match_count == 1:
+            mode_context |= 1 << REFMV_OFFSET
+        elif ref_match_count >= 2:
+            mode_context |= 2 << REFMV_OFFSET
+    elif nearest_match == 1:
+        mode_context |= 2 if num_new > 0 else 3
+        if ref_match_count == 1:
+            mode_context |= 3 << REFMV_OFFSET
+        elif ref_match_count >= 2:
+            mode_context |= 4 << REFMV_OFFSET
+    else:
+        mode_context |= 4 if num_new >= 1 else 5
+        mode_context |= 5 << REFMV_OFFSET
+
+    # mv_ref_list: stack mvs padded with the global mv
+    ref_list = []
+    for idx in range(MAX_MV_REF_CANDIDATES):
+        if idx < len(stack):
+            mv = (stack[idx][0], stack[idx][1])
+        else:
+            mv = gm_mv
+        ref_list.append(lower_mv_precision(mv, allow_hp, force_int))
+
+    return MvStackResult(
+        stack=[((e[0], e[1]), e[2]) for e in stack],
+        mode_context=mode_context,
+        newmv_count=newmv_count,
+        ref_mv_list=ref_list)
+
+
+def _has_top_right_mv(mi_row: int, mi_col: int, bw4: int, bh4: int,
+                      sb_mi: int) -> bool:
+    """has_top_right for the MV scan (EbDecParseInterBlock.c:593; square
+    blocks, no AB partitions)."""
+    bs = max(bw4, bh4)
+    mask_row = mi_row & (sb_mi - 1)
+    mask_col = mi_col & (sb_mi - 1)
+    if bs > 16:
+        return False
+    has_tr = not ((mask_row & bs) and (mask_col & bs))
+    b = bs
+    while b < sb_mi:
+        if mask_col & b:
+            if (mask_col & (2 * b)) and (mask_row & (2 * b)):
+                has_tr = False
+                break
+        else:
+            break
+        b <<= 1
+    return has_tr
+
+
+def lower_mv_precision(mv, allow_hp: bool, force_int: bool):
+    """spec lower_mv_precision: strip hp/fractional bits toward zero."""
+    row, col = mv
+    out = []
+    for comp in (row, col):
+        if force_int:
+            comp = (comp // 8) * 8 if comp >= 0 else -((-comp // 8) * 8)
+            # reference: integer rounding toward nearest? use spec rule:
+        elif not allow_hp:
+            if comp & 1:
+                comp += -1 if comp > 0 else 1
+        out.append(comp)
+    return tuple(out)
+
+
+def drl_ctx(stack, idx: int) -> int:
+    """av1_drl_ctx over stack weights."""
+    if stack[idx][1] >= REF_CAT_LEVEL and stack[idx + 1][1] >= REF_CAT_LEVEL:
+        return 0
+    if stack[idx][1] >= REF_CAT_LEVEL and stack[idx + 1][1] < REF_CAT_LEVEL:
+        return 1
+    if stack[idx][1] < REF_CAT_LEVEL and stack[idx + 1][1] < REF_CAT_LEVEL:
+        return 2
+    return 0

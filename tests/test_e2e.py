@@ -118,3 +118,78 @@ def test_e2e_conformance_low_qp(tmp_path):
 def test_e2e_odd_sizes(tmp_path):
     """Dimensions not multiples of the block size."""
     run_roundtrip(tmp_path, 200, 120, 1, 40, 32, ALL_MODES)
+
+
+# ---------------------------------------------------------------- inter ----
+
+def moving_clip(w, h, n, seed=3):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = []
+    for i in range(n):
+        y = (110 + 70 * np.sin((xx + 2.7 * i) / 17)
+             + 50 * np.cos((yy + 1.3 * i) / 23)
+             + rng.integers(-6, 7, (h, w))).clip(0, 255).astype(np.uint8)
+        u = (128 + 40 * np.sin((yy[:h // 2, :w // 2] + i) / 9)).clip(0, 255).astype(np.uint8)
+        v = (128 - 40 * np.cos((xx[:h // 2, :w // 2] + 2 * i) / 13)).clip(0, 255).astype(np.uint8)
+        frames.append((y, u, v))
+    return frames
+
+
+def run_ipp(tmp_path, w, h, n, qp, check_ref=True, seed=3):
+    frames = moving_clip(w, h, n, seed)
+    cfg = EncoderConfig(source_width=w, source_height=h, qp=qp,
+                        intra_period_length=-1, enc_mode=8)
+    path = tmp_path / f"ipp_{w}x{h}_q{qp}.ivf"
+    recons = encode_ivf(frames, cfg, str(path))
+    ours, _ = decode_ivf(str(path))
+    assert len(ours) == n
+    for i, (o, r) in enumerate(zip(ours, recons)):
+        for p in range(3):
+            np.testing.assert_array_equal(o[p], r[p],
+                                          err_msg=f"self frame {i} plane {p}")
+    if check_ref and REF_DECAPP.exists():
+        refs = ref_decode(path, w, h)
+        assert len(refs) == n
+        for i, (o, r) in enumerate(zip(ours, refs)):
+            for p in range(3):
+                np.testing.assert_array_equal(
+                    o[p], r[p], err_msg=f"ref frame {i} plane {p}")
+    return frames, ours
+
+
+def test_ipp_selfconsistent(tmp_path):
+    run_ipp(tmp_path, 64, 64, 3, 45, check_ref=False)
+
+
+@needs_refdec
+def test_ipp_conformance_small(tmp_path):
+    run_ipp(tmp_path, 128, 96, 4, 45)
+
+
+@needs_refdec
+def test_ipp_conformance_cif(tmp_path):
+    frames, ours = run_ipp(tmp_path, 352, 288, 4, 40)
+    err = np.abs(ours[2][0].astype(int) - frames[2][0].astype(int)).mean()
+    assert err < 8
+
+
+@needs_refdec
+def test_ipp_conformance_high_qp(tmp_path):
+    run_ipp(tmp_path, 96, 96, 4, 60)
+
+
+@needs_refdec
+def test_ipp_conformance_keyint(tmp_path):
+    """Periodic key frames between P frames."""
+    frames = moving_clip(96, 64, 5)
+    cfg = EncoderConfig(source_width=96, source_height=64, qp=45,
+                        intra_period_length=1, enc_mode=8)
+    path = tmp_path / "keyint.ivf"
+    recons = encode_ivf(frames, cfg, str(path))
+    ours, _ = decode_ivf(str(path))
+    refs = ref_decode(path, 96, 64)
+    for i in range(5):
+        for p in range(3):
+            np.testing.assert_array_equal(ours[i][p], refs[i][p])
+            np.testing.assert_array_equal(ours[i][p], recons[i][p])
