@@ -227,8 +227,27 @@ class ModeDecider:
             best_x = int(np.clip(cx + dx, 4, vis_w - bw - 4))
             best_y = int(np.clip(cy + dy, 4, vis_h - bh - 4))
             new_mv = ((best_y - y) * 8, (best_x - x) * 8)
-            if in_frame(new_mv):
-                cands.append((sad + 96, mp.NEWMV, new_mv, 0))
+            # sub-pel refinement: half then quarter (hp disabled keeps
+            # components even in 1/8 units)
+            best_mv = new_mv
+            best_sad = mc_sad(new_mv) if in_frame(new_mv) else (1 << 30)
+            for step in (4, 2):
+                improved = True
+                while improved:
+                    improved = False
+                    for drow, dcol in ((-step, 0), (step, 0), (0, -step),
+                                       (0, step), (-step, -step),
+                                       (-step, step), (step, -step),
+                                       (step, step)):
+                        cand = (best_mv[0] + drow, best_mv[1] + dcol)
+                        if not in_frame(cand):
+                            continue
+                        csad = mc_sad(cand)
+                        if csad < best_sad:
+                            best_mv, best_sad = cand, csad
+                            improved = True
+            if in_frame(best_mv):
+                cands.append((best_sad + 96, mp.NEWMV, best_mv, 0))
         if not cands:
             return self.decide(codec, x, y, bw, bh)
 
