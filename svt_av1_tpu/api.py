@@ -69,7 +69,9 @@ class Encoder:
         from .ops.dlf import filter_levels_from_qindex
 
         qindex = QUANTIZER_TO_QINDEX[self.cfg.qp]
-        lvl = 0 if self.cfg.disable_dlf else filter_levels_from_qindex(
+        # hbd loop-filter kernels pending: signal level 0 at 10-bit
+        dlf_off = self.cfg.disable_dlf or self.cfg.encoder_bit_depth > 8
+        lvl = 0 if dlf_off else filter_levels_from_qindex(
             qindex, self.cfg.encoder_bit_depth)
         return FrameHeader(
             frame_type=FrameType.KEY_FRAME if is_key else FrameType.INTER_FRAME,

@@ -33,7 +33,7 @@ def _enc(args) -> int:
             print("raw yuv input needs -w/-h", file=sys.stderr)
             return 1
         info = VideoInfo(args.width, args.height,
-                         Fraction(args.fps or 30), 8, "420")
+                         Fraction(args.fps or 30), args.input_depth, "420")
 
         def yuv_iter():
             with open(args.input, "rb") as f:
@@ -46,7 +46,10 @@ def _enc(args) -> int:
 
     cfg = EncoderConfig(source_width=info.width, source_height=info.height,
                         qp=args.qp, frame_rate=info.frame_rate,
-                        disable_dlf=args.no_dlf)
+                        disable_dlf=args.no_dlf,
+                        encoder_bit_depth=info.bit_depth,
+                        intra_period_length=args.keyint,
+                        enc_mode=args.preset)
     enc = Encoder(cfg)
     t0 = time.time()
     n = 0
@@ -61,7 +64,8 @@ def _enc(args) -> int:
             w.write_frame(payload, pts=n)
             total_bytes += len(payload)
             if args.stat_report:
-                p = frame_psnr(planes, enc.last_recon)
+                p = frame_psnr(planes, enc.last_recon,
+                               peak=(1 << info.bit_depth) - 1)
                 psnrs.append(p)
                 print(f"frame {n}: {len(payload):6d} B  "
                       f"psnr Y {p[0]:.2f} U {p[1]:.2f} V {p[2]:.2f}")
@@ -117,6 +121,13 @@ def main(argv=None) -> int:
     e.add_argument("--fps", type=int, default=0)
     e.add_argument("--no-dlf", action="store_true")
     e.add_argument("--stat-report", action="store_true")
+    e.add_argument("--input-depth", type=int, default=8, choices=(8, 10),
+                   help="raw-yuv input bit depth (y4m auto-detects)")
+    e.add_argument("--keyint", type=int, default=-2,
+                   help="intra period: -2 all-intra, -1 single key + IPP, "
+                        "N = key frame every N+1 frames")
+    e.add_argument("--preset", type=int, default=8,
+                   help="enc-mode 0..13 (lower = slower/better)")
     e.set_defaults(fn=_enc)
 
     d = sub.add_parser("dec", help="decode ivf -> yuv")

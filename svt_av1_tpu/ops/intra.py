@@ -98,7 +98,8 @@ def is_directional(mode: PredictionMode) -> bool:
 # first above-row sample; topleft passed separately where needed)
 # --------------------------------------------------------------------------
 
-def dc_predictor(w, h, above, left, have_above: bool, have_left: bool, xp=np):
+def dc_predictor(w, h, above, left, have_above: bool, have_left: bool,
+                 xp=np, bd: int = 8):
     if have_above and have_left:
         s = xp.sum(above[:w]) + xp.sum(left[:h])
         dc = (s + ((w + h) >> 1)) // (w + h)
@@ -107,7 +108,7 @@ def dc_predictor(w, h, above, left, have_above: bool, have_left: bool, xp=np):
     elif have_left:
         dc = (xp.sum(left[:h]) + (h >> 1)) // h
     else:
-        dc = 128
+        dc = 128 << (bd - 8)
     return xp.full((h, w), dc, dtype=xp.int32)
 
 
@@ -225,7 +226,8 @@ def dr_predictor_z2(w, h, above_tl, left_tl, upsample_above: int,
     return xp.where(use_above, av, lv).astype(xp.int32)
 
 
-def filter_intra_predictor(w, h, above, left, topleft: int, fi_mode: int, xp=np):
+def filter_intra_predictor(w, h, above, left, topleft: int, fi_mode: int,
+                           xp=np, bd: int = 8):
     """Recursive filter-intra (parity: svt_av1_filter_intra_predictor_c).
     Sequential over 4x2 sub-blocks; vectorized within each."""
     taps = _filter_taps()[fi_mode]          # [8, 8] (7 taps + zero pad)
@@ -245,7 +247,7 @@ def filter_intra_predictor(w, h, above, left, topleft: int, fi_mode: int, xp=np)
             for k in range(8):
                 ro, co = k >> 2, k & 3
                 s = int(np.dot(taps[k], p))
-                buf[r + ro, c + co] = int(np.clip(rptwos(s), 0, 255))
+                buf[r + ro, c + co] = int(np.clip(rptwos(s), 0, (1 << bd) - 1))
     return buf[1:, 1:].astype(np.int32)
 
 
@@ -307,7 +309,7 @@ def use_intra_edge_upsample(bs0: int, bs1: int, delta: int, ftype: int) -> bool:
     return blk_wh <= 8 if ftype else blk_wh <= 16
 
 
-def upsample_intra_edge(p: np.ndarray, sz: int) -> np.ndarray:
+def upsample_intra_edge(p: np.ndarray, sz: int, bd: int = 8) -> np.ndarray:
     """Returns the upsampled edge as a fresh array ``up`` where C's
     p[i] for i in [-2, 2*sz-1) maps to up[i + 2]."""
     src = np.empty(sz + 3, dtype=np.int32)
@@ -318,7 +320,7 @@ def upsample_intra_edge(p: np.ndarray, sz: int) -> np.ndarray:
     up[0] = src[0]                          # p[-2]
     for i in range(sz):
         s = -src[i] + 9 * src[i + 1] + 9 * src[i + 2] - src[i + 3]
-        up[2 * i + 1] = np.clip((s + 8) >> 4, 0, 255)   # p[2i - 1]
+        up[2 * i + 1] = np.clip((s + 8) >> 4, 0, (1 << bd) - 1)  # p[2i-1]
         up[2 * i + 2] = src[i + 2]                       # p[2i]
     up[2 * sz + 1] = src[sz + 2]
     return up
@@ -333,7 +335,8 @@ def predict_intra_block(mode: PredictionMode, angle_delta: int,
                         n_left_px: int, n_bottomleft_px: int,
                         filt_type: int = 0,
                         disable_edge_filter: bool = False,
-                        filter_intra_mode: int = -1) -> np.ndarray:
+                        filter_intra_mode: int = -1,
+                        bd: int = 8) -> np.ndarray:
     """Full normative intra prediction for one block (8-bit path).
 
     above_ref: available above samples (length >= n_top_px + n_topright_px)
@@ -360,9 +363,10 @@ def predict_intra_block(mode: PredictionMode, angle_delta: int,
     if use_filter_intra:
         need_left = need_above = need_above_left = True
 
+    base = 128 << (bd - 8)
     if (not need_above and n_left_px == 0) or (not need_left and n_top_px == 0):
-        val = (int(above_ref[0]) if n_top_px > 0 else 129) if need_left \
-            else (int(left_ref[0]) if n_left_px > 0 else 127)
+        val = (int(above_ref[0]) if n_top_px > 0 else base + 1) if need_left \
+            else (int(left_ref[0]) if n_left_px > 0 else base - 1)
         return np.full((h, w), val, dtype=np.int32)
 
     left_col = np.zeros(h + w + 16, dtype=np.int32)
@@ -384,7 +388,7 @@ def predict_intra_block(mode: PredictionMode, angle_delta: int,
             if i < num_left:
                 left_col[i:num_left] = left_col[i - 1]
         else:
-            left_col[:num_left] = int(above_ref[0]) if n_top_px > 0 else 129
+            left_col[:num_left] = int(above_ref[0]) if n_top_px > 0 else base + 1
 
     if need_above:
         need_right = bool(need & NEED_ABOVERIGHT)
@@ -402,7 +406,7 @@ def predict_intra_block(mode: PredictionMode, angle_delta: int,
             if i < num_top:
                 above_row[i:num_top] = above_row[i - 1]
         else:
-            above_row[:num_top] = int(left_ref[0]) if n_left_px > 0 else 127
+            above_row[:num_top] = int(left_ref[0]) if n_left_px > 0 else base - 1
 
     if n_top_px > 0 and n_left_px > 0:
         topleft = int(topleft_ref)
@@ -411,11 +415,11 @@ def predict_intra_block(mode: PredictionMode, angle_delta: int,
     elif n_left_px > 0:
         topleft = int(left_ref[0])
     else:
-        topleft = 128
+        topleft = base
 
     if use_filter_intra:
         return filter_intra_predictor(w, h, above_row, left_col, topleft,
-                                      filter_intra_mode)
+                                      filter_intra_mode, bd=bd)
 
     if is_dr:
         upsample_above = upsample_left = False
@@ -444,12 +448,12 @@ def predict_intra_block(mode: PredictionMode, angle_delta: int,
             upsample_above = use_intra_edge_upsample(w, h, p_angle - 90, filt_type)
             if need_above and upsample_above:
                 n_px = w + (h if need_right else 0)
-                ab = upsample_intra_edge(ab, n_px)   # C index i -> ab[i + 2]
+                ab = upsample_intra_edge(ab, n_px, bd)  # C index i -> ab[i + 2]
                 off_a = 2
             upsample_left = use_intra_edge_upsample(h, w, p_angle - 180, filt_type)
             if need_left and upsample_left:
                 n_px = h + (w if need_bottom else 0)
-                lf = upsample_intra_edge(lf, n_px)
+                lf = upsample_intra_edge(lf, n_px, bd)
                 off_l = 2
         ua, ul = int(upsample_above), int(upsample_left)
         if p_angle == 90:
@@ -467,7 +471,7 @@ def predict_intra_block(mode: PredictionMode, angle_delta: int,
 
     if mode == PredictionMode.DC_PRED:
         return dc_predictor(w, h, above_row, left_col,
-                            n_top_px > 0, n_left_px > 0)
+                            n_top_px > 0, n_left_px > 0, bd=bd)
     if mode == PredictionMode.V_PRED:
         return v_predictor(w, h, above_row, left_col)
     if mode == PredictionMode.H_PRED:

@@ -637,7 +637,8 @@ class FrameCodec:
         return np.asarray(intra_ops.predict_intra_block(
             mode, angle_delta, tx_size, above_ref, left_ref, topleft,
             n_top, n_topright, n_left, n_bottomleft, filt_type,
-            disable_edge_filter=not self.seq.enable_intra_edge_filter))
+            disable_edge_filter=not self.seq.enable_intra_edge_filter,
+            bd=self.seq.bit_depth))
 
     def _filter_type(self, plane: int, px: int, py: int) -> int:
         """Edge-filter type: 1 when above AND left neighbors are smooth
@@ -1234,9 +1235,10 @@ class FrameCodec:
 
     def cropped_recon(self):
         w, h = self.fh.frame_width, self.fh.frame_height
-        return [self.recon[0][:h, :w].astype(np.uint8),
-                self.recon[1][:h >> 1, :w >> 1].astype(np.uint8),
-                self.recon[2][:h >> 1, :w >> 1].astype(np.uint8)]
+        dt = np.uint8 if self.seq.bit_depth == 8 else np.uint16
+        return [self.recon[0][:h, :w].astype(dt),
+                self.recon[1][:h >> 1, :w >> 1].astype(dt),
+                self.recon[2][:h >> 1, :w >> 1].astype(dt)]
 
 
 def _bsize_enum(bw: int, bh: int) -> int:

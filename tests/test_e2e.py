@@ -158,6 +158,62 @@ def run_ipp(tmp_path, w, h, n, qp, check_ref=True, seed=3):
     return frames, ours
 
 
+def tenbit_clip(w, h, n, seed=5):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = []
+    for i in range(n):
+        y = (440 + 280 * np.sin((xx + 2.7 * i) / 17)
+             + 200 * np.cos((yy + 1.3 * i) / 23)
+             + rng.integers(-24, 25, (h, w))).clip(0, 1023).astype(np.uint16)
+        u = (512 + 160 * np.sin((yy[:h // 2, :w // 2] + i) / 9)).clip(0, 1023).astype(np.uint16)
+        v = (512 - 160 * np.cos((xx[:h // 2, :w // 2] + 2 * i) / 13)).clip(0, 1023).astype(np.uint16)
+        frames.append((y, u, v))
+    return frames
+
+
+def ref_decode_10bit(path, w, h):
+    env = dict(os.environ, LD_LIBRARY_PATH=str(REF_DECAPP.parent))
+    out = str(path) + ".ref.yuv"
+    r = subprocess.run([str(REF_DECAPP), "-i", str(path), "-o", out,
+                        "-bit-depth", "10"],
+                       env=env, capture_output=True, timeout=120)
+    assert Path(out).exists(), r.stderr.decode()[-500:]
+    data = Path(out).read_bytes()
+    fsz = w * h * 3                      # 2 bytes/sample * 3/2 samples/px
+    frames = []
+    for i in range(len(data) // fsz):
+        off = i * fsz
+        y = np.frombuffer(data[off:off + w * h * 2], "<u2").reshape(h, w)
+        u = np.frombuffer(data[off + w * h * 2:off + w * h * 2 + fsz // 6],
+                          "<u2").reshape(h // 2, w // 2)
+        v = np.frombuffer(data[off + w * h * 2 + fsz // 6:off + fsz],
+                          "<u2").reshape(h // 2, w // 2)
+        frames.append((y, u, v))
+    return frames
+
+
+@needs_refdec
+@pytest.mark.parametrize("keyint", [-2, -1], ids=["allintra", "ipp"])
+def test_e2e_10bit_conformance(tmp_path, keyint):
+    """10-bit 4:2:0 streams (high_bitdepth sequence header) decode
+    bit-exactly on the reference; reference EbAppMain.c 10-bit I/O."""
+    w, h, n = 128, 96, 3
+    frames = tenbit_clip(w, h, n)
+    cfg = EncoderConfig(source_width=w, source_height=h, qp=40,
+                        encoder_bit_depth=10, intra_period_length=keyint,
+                        enc_mode=8)
+    path = tmp_path / f"tenbit_{keyint}.ivf"
+    recons = encode_ivf(frames, cfg, str(path))
+    ours, _ = decode_ivf(str(path))
+    refs = ref_decode_10bit(path, w, h)
+    assert len(ours) == len(refs) == n
+    for i in range(n):
+        for p in range(3):
+            np.testing.assert_array_equal(ours[i][p], recons[i][p])
+            np.testing.assert_array_equal(ours[i][p], refs[i][p])
+
+
 def test_ipp_selfconsistent(tmp_path):
     run_ipp(tmp_path, 64, 64, 3, 45, check_ref=False)
 
