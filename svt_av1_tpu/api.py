@@ -34,12 +34,18 @@ class Encoder:
         if decider is None:
             # preset ladder: slower presets buy full-RD mode decision
             # (the reference's MD-stage funnel analog, pipeline/rdo.py)
-            if cfg.enc_mode <= 6:
+            sig = __import__("svt_av1_tpu.config", fromlist=["derive_signals"]
+                             ).derive_signals(cfg)
+            if cfg.enc_mode <= 4:
+                from .pipeline.rdo import PartitionRdoDecider
+                decider = PartitionRdoDecider(
+                    min_rd_bsize=8 if cfg.enc_mode <= 2 else 16,
+                    n_full_rd=sig.md_stage_nics[2],
+                    try_angle_delta=cfg.enc_mode <= 4)
+            elif cfg.enc_mode <= 6:
                 from .pipeline.rdo import RdoDecider
-                sig = __import__("svt_av1_tpu.config", fromlist=["derive_signals"]
-                                 ).derive_signals(cfg)
                 decider = RdoDecider(n_full_rd=sig.md_stage_nics[2],
-                                     try_angle_delta=cfg.enc_mode <= 4)
+                                     try_angle_delta=False)
             else:
                 decider = ModeDecider()
         self.decider = decider

@@ -372,8 +372,13 @@ class FrameCodec:
     def _walk_superblocks(self):
         sb = self.seq.sb_size
         sb_mi = sb // MI
+        plan = None
+        if not self.io.is_decoder:
+            plan = getattr(self.decider, "plan_superblock", None)
         for mi_row in range(0, self.mi_rows, sb_mi):
             for mi_col in range(0, self.mi_cols, sb_mi):
+                if plan is not None:
+                    plan(self, mi_row, mi_col)
                 self._partition(sb, mi_row, mi_col)
 
     def _partition(self, bsize: int, mi_row: int, mi_col: int):

@@ -20,7 +20,8 @@ from ..native import HAVE_NATIVE_EC
 from ..ops import quant as qz
 from ..ops import transforms as tf
 from .frame_codec import (BlockDecision, FrameCodec, ModeDecider,
-                          PARTITION_NONE, PARTITION_SPLIT, max_txsize_rect)
+                          PARTITION_NONE, PARTITION_SPLIT, SymbolWriter,
+                          max_txsize_rect)
 
 ALL_Y_MODES = [PredictionMode(m) for m in range(13)]
 
@@ -57,10 +58,12 @@ class _RateProbe:
 
 class _SnapshotCdfs:
     """Copy-on-read view of the coefficient CDFs (trials must not mutate
-    the real frame contexts)."""
+    the real frame contexts).  ``deep=True`` also clones non-array slots
+    (the NMV context object) so full-block trial coding can adapt them."""
 
-    def __init__(self, fc: FrameCdfs):
+    def __init__(self, fc: FrameCdfs, deep: bool = False):
         self._fc = fc
+        self._deep = deep
         self._cache = {}
 
     def __getattr__(self, name):
@@ -68,7 +71,12 @@ class _SnapshotCdfs:
         cache = object.__getattribute__(self, "_cache")
         if name not in cache:
             v = getattr(fc, name)
-            cache[name] = v.copy() if isinstance(v, np.ndarray) else v
+            if isinstance(v, np.ndarray):
+                v = v.copy()
+            elif object.__getattribute__(self, "_deep"):
+                import copy as _copy
+                v = _copy.deepcopy(v)
+            cache[name] = v
         return cache[name]
 
     def eob_flag(self, k):
@@ -188,3 +196,198 @@ class RdoDecider(ModeDecider):
         else:
             pass  # uv mode bits shared across both chroma planes; omitted
         return dist + lam * bits, (qc, eob)
+
+
+# --------------------------------------------------------------------------
+# Variable block-size RD partitioning
+# --------------------------------------------------------------------------
+
+class _RegionState:
+    """Snapshot/restore of every codec context a block region touches,
+    so partition trials can be rolled back (the analog of the reference
+    MD's candidate-buffer neighbor arrays, EbModeDecisionProcess)."""
+
+    _MI_FIELDS = ("ref_frame", "mv_row", "mv_col", "mode", "bw4", "bh4")
+
+    def __init__(self, codec: FrameCodec, mi_row: int, mi_col: int,
+                 bs_mi: int):
+        x, y = mi_col * 4, mi_row * 4
+        r1 = min(mi_row + bs_mi, codec.mi_rows)
+        c1 = min(mi_col + bs_mi, codec.mi_cols)
+        items = self.items = []
+
+        def grab(arr, sl):
+            items.append((arr, sl, arr[sl].copy()))
+
+        for p in range(codec.num_planes):
+            sh = 1 if p else 0
+            px, py = x >> sh, y >> sh
+            pw = ph = (bs_mi * 4) >> sh
+            grab(codec.recon[p], np.s_[py:py + ph, px:px + pw])
+            x4, y4, w4, h4 = px >> 2, py >> 2, pw >> 2, ph >> 2
+            grab(codec.txb_above[p], np.s_[x4:x4 + w4])
+            grab(codec.txb_left[p], np.s_[y4:y4 + h4])
+            for g in (codec.tx_w_grid, codec.tx_h_grid, codec.bedge_x,
+                      codec.bedge_y, codec.skip_grid):
+                grab(g[p], np.s_[y4:y4 + h4, x4:x4 + w4])
+        for arr in (codec.y_modes, codec.skips):
+            grab(arr, np.s_[mi_row:r1, mi_col:c1])
+        for f in self._MI_FIELDS:
+            grab(getattr(codec.mi, f), np.s_[mi_row:r1, mi_col:c1])
+        grab(codec.above_part, np.s_[mi_col:mi_col + bs_mi])
+        grab(codec.left_part, np.s_[mi_row:mi_row + bs_mi])
+
+    def restore(self, codec: FrameCodec) -> None:
+        for arr, sl, data in self.items:
+            arr[sl] = data
+
+
+class PartitionRdoDecider(RdoDecider):
+    """Recursive NONE-vs-SPLIT partition search by true RD cost.
+
+    The analog of the reference MD's depth search (EbProductCodingLoop.c
+    md_encode_block over the block tree + inter-depth cost comparison in
+    EbEncDecProcess.c).  Per superblock, every legal node is trial-coded
+    with a throwaway range coder against snapshot CDFs: cost = SSE of the
+    conformant recon + lambda * exact bits (partition + modes + coeffs).
+    The winning tree is stored in a plan the coding pass replays; all
+    trial state (recon, neighbor contexts, mi grid) is rolled back.
+    """
+
+    def __init__(self, min_rd_bsize: int = 16, max_rd_bsize: int = 32,
+                 **kw):
+        kw.setdefault("block_size", max_rd_bsize)
+        super().__init__(**kw)
+        self.min_rd_bsize = min_rd_bsize
+        self.max_rd_bsize = max_rd_bsize
+        self._plan = {}
+        self._cache = None
+
+    # -- plumbing the coding pass reads -------------------------------
+
+    def partition(self, bsize, mi_row, mi_col, has_rows=True, has_cols=True):
+        p = self._plan.get((bsize, mi_row, mi_col))
+        if p is not None:
+            return p
+        return super().partition(bsize, mi_row, mi_col, has_rows, has_cols)
+
+    def decide(self, codec, x, y, bw, bh):
+        key = ("intra", x, y, bw, bh)
+        if self._cache is not None and key in self._cache:
+            return self._cache[key]
+        d = super().decide(codec, x, y, bw, bh)
+        if self._cache is not None:
+            self._cache[key] = d
+        return d
+
+    def decide_inter(self, codec, x, y, bw, bh, mi_row, mi_col, bs_mi):
+        key = ("inter", x, y, bw, bh)
+        if self._cache is not None and key in self._cache:
+            return self._cache[key]
+        d = super().decide_inter(codec, x, y, bw, bh, mi_row, mi_col, bs_mi)
+        if self._cache is not None:
+            self._cache[key] = d
+        return d
+
+    # -- the search ----------------------------------------------------
+
+    def plan_superblock(self, codec: FrameCodec, mi_row: int, mi_col: int):
+        if not HAVE_NATIVE_EC:
+            return
+        self._plan = {}
+        self._cache = {}
+        lam = rd_lambda(codec.fh.base_q_idx, codec.seq.bit_depth)
+        sb_mi = codec.seq.sb_size // 4
+        snap = _RegionState(codec, mi_row, mi_col, sb_mi)
+        self._eval_node(codec, codec.seq.sb_size, mi_row, mi_col, lam)
+        snap.restore(codec)
+
+    def _eval_node(self, codec, bsize, r, c, lam) -> float:
+        if r >= codec.mi_rows or c >= codec.mi_cols:
+            return 0.0
+        bs_mi = bsize // 4
+        hbs = bs_mi // 2
+        boundary = not (r + hbs < codec.mi_rows and c + hbs < codec.mi_cols)
+        key = (bsize, r, c)
+
+        if bsize < 8:
+            return self._trial_cost(codec, bsize, r, c, lam)
+
+        def eval_children():
+            half = bsize // 2
+            total = 0.0
+            for rr, cc in ((r, c), (r, c + hbs), (r + hbs, c),
+                           (r + hbs, c + hbs)):
+                total += self._eval_node(codec, half, rr, cc, lam)
+            return total
+
+        # forced splits: node overhangs the frame (our codec only emits
+        # NONE/SPLIT, so boundaries split) or exceeds the RD ceiling
+        if boundary or bsize > self.max_rd_bsize:
+            self._plan[key] = PARTITION_SPLIT
+            return eval_children()
+
+        if bsize <= self.min_rd_bsize:
+            self._plan[key] = PARTITION_NONE
+            return self._trial_cost(codec, bsize, r, c, lam)
+
+        # choice node: SPLIT symbol rate measured before children adapt
+        # the partition neighbor contexts
+        split_bits = self._split_bits(codec, bsize, r, c)
+        snap0 = _RegionState(codec, r, c, bs_mi)
+        self._plan[key] = PARTITION_NONE
+        cost_none, dist_none = self._trial_cost(
+            codec, bsize, r, c, lam, with_dist=True)
+        # early exit: effectively lossless at this size -> never split
+        if dist_none <= lam:
+            return cost_none
+        state_none = _RegionState(codec, r, c, bs_mi)
+        snap0.restore(codec)
+
+        self._plan[key] = PARTITION_SPLIT
+        cost_split = lam * split_bits + eval_children()
+
+        if cost_none <= cost_split:
+            self._plan[key] = PARTITION_NONE
+            state_none.restore(codec)
+            return cost_none
+        return cost_split
+
+    def _trial_cost(self, codec, bsize, r, c, lam, with_dist=False):
+        bits = self._trial_code(codec, bsize, r, c)
+        dist = self._region_sse(codec, r, c, bsize // 4)
+        cost = dist + lam * bits
+        return (cost, dist) if with_dist else cost
+
+    def _trial_code(self, codec, bsize, r, c) -> float:
+        """Code the subtree with a throwaway writer + cloned CDFs; leaves
+        recon/contexts updated (callers snapshot/restore around this)."""
+        real_io, real_fc = codec.io, codec.fc
+        codec.io = SymbolWriter()
+        codec.fc = _SnapshotCdfs(real_fc, deep=True)
+        try:
+            codec._partition(bsize, r, c)
+            return float(codec.io.ec.tell_bits())
+        finally:
+            codec.io, codec.fc = real_io, real_fc
+
+    @staticmethod
+    def _region_sse(codec, r, c, bs_mi) -> float:
+        total = 0.0
+        for p in range(codec.num_planes):
+            sh = 1 if p else 0
+            px, py = (c * 4) >> sh, (r * 4) >> sh
+            pw = ph = (bs_mi * 4) >> sh
+            d = codec.recon[p][py:py + ph, px:px + pw].astype(np.int64) \
+                - codec.source[p][py:py + ph, px:px + pw]
+            total += float((d * d).sum())
+        return total
+
+    @staticmethod
+    def _split_bits(codec, bsize, r, c) -> float:
+        bsl = (bsize // 8).bit_length() - 1
+        above = (int(codec.above_part[c]) >> bsl) & 1
+        left = (int(codec.left_part[r]) >> bsl) & 1
+        ctx = (left * 2 + above) + bsl * 4
+        n = 4 if bsize == 8 else (8 if bsize == 128 else 10)
+        return _symbol_cost_bits(codec.fc.partition[ctx], PARTITION_SPLIT, n)

@@ -158,6 +158,33 @@ def run_ipp(tmp_path, w, h, n, qp, check_ref=True, seed=3):
     return frames, ours
 
 
+@needs_refdec
+def test_e2e_conformance_small_blocks(tmp_path):
+    """Fixed 8x8 and 16x16 partitions: partition signaling at every
+    bsize down to 8 (and forced 4x4 boundary leaves)."""
+    run_roundtrip(tmp_path, 120, 88, 1, 40, 8, ALL_MODES)
+    run_roundtrip(tmp_path, 120, 88, 1, 40, 16, ALL_MODES)
+
+
+@needs_refdec
+@pytest.mark.parametrize("keyint", [-2, -1], ids=["allintra", "ipp"])
+def test_e2e_partition_rd_conformance(tmp_path, keyint):
+    """PartitionRdoDecider (preset<=4): variable NONE/SPLIT trees chosen
+    by trial-coded RD must still produce conformant streams."""
+    frames = moving_clip(128, 96, 3)
+    cfg = EncoderConfig(source_width=128, source_height=96, qp=40,
+                        intra_period_length=keyint, enc_mode=4)
+    path = tmp_path / f"partrd_{keyint}.ivf"
+    recons = encode_ivf(frames, cfg, str(path))
+    ours, _ = decode_ivf(str(path))
+    refs = ref_decode(path, 128, 96)
+    assert len(ours) == len(refs) == 3
+    for i in range(3):
+        for p in range(3):
+            np.testing.assert_array_equal(ours[i][p], recons[i][p])
+            np.testing.assert_array_equal(ours[i][p], refs[i][p])
+
+
 def tenbit_clip(w, h, n, seed=5):
     rng = np.random.default_rng(seed)
     yy, xx = np.mgrid[0:h, 0:w]
