@@ -49,6 +49,8 @@ class Encoder:
             else:
                 decider = ModeDecider()
         self.decider = decider
+        sig = __import__("svt_av1_tpu.config", fromlist=["derive_signals"]
+                         ).derive_signals(cfg)
         self.seq = SequenceHeader(
             max_frame_width=cfg.source_width,
             max_frame_height=cfg.source_height,
@@ -56,6 +58,7 @@ class Encoder:
             bit_depth=cfg.encoder_bit_depth,
             enable_filter_intra=False,
             enable_intra_edge_filter=True,
+            enable_cdef=sig.cdef_level > 0 and cfg.qp > 0,
         )
         self.frame_count = 0
         self.last_recon = None
@@ -87,6 +90,9 @@ class Encoder:
             base_q_idx=qindex,
             filter_level=(lvl, lvl),
             filter_level_uv=(lvl, lvl),
+            # damping ramps with q like the reference search seed
+            # (EbCdefProcess.c: 3 + (base_q_idx >> 6))
+            cdef_damping=min(3 + (qindex >> 6), 6),
         )
 
     def encode_frame(self, planes) -> bytes:
@@ -98,6 +104,8 @@ class Encoder:
                            refs=None if is_key else [self._ref_planes])
         tile_data = codec.encode_tile(self.decider)
         codec.apply_loop_filter()
+        codec.search_cdef()
+        codec.apply_cdef()
         self.last_recon = codec.cropped_recon()
         # DPB stores the VISIBLE picture: the spec's MC edge semantics
         # replicate from the visible frame edge, not the coded overhang
@@ -149,6 +157,7 @@ class Decoder:
                            refs=None if is_key else [self._ref_planes])
         codec.decode_tile(tile_data)
         codec.apply_loop_filter()
+        codec.apply_cdef()
         planes = codec.cropped_recon()
         self._ref_planes = [p.astype(np.int32) for p in planes]
         for p in planes:

@@ -76,6 +76,11 @@ class FrameHeader:
     primary_ref_frame: int = PRIMARY_REF_NONE
     refresh_frame_flags: int = 0xFF
     disable_frame_end_update_cdf: bool = False
+    # CDEF (spec 5.9.19 cdef_params; only read when seq.enable_cdef)
+    cdef_damping: int = 3
+    cdef_bits: int = 0
+    cdef_y_strengths: tuple = (0,)
+    cdef_uv_strengths: tuple = (0,)
 
     @property
     def coded_lossless(self) -> bool:
@@ -350,7 +355,14 @@ def _write_loop_filter_params(w: BitWriter, seq: SequenceHeader, fh: FrameHeader
 def _write_cdef_params(w: BitWriter, seq: SequenceHeader, fh: FrameHeader) -> None:
     if fh.coded_lossless or fh.allow_intrabc or not seq.enable_cdef:
         return
-    raise NotImplementedError("cdef signaling")
+    w.f(fh.cdef_damping - 3, 2)
+    w.f(fh.cdef_bits, 2)
+    n = 1 << fh.cdef_bits
+    assert len(fh.cdef_y_strengths) == n
+    for i in range(n):
+        w.f(fh.cdef_y_strengths[i], 6)
+        if not seq.monochrome:
+            w.f(fh.cdef_uv_strengths[i], 6)
 
 
 def _write_lr_params(w: BitWriter, seq: SequenceHeader, fh: FrameHeader) -> None:
@@ -434,9 +446,15 @@ def parse_frame_header(r: BitReader, seq: SequenceHeader) -> FrameHeader:
             fh.filter_level_uv = (r.f(6), r.f(6))
         fh.sharpness = r.f(3)
         assert not r.flag()              # delta enabled
-    # cdef/lr skipped (disabled in seq)
     if seq.enable_cdef and not (fh.coded_lossless or fh.allow_intrabc):
-        raise NotImplementedError
+        fh.cdef_damping = r.f(2) + 3
+        fh.cdef_bits = r.f(2)
+        ys, uvs = [], []
+        for _ in range(1 << fh.cdef_bits):
+            ys.append(r.f(6))
+            uvs.append(r.f(6) if not seq.monochrome else 0)
+        fh.cdef_y_strengths = tuple(ys)
+        fh.cdef_uv_strengths = tuple(uvs)
     if seq.enable_restoration and not (fh.coded_lossless or fh.allow_intrabc):
         raise NotImplementedError
     if not fh.coded_lossless:

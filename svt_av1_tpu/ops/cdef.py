@@ -1,0 +1,324 @@
+"""CDEF: constrained directional enhancement filter (AV1 spec 7.15).
+
+TPU-first formulation: the reference filters 8x8 blocks one at a time
+inside a 64x64 filter-block loop with line/column buffers to preserve
+pre-CDEF neighbors (EbCdef.c svt_cdef_filter_fb, svt_cdef_find_dir_c:133,
+svt_cdef_filter_block_c:204; decoder loop EbDecCdef.c svt_cdef_block).
+Because every filtered pixel depends only on *pre-CDEF* pixels, the whole
+frame is a pure function of the deblocked frame: we batch every eligible
+8x8 unit into one [N, h+4, w+4] tensor and evaluate direction search and
+the filter as dense tensor algebra (einsum + shifted windows), which maps
+straight onto the TPU VPU with no sequential state.
+
+Integer exactness: all math in int32, matching the reference C bit-for-bit
+(oracle-tested in tests/test_cdef.py).
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+CDEF_VERY_LARGE = 16384
+CDEF_SEC_STRENGTHS = 4
+
+# primary tap pairs indexed by (adjusted pri_strength >> coeff_shift) & 1
+PRI_TAPS = np.array([[4, 2], [3, 3]], np.int32)
+SEC_TAPS = np.array([[2, 1], [2, 1]], np.int32)
+
+# cdef_directions as (row, col) offsets for taps k=0,1
+# (EbCdef.c eb_cdef_directions, expressed stride-free)
+DIRECTIONS = np.array([
+    [[-1, 1], [-2, 2]],
+    [[0, 1], [-1, 2]],
+    [[0, 1], [0, 2]],
+    [[0, 1], [1, 2]],
+    [[1, 1], [2, 2]],
+    [[1, 0], [2, 1]],
+    [[1, 0], [2, 0]],
+    [[1, 0], [2, -1]],
+], np.int32)                 # [dir, k, (dy, dx)]
+
+
+# --------------------------------------------------------------------------
+# Direction search
+# --------------------------------------------------------------------------
+
+@functools.cache
+def _dir_matrices():
+    """One-hot [8, 15, 64] bin map M and [8, 15] cost weights W such that
+    partial[d, b] = sum_p M[d,b,p] * (x[p] - 128) and
+    cost[d] = sum_b W[d,b] * partial[d,b]^2 (svt_cdef_find_dir_c)."""
+    M = np.zeros((8, 15, 64), np.int32)
+    for i in range(8):
+        for j in range(8):
+            p = i * 8 + j
+            M[0, i + j, p] += 1
+            M[1, i + j // 2, p] += 1
+            M[2, i, p] += 1
+            M[3, 3 + i - j // 2, p] += 1
+            M[4, 7 + i - j, p] += 1
+            M[5, 3 - i // 2 + j, p] += 1
+            M[6, j, p] += 1
+            M[7, i // 2 + j, p] += 1
+    div = [0, 840, 420, 280, 210, 168, 140, 120, 105]
+    W = np.zeros((8, 15), np.int64)
+    for d in (0, 4):
+        for b in range(15):
+            W[d, b] = div[min(b, 14 - b) + 1]
+    for d in (2, 6):
+        W[d, :8] = div[8]
+    for d in (1, 3, 5, 7):
+        for b in range(3):
+            W[d, b] = div[2 * b + 2]
+            W[d, 10 - b] = div[2 * (10 - (10 - b)) + 2]  # same table entry
+        W[d, 3:8] = div[8]
+    return M, W
+
+
+def find_dir(blocks: np.ndarray, coeff_shift: int = 0):
+    """Batched direction search over [N, 8, 8] uint16 luma blocks.
+    Returns (dirs [N], var [N]) identical to svt_cdef_find_dir_c."""
+    M, W = _dir_matrices()
+    x = (blocks.reshape(-1, 64).astype(np.int64) >> coeff_shift) - 128
+    partial = np.einsum("dbp,np->ndb", M, x)          # [N, 8, 15]
+    cost = np.einsum("db,ndb->nd", W, partial * partial)
+    best = np.argmax(cost, axis=1)
+    n = np.arange(len(cost))
+    var = (cost[n, best] - cost[n, (best + 4) & 7]) >> 10
+    return best.astype(np.int32), var.astype(np.int32)
+
+
+def adjust_strength(strength: int, var: np.ndarray) -> np.ndarray:
+    """Variance-adaptive primary strength (luma only)."""
+    v6 = var >> 6
+    msb = np.zeros_like(var)
+    nz = v6 > 0
+    msb[nz] = np.minimum(np.int64(np.log2(v6[nz].astype(np.float64))).astype(var.dtype), 12)
+    out = (strength * (4 + msb) + 8) >> 4
+    return np.where(var > 0, out, 0).astype(np.int32)
+
+
+# --------------------------------------------------------------------------
+# Filter
+# --------------------------------------------------------------------------
+
+def _constrain(diff: np.ndarray, strength: np.ndarray, damping: int) -> np.ndarray:
+    """Per-element constrain(); strength may be scalar or [N,1,1]."""
+    s = np.asarray(strength, np.int32)
+    adiff = np.abs(diff)
+    # shift = max(0, damping - msb(strength)); strength==0 handled by mask
+    msb = np.zeros_like(s)
+    pos = s > 0
+    msb = np.where(pos, np.int32(np.log2(np.maximum(s, 1))), 0)
+    shift = np.maximum(0, damping - msb)
+    mag = np.minimum(adiff, np.maximum(0, s - (adiff >> shift)))
+    return np.where(pos, np.sign(diff) * mag, 0).astype(np.int32)
+
+
+def filter_blocks(windows: np.ndarray, dirs: np.ndarray,
+                  pri_strength: np.ndarray, sec_strength: int,
+                  pri_damping: int, sec_damping: int,
+                  coeff_shift: int = 0) -> np.ndarray:
+    """Batched CDEF of [N, h+4, w+4] windows (pre-CDEF pixels, int32,
+    CDEF_VERY_LARGE padding) -> [N, h, w] filtered pixels.
+
+    dirs: [N] direction per block. pri_strength: [N] (luma: variance
+    adjusted; chroma: constant). Matches svt_cdef_filter_block_c.
+    """
+    n, hp, wp = windows.shape
+    h, w = hp - 4, wp - 4
+    x = windows[:, 2:2 + h, 2:2 + w].astype(np.int32)
+    pri = np.asarray(pri_strength, np.int32).reshape(-1, 1, 1)
+    tap_idx = (pri.reshape(-1) >> coeff_shift) & 1
+    pri_taps = PRI_TAPS[tap_idx]                     # [N, 2]
+    sec_taps = SEC_TAPS[tap_idx]
+
+    sum_ = np.zeros((n, h, w), np.int32)
+    mx = x.copy()
+    mn = x.copy()
+    win = windows.astype(np.int32)
+
+    def shifted(dy_arr, dx_arr):
+        """Gather the neighbor plane at per-block offsets (dy, dx)."""
+        out = np.empty((n, h, w), np.int32)
+        for dy in np.unique(dy_arr):
+            for dx in np.unique(dx_arr[dy_arr == dy]):
+                sel = (dy_arr == dy) & (dx_arr == dx)
+                out[sel] = win[sel][:, 2 + dy:2 + dy + h, 2 + dx:2 + dx + w]
+        return out
+
+    dirs = np.asarray(dirs, np.int32)
+    for k in range(2):
+        off = DIRECTIONS[dirs, k]                    # [N, 2]
+        for sign in (1, -1):
+            p = shifted(sign * off[:, 0], sign * off[:, 1])
+            sum_ += pri_taps[:, k][:, None, None] * _constrain(
+                p - x, pri, pri_damping)
+            mx = np.maximum(mx, np.where(p == CDEF_VERY_LARGE, mx, p))
+            mn = np.minimum(mn, p)
+        for rot in (2, 6):
+            off = DIRECTIONS[(dirs + rot) & 7, k]
+            for sign in (1, -1):
+                s = shifted(sign * off[:, 0], sign * off[:, 1])
+                sum_ += sec_taps[:, k][:, None, None] * _constrain(
+                    s - x, np.int32(sec_strength), sec_damping)
+                mx = np.maximum(mx, np.where(s == CDEF_VERY_LARGE, mx, s))
+                mn = np.minimum(mn, s)
+    y = x + ((8 + sum_ - (sum_ < 0)) >> 4)
+    return np.clip(y, mn, mx)
+
+
+# --------------------------------------------------------------------------
+# Frame-level application (normative; encoder and decoder share it)
+# --------------------------------------------------------------------------
+
+def _nonskip_units(skips: np.ndarray, mi_rows: int, mi_cols: int):
+    """8x8-luma-unit (by, bx) list where not all four 4x4 mi are skip
+    (spec 7.15.1; dec_is_8x8_block_skip)."""
+    r1 = (mi_rows + 1) // 2
+    c1 = (mi_cols + 1) // 2
+    s = np.ones((r1 * 2, c1 * 2), bool)
+    s[:mi_rows, :mi_cols] = skips[:mi_rows, :mi_cols] != 0
+    unit_skip = s.reshape(r1, 2, c1, 2).all(axis=(1, 3))
+    by, bx = np.nonzero(~unit_skip)
+    return by.astype(np.int32), bx.astype(np.int32)
+
+
+def _extract_windows(plane: np.ndarray, by, bx, bh: int, bw: int,
+                     frame_w: int, frame_h: int) -> np.ndarray:
+    """[N, bh+4, bw+4] windows around each unit, CDEF_VERY_LARGE outside
+    the (mi-aligned) frame."""
+    pad = np.full((frame_h + 4, frame_w + 4), CDEF_VERY_LARGE, np.int32)
+    pad[2:2 + frame_h, 2:2 + frame_w] = plane[:frame_h, :frame_w]
+    ys = by * bh
+    xs = bx * bw
+    rows = ys[:, None, None] + np.arange(bh + 4)[None, :, None]
+    cols = xs[:, None, None] + np.arange(bw + 4)[None, None, :]
+    return pad[rows, cols]
+
+
+def cdef_frame(planes, skips, mi_rows: int, mi_cols: int,
+               y_strength: int, uv_strength: int, damping: int,
+               bit_depth: int = 8, dirs_out=None):
+    """Apply CDEF to recon ``planes`` (list of int32 arrays, luma first;
+    pre-CDEF = post-deblock values). Returns new plane list.
+
+    y_strength/uv_strength use the coded packing pri*4+sec; damping is the
+    frame cdef_damping (3..6). Pure function of its inputs (spec 7.15).
+    """
+    coeff_shift = max(bit_depth - 8, 0)
+    by, bx = _nonskip_units(skips, mi_rows, mi_cols)
+    if len(by) == 0:
+        return [p.copy() for p in planes]
+    fw, fh = mi_cols * 4, mi_rows * 4
+
+    y_pri = (y_strength // CDEF_SEC_STRENGTHS) << coeff_shift
+    y_sec = y_strength % CDEF_SEC_STRENGTHS
+    y_sec = (y_sec + (y_sec == 3)) << coeff_shift
+    uv_pri = (uv_strength // CDEF_SEC_STRENGTHS) << coeff_shift
+    uv_sec = uv_strength % CDEF_SEC_STRENGTHS
+    uv_sec = (uv_sec + (uv_sec == 3)) << coeff_shift
+
+    luma_win = _extract_windows(planes[0], by, bx, 8, 8, fw, fh)
+    dirs, var = find_dir(
+        luma_win[:, 2:10, 2:10].astype(np.uint16), coeff_shift)
+    if dirs_out is not None:
+        dirs_out.append((by, bx, dirs, var))
+
+    out = [p.copy() for p in planes]
+    if y_pri or y_sec:
+        pri_adj = adjust_strength(y_pri, var)
+        filt = filter_blocks(luma_win, np.where(y_pri > 0, dirs, 0),
+                             pri_adj, y_sec,
+                             damping + coeff_shift, damping + coeff_shift,
+                             coeff_shift)
+        _scatter(out[0], filt, by * 8, bx * 8)
+    if len(planes) > 1 and (uv_pri or uv_sec):
+        cw, ch = fw >> 1, fh >> 1
+        d = damping + coeff_shift - 1
+        for pli in (1, 2):
+            wins = _extract_windows(planes[pli], by, bx, 4, 4, cw, ch)
+            filt = filter_blocks(wins, np.where(uv_pri > 0, dirs, 0),
+                                 np.full(len(by), uv_pri, np.int32),
+                                 uv_sec, d, d, coeff_shift)
+            _scatter(out[pli], filt, by * 4, bx * 4)
+    return out
+
+
+def _scatter(plane: np.ndarray, blocks: np.ndarray, ys, xs):
+    bh, bw = blocks.shape[1:]
+    ph, pw = plane.shape
+    for i in range(len(ys)):
+        y, x = int(ys[i]), int(xs[i])
+        h = min(bh, ph - y)
+        w = min(bw, pw - x)
+        plane[y:y + h, x:x + w] = blocks[i, :h, :w]
+
+
+# --------------------------------------------------------------------------
+# Encoder-side strength search
+# --------------------------------------------------------------------------
+
+def cdef_search(source, recon, skips, mi_rows: int, mi_cols: int,
+                damping: int, bit_depth: int = 8,
+                pri_set=(0, 1, 2, 4, 6, 8, 12, 15), sec_set=(0, 1, 2, 3)):
+    """Pick the (y_strength, uv_strength) pair minimizing frame MSE.
+
+    The reference searches 16x4 strength combos per filter block and DP-
+    selects 2^cdef_bits presets (EbEncCdef.c svt_av1_cdef_search); here we
+    evaluate a strength subset fully batched over every eligible 8x8 unit
+    (cdef_bits=0: one preset per frame) and pick Y/UV independently.
+    Returns (y_strength, uv_strength) in coded pri*4+sec packing.
+    """
+    coeff_shift = max(bit_depth - 8, 0)
+    by, bx = _nonskip_units(skips, mi_rows, mi_cols)
+    if len(by) == 0:
+        return 0, 0
+    fw, fh = mi_cols * 4, mi_rows * 4
+
+    luma_win = _extract_windows(recon[0], by, bx, 8, 8, fw, fh)
+    dirs, var = find_dir(
+        luma_win[:, 2:10, 2:10].astype(np.uint16), coeff_shift)
+
+    def gather_src(plane, ys, xs, bh, bw):
+        rows = ys[:, None, None] + np.arange(bh)[None, :, None]
+        cols = xs[:, None, None] + np.arange(bw)[None, None, :]
+        return plane[np.clip(rows, 0, plane.shape[0] - 1),
+                     np.clip(cols, 0, plane.shape[1] - 1)].astype(np.int64)
+
+    def best_strength(pli_planes_src, pli_planes_rec, bh, bw, is_luma):
+        src = [gather_src(s, by * bh, bx * bw, bh, bw) for s in pli_planes_src]
+        wins = [_extract_windows(r, by, bx, bh, bw,
+                                 fw >> (0 if is_luma else 1),
+                                 fh >> (0 if is_luma else 1))
+                for r in pli_planes_rec]
+        dmp = damping + coeff_shift - (0 if is_luma else 1)
+        best = (None, 0)
+        for pri in pri_set:
+            for sec in sec_set:          # coded values; 3 applies as 4
+                if pri == 0 and sec == 0:
+                    err = sum(
+                        int(((s - w[:, 2:2 + bh, 2:2 + bw]) ** 2).sum())
+                        for s, w in zip(src, wins))
+                else:
+                    p = pri << coeff_shift
+                    s_ = (sec + (sec == 3)) << coeff_shift
+                    err = 0
+                    for sp, wp in zip(src, wins):
+                        pri_arr = (adjust_strength(p, var) if is_luma
+                                   else np.full(len(by), p, np.int32))
+                        filt = filter_blocks(
+                            wp, np.where(p > 0, dirs, 0), pri_arr, s_,
+                            dmp, dmp, coeff_shift)
+                        err += int(((sp - filt) ** 2).sum())
+                strength = pri * CDEF_SEC_STRENGTHS + sec
+                if best[0] is None or err < best[0]:
+                    best = (err, strength)
+        return best[1]
+
+    y_str = best_strength([source[0]], [recon[0]], 8, 8, True)
+    uv_str = 0
+    if len(recon) > 1:
+        uv_str = best_strength(source[1:3], recon[1:3], 4, 4, False)
+    return y_str, uv_str

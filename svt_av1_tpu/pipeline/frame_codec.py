@@ -836,6 +836,43 @@ class FrameCodec:
                 plv, plh, fh.sharpness, plane > 0)
 
 
+    def apply_cdef(self):
+        """Normative CDEF on the post-deblock recon (spec 7.15); both
+        sides call this with the header strengths (encoder after its
+        strength search filled them in)."""
+        from ..ops import cdef as cdef_ops
+
+        fh = self.fh
+        if (not self.seq.enable_cdef or fh.coded_lossless
+                or fh.allow_intrabc):
+            return
+        assert fh.cdef_bits == 0, "per-fb cdef idx TBD"
+        y_str = fh.cdef_y_strengths[0]
+        uv_str = fh.cdef_uv_strengths[0]
+        if y_str == 0 and uv_str == 0:
+            return
+        out = cdef_ops.cdef_frame(
+            self.recon[:self.num_planes], self.skips,
+            self.mi_rows, self.mi_cols, y_str, uv_str,
+            fh.cdef_damping, self.seq.bit_depth)
+        for p in range(self.num_planes):
+            self.recon[p] = out[p]
+
+    def search_cdef(self):
+        """Encoder-side strength search; fills the frame-header fields."""
+        from ..ops import cdef as cdef_ops
+
+        fh = self.fh
+        if (not self.seq.enable_cdef or fh.coded_lossless
+                or fh.allow_intrabc):
+            return
+        y_str, uv_str = cdef_ops.cdef_search(
+            self.source[:self.num_planes], self.recon[:self.num_planes],
+            self.skips, self.mi_rows, self.mi_cols, fh.cdef_damping,
+            self.seq.bit_depth)
+        fh.cdef_y_strengths = (y_str,)
+        fh.cdef_uv_strengths = (uv_str,)
+
     # -- inter frames ------------------------------------------------------
 
     def _record_mi(self, mi_row, mi_col, bs_mi, decision, skip):

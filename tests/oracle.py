@@ -108,3 +108,57 @@ def inv_txfm2d_add(coeffs: np.ndarray, pred: np.ndarray, tx_type: int,
         args += [_TX_SIZE_OF[(w, h)], w * h, bd]
     fn(*args)
     return out
+
+
+# --------------------------------------------------------------------------
+# CDEF (EbCdef.c svt_cdef_find_dir_c:133, svt_cdef_filter_block_c:204)
+# --------------------------------------------------------------------------
+
+@functools.cache
+def _cdef_fns():
+    L = lib()
+    fd = L.svt_cdef_find_dir_c
+    fd.argtypes = [U16, ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
+                   ctypes.c_int32]
+    fd.restype = ctypes.c_int32
+    fb = L.svt_cdef_filter_block_c
+    fb.argtypes = [ctypes.c_void_p, U16, ctypes.c_int32, ctypes.c_void_p,
+                   ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                   ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                   ctypes.c_int32]
+    fb.restype = None
+    return fd, fb
+
+
+def cdef_find_dir(block8: np.ndarray, coeff_shift: int = 0):
+    """Reference direction search on one 8x8 uint16 block."""
+    fd, _ = _cdef_fns()
+    buf = np.ascontiguousarray(block8, dtype=np.uint16)
+    var = ctypes.c_int32(0)
+    d = fd(buf.reshape(-1), 8, ctypes.byref(var), coeff_shift)
+    return int(d), int(var.value)
+
+
+CDEF_BSTRIDE = 144  # ALIGN_POWER_OF_TWO(128 + 16, 3)
+
+
+def cdef_filter_block(window: np.ndarray, pri_strength: int,
+                      sec_strength: int, direction: int, pri_damping: int,
+                      sec_damping: int, bsize_8x8: bool,
+                      coeff_shift: int = 0) -> np.ndarray:
+    """Reference CDEF of one block.  window is [h+4, w+4] uint16 with the
+    2-px borders; returns [h, w] uint16."""
+    _, fb = _cdef_fns()
+    h = 8 if bsize_8x8 else 4
+    w = 8 if bsize_8x8 else 4
+    inbuf = np.full((h + 4, CDEF_BSTRIDE), 16384, np.uint16)
+    inbuf[:, :w + 4] = window
+    out = np.zeros((h, w), np.uint16)
+    # in-pointer targets the block center origin; taps reach the borders
+    # via negative offsets, so pass an interior address of the buffer
+    center = inbuf.ctypes.data + 2 * (2 * CDEF_BSTRIDE + 2)
+    # BLOCK_8X8 = 3 in the BlockSize enum; BLOCK_4X4 = 0
+    fb(None, out.reshape(-1), w, center,
+       pri_strength, sec_strength, direction, pri_damping, sec_damping,
+       3 if bsize_8x8 else 0, coeff_shift)
+    return out
