@@ -4,9 +4,11 @@ The analog of the reference's C API surface (Source/API/EbSvtAv1Enc.h
 svt_av1_enc_* / EbSvtAv1Dec.h svt_av1_dec_*): an Encoder accepting frames
 and emitting OBU packets, and a Decoder mapping OBU payloads to pictures.
 
-Current capability: all-intra CQP 8-bit 4:2:0 (BASELINE config[0] class);
-each frame is a shown key frame (intra_period -2/CRA paths land here for
-the all-intra configuration).
+Orchestration mirrors the reference pipeline at frame granularity:
+picture decision (mini-GOP assembly + prediction structure,
+EbPictureDecisionProcess.c av1_generate_rps_info), picture manager (DPB
+slot bookkeeping), packetization (decode-order output incl.
+show_existing_frame, EbPacketizationProcess.c).
 """
 from __future__ import annotations
 
@@ -20,37 +22,166 @@ from .bitstream.headers import (FrameHeader, SequenceHeader,
                                 QUANTIZER_TO_QINDEX, iter_obus,
                                 parse_frame_header, parse_sequence_header,
                                 temporal_delimiter_obu, wrap_obu,
-                                write_frame_header, write_sequence_header)
-from .config import EncoderConfig
+                                write_frame_header, write_sequence_header,
+                                write_show_existing_header, PRIMARY_REF_NONE)
+from .config import EncoderConfig, PredStructure
 from .constants import FrameType, ObuType
 from .pipeline.frame_codec import FrameCodec, ModeDecider
 
+LAST, LAST2, LAST3, GOLDEN, BWDREF, ALTREF2, ALTREF = range(1, 8)
+
+
+# --------------------------------------------------------------------------
+# Prediction structure (picture decision)
+# --------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class CodeJob:
+    """One temporal unit: either code a frame or re-show a coded one."""
+    kind: str                  # "code" | "show_existing"
+    display: int               # display index (absolute)
+    layer: int = 0             # temporal layer (key = 0)
+    is_key: bool = False
+    show: bool = True
+
+
+def dyadic_order(lo: int, hi: int, layer: int = 1):
+    """Coding order of the open interval (lo, hi): mid first, then halves
+    (the reference's table-driven dyadic pyramid, EbPredictionStructure.c)."""
+    if hi - lo <= 1:
+        return []
+    m = (lo + hi) // 2
+    return [(m, layer)] + dyadic_order(lo, m, layer + 1) + \
+        dyadic_order(m, hi, layer + 1)
+
+
+def gop_schedule(anchor: int, g: int) -> list[CodeJob]:
+    """Jobs for one mini-GOP covering displays (anchor, anchor+g]:
+    decode order with show_existing interleaved at display time."""
+    order = [(anchor + g, 0)] + [(anchor + d, l) for d, l in dyadic_order(0, g)]
+    max_layer = max(l for _, l in order)
+    jobs = []
+    shown = anchor            # highest display index already output
+    coded = set()
+    for d, layer in order:
+        is_leaf = layer == max_layer
+        jobs.append(CodeJob("code", d, layer, show=is_leaf))
+        coded.add(d)
+        if is_leaf:
+            # dyadic order guarantees leaves arrive display-consecutive
+            assert d == shown + 1, (d, shown)
+            shown = d
+        # flush any displayable coded-but-unshown frames
+        while shown + 1 in coded:
+            shown += 1
+            jobs.append(CodeJob("show_existing", shown))
+    return jobs
+
+
+class PictureDecision:
+    """Buffers source frames, emits mini-GOP job lists (the analog of
+    picture_decision_kernel's reorder queue + mini-GOP split)."""
+
+    def __init__(self, cfg: EncoderConfig):
+        self.cfg = cfg
+        self.gop = 1 << cfg.hierarchical_levels \
+            if cfg.pred_structure == PredStructure.RANDOM_ACCESS else 1
+        period = cfg.intra_period_length
+        self.key_interval = None
+        if period == -2:
+            self.key_interval = 1        # all-intra (auto default)
+        elif period >= 0:
+            self.key_interval = period + 1
+
+    def is_key(self, display: int) -> bool:
+        if display == 0:
+            return True
+        return self.key_interval is not None and \
+            self.key_interval > 0 and display % self.key_interval == 0
+
+    def schedule(self, start: int, n_available: int, eos: bool):
+        """Given frames [start, start+n_available) buffered (display
+        order), return (jobs, consumed) or (None, 0) to wait for more."""
+        if self.is_key(start):
+            return [CodeJob("code", start, 0, is_key=True)], 1
+        # GOP span is bounded by the next key frame
+        g = self.gop
+        if self.key_interval:
+            next_key = ((start // self.key_interval) + 1) * self.key_interval
+            g = min(g, next_key - start)
+        if n_available < g:
+            if not eos or n_available <= 0:
+                return None, 0
+            g = n_available
+        # dyadic pyramid needs a power-of-two span; shrink for tails
+        while g & (g - 1):
+            g -= 1
+        return gop_schedule(start - 1, g), g
+
+
+# --------------------------------------------------------------------------
+# DPB (picture manager analog)
+# --------------------------------------------------------------------------
+
+class Dpb:
+    """8-slot decoded picture buffer shared by encoder simulation and
+    decoder (EbPictureManagerProcess.c reference-queue analog)."""
+
+    def __init__(self):
+        self.slots = [None] * 8    # {planes, order_hint, display}
+
+    def refresh(self, mask: int, planes, order_hint: int, display: int):
+        entry = dict(planes=planes, order_hint=order_hint, display=display)
+        for i in range(8):
+            if mask & (1 << i):
+                self.slots[i] = entry
+
+    def slot_of_display(self, display: int):
+        for i, s in enumerate(self.slots):
+            if s is not None and s["display"] == display:
+                return i
+        return None
+
+    def displays(self):
+        return {s["display"] for s in self.slots if s is not None}
+
+
+def _named_ref_displays(display: int, dpb: Dpb, anchor: int):
+    """Map the 7 named refs to DPB display indices (av1_generate_rps_info
+    analog, simplified: nearest pasts, anchor as GOLDEN, futures)."""
+    avail = sorted(dpb.displays())
+    past = [d for d in avail if d < display][::-1]
+    future = [d for d in avail if d > display]
+    if not past:
+        past = [avail[0]]
+    named = {}
+    named[LAST] = past[0]
+    named[LAST2] = past[1] if len(past) > 1 else past[0]
+    named[LAST3] = past[2] if len(past) > 2 else named[LAST2]
+    named[GOLDEN] = anchor if anchor in avail else past[-1]
+    if future:
+        named[BWDREF] = future[0]
+        named[ALTREF2] = future[1] if len(future) > 1 else future[0]
+        named[ALTREF] = future[-1]
+    else:
+        named[BWDREF] = named[ALTREF2] = named[ALTREF] = named[LAST]
+    return named
+
+
+# --------------------------------------------------------------------------
+# Encoder
+# --------------------------------------------------------------------------
 
 class Encoder:
-    """All-intra encoder: send_picture -> packets of OBU bytes."""
+    """Streaming encoder: send_picture() -> ready packets; flush() ends."""
 
     def __init__(self, cfg: EncoderConfig, decider: ModeDecider | None = None):
         self.cfg = cfg
-        if decider is None:
-            # preset ladder: slower presets buy full-RD mode decision
-            # (the reference's MD-stage funnel analog, pipeline/rdo.py)
-            sig = __import__("svt_av1_tpu.config", fromlist=["derive_signals"]
-                             ).derive_signals(cfg)
-            if cfg.enc_mode <= 4:
-                from .pipeline.rdo import PartitionRdoDecider
-                decider = PartitionRdoDecider(
-                    min_rd_bsize=8 if cfg.enc_mode <= 2 else 16,
-                    n_full_rd=sig.md_stage_nics[2],
-                    try_angle_delta=cfg.enc_mode <= 4)
-            elif cfg.enc_mode <= 6:
-                from .pipeline.rdo import RdoDecider
-                decider = RdoDecider(n_full_rd=sig.md_stage_nics[2],
-                                     try_angle_delta=False)
-            else:
-                decider = ModeDecider()
-        self.decider = decider
+        self._decider_arg = decider
         sig = __import__("svt_av1_tpu.config", fromlist=["derive_signals"]
                          ).derive_signals(cfg)
+        self.sig = sig
+        self.pd = PictureDecision(cfg)
         self.seq = SequenceHeader(
             max_frame_width=cfg.source_width,
             max_frame_height=cfg.source_height,
@@ -58,58 +189,164 @@ class Encoder:
             bit_depth=cfg.encoder_bit_depth,
             enable_filter_intra=False,
             enable_intra_edge_filter=True,
+            enable_order_hint=self.pd.gop > 1,
             enable_cdef=sig.cdef_level > 0 and cfg.qp > 0,
         )
-        self.frame_count = 0
+        self._buffer = []            # pending source frames (display order)
+        self._next_display = 0       # display idx of _buffer[0]
+        self._sent = 0
+        self.dpb = Dpb()
+        self._anchor = 0             # most recent layer-0/key display
+        self._wrote_seq_header = False
+        self.frame_count = 0         # coded frames
         self.last_recon = None
-        self._ref_planes = None          # DPB slot 0 (post-loop-filter)
+        self.recon_by_display = {}
 
-    def _is_key_frame(self) -> bool:
-        period = self.cfg.intra_period_length
-        if self.frame_count == 0 or self._ref_planes is None:
-            return True
-        if period == -2:
-            return True                  # all-intra (auto default for now)
-        if period == -1:
-            return False                 # single key frame then IPP
-        return self.frame_count % (period + 1) == 0
+    def _decider(self):
+        if self._decider_arg is not None:
+            return self._decider_arg
+        cfg, sig = self.cfg, self.sig
+        if cfg.enc_mode <= 4:
+            from .pipeline.rdo import PartitionRdoDecider
+            return PartitionRdoDecider(
+                min_rd_bsize=8 if cfg.enc_mode <= 2 else 16,
+                n_full_rd=sig.md_stage_nics[2],
+                try_angle_delta=cfg.enc_mode <= 4)
+        if cfg.enc_mode <= 6:
+            from .pipeline.rdo import RdoDecider
+            return RdoDecider(n_full_rd=sig.md_stage_nics[2],
+                              try_angle_delta=False)
+        return ModeDecider()
 
-    def _frame_header(self, is_key: bool) -> FrameHeader:
+    # -- public surface --------------------------------------------------
+
+    def send_picture(self, planes) -> list[bytes]:
+        self._buffer.append(planes)
+        self._sent += 1
+        return self._drain(eos=False)
+
+    def flush(self) -> list[bytes]:
+        return self._drain(eos=True)
+
+    def encode_frame(self, planes) -> bytes:
+        """Zero-latency compatibility wrapper (all-intra / low-delay)."""
+        assert self.pd.gop == 1 or self.pd.key_interval == 1, \
+            "reordering configs need send/flush"
+        out = self.send_picture(planes)
+        assert len(out) == 1
+        return out[0]
+
+    # -- internals ---------------------------------------------------------
+
+    def _drain(self, eos: bool) -> list[bytes]:
+        packets = []
+        while self._buffer:
+            jobs, consumed = self.pd.schedule(
+                self._next_display, len(self._buffer), eos)
+            if jobs is None:
+                break
+            for job in jobs:
+                packets.append(self._run_job(job))
+            self._buffer = self._buffer[consumed:]
+            self._next_display += consumed
+        return packets
+
+    def _run_job(self, job: CodeJob) -> bytes:
+        if job.kind == "show_existing":
+            slot = self.dpb.slot_of_display(job.display)
+            w = BitWriter()
+            write_show_existing_header(w, slot)
+            w.trailing_bits()
+            return temporal_delimiter_obu() + wrap_obu(
+                ObuType.OBU_FRAME_HEADER, w.bytes())
+        return self._encode_display(job)
+
+    def _qindex_for(self, job: CodeJob) -> int:
+        base = QUANTIZER_TO_QINDEX[self.cfg.qp]
+        if job.is_key:
+            off = -12
+        else:
+            off = (-8, 8, 14, 18, 22, 24)[min(job.layer, 5)]
+        return int(np.clip(base + off, 1, 255)) if base > 0 else 0
+
+    def _frame_header(self, job: CodeJob, refs_idx) -> FrameHeader:
         from .ops.dlf import filter_levels_from_qindex
 
-        qindex = QUANTIZER_TO_QINDEX[self.cfg.qp]
-        # hbd loop-filter kernels pending: signal level 0 at 10-bit
+        qindex = self._qindex_for(job)
         dlf_off = self.cfg.disable_dlf or self.cfg.encoder_bit_depth > 8
         lvl = 0 if dlf_off else filter_levels_from_qindex(
             qindex, self.cfg.encoder_bit_depth)
         return FrameHeader(
-            frame_type=FrameType.KEY_FRAME if is_key else FrameType.INTER_FRAME,
-            show_frame=True,
+            frame_type=FrameType.KEY_FRAME if job.is_key
+            else FrameType.INTER_FRAME,
+            show_frame=job.show or job.is_key,
+            showable_frame=not (job.show or job.is_key),
+            order_hint=job.display,
+            ref_frame_idx=refs_idx,
             frame_width=self.cfg.source_width,
             frame_height=self.cfg.source_height,
             base_q_idx=qindex,
             filter_level=(lvl, lvl),
             filter_level_uv=(lvl, lvl),
-            # damping ramps with q like the reference search seed
-            # (EbCdefProcess.c: 3 + (base_q_idx >> 6))
             cdef_damping=min(3 + (qindex >> 6), 6),
         )
 
-    def encode_frame(self, planes) -> bytes:
-        """Encode one (y, u, v) frame; returns the temporal unit bytes
-        (TD + [sequence header] + frame OBU)."""
-        is_key = self._is_key_frame()
-        fh = self._frame_header(is_key)
-        codec = FrameCodec(self.seq, fh, source_planes=planes,
-                           refs=None if is_key else [self._ref_planes])
-        tile_data = codec.encode_tile(self.decider)
+    def _refresh_mask(self, job: CodeJob) -> int:
+        """Pick a slot for the coded picture: evict one whose picture no
+        schedule step still needs (leaves keep nothing)."""
+        if job.is_key:
+            return 0xFF
+        max_layer = self.pd.gop.bit_length() - 1
+        if self.pd.gop > 1 and job.layer > max(max_layer - 1, 0):
+            return 0                       # leaf: not a reference
+        # needed: the anchor chain + future refs = everything >= anchor
+        needed = {self._anchor, job.display}
+        free = [i for i, s in enumerate(self.dpb.slots) if s is None]
+        if free:
+            return 1 << free[0]
+        # prefer evicting the oldest display not needed
+        order = sorted(range(8), key=lambda i: self.dpb.slots[i]["display"])
+        for i in order:
+            if self.dpb.slots[i]["display"] not in needed:
+                return 1 << i
+        return 1 << order[0]
+
+    def _encode_display(self, job: CodeJob) -> bytes:
+        planes = self._buffer[job.display - self._next_display]
+        refs = None
+        refs_idx = (0,) * 7
+        sign_bias = [0] * 8
+        if not job.is_key:
+            named = _named_ref_displays(job.display, self.dpb, self._anchor)
+            refs_idx = tuple(self.dpb.slot_of_display(named[n])
+                             for n in range(1, 8))
+            by_display = {}
+            for n in range(1, 8):
+                d = named[n]
+                if d not in by_display:
+                    by_display[d] = self.dpb.slots[
+                        self.dpb.slot_of_display(d)]["planes"]
+            refs = {n: by_display[named[n]] for n in range(1, 8)}
+            for n in range(1, 8):
+                sign_bias[n] = int(self._rel_dist(named[n], job.display) > 0)
+
+        fh = self._frame_header(job, refs_idx)
+        fh.refresh_frame_flags = self._refresh_mask(job)
+        codec = FrameCodec(self.seq, fh, source_planes=planes, refs=refs)
+        codec.sign_bias = sign_bias
+        tile_data = codec.encode_tile(self._decider())
         codec.apply_loop_filter()
         codec.search_cdef()
         codec.apply_cdef()
         self.last_recon = codec.cropped_recon()
-        # DPB stores the VISIBLE picture: the spec's MC edge semantics
-        # replicate from the visible frame edge, not the coded overhang
-        self._ref_planes = [p.astype(np.int32) for p in self.last_recon]
+        self.recon_by_display[job.display] = self.last_recon
+
+        if fh.refresh_frame_flags:
+            ref_planes = [p.astype(np.int32) for p in self.last_recon]
+            self.dpb.refresh(fh.refresh_frame_flags, ref_planes,
+                             job.display, job.display)
+        if job.is_key or job.layer == 0:
+            self._anchor = job.display
 
         w = BitWriter()
         write_frame_header(w, self.seq, fh)
@@ -117,21 +354,34 @@ class Encoder:
         frame_payload = w.bytes() + tile_data
 
         out = temporal_delimiter_obu()
-        if self.frame_count == 0:
+        if not self._wrote_seq_header:
             out += wrap_obu(ObuType.OBU_SEQUENCE_HEADER,
                             write_sequence_header(self.seq))
+            self._wrote_seq_header = True
         out += wrap_obu(ObuType.OBU_FRAME, frame_payload)
         self.frame_count += 1
         return out
 
+    def _rel_dist(self, a: int, b: int) -> int:
+        bits = self.seq.order_hint_bits
+        if not self.seq.enable_order_hint:
+            return 0
+        diff = (a - b) & ((1 << bits) - 1)
+        m = 1 << (bits - 1)
+        return (diff & (m - 1)) - (diff & m)
+
+
+# --------------------------------------------------------------------------
+# Decoder
+# --------------------------------------------------------------------------
 
 class Decoder:
-    """All-intra decoder: OBU payloads -> pictures."""
+    """Decoder: OBU payloads -> pictures (display order)."""
 
     def __init__(self):
         self.seq: SequenceHeader | None = None
         self.md5 = hashlib.md5()
-        self._ref_planes = None
+        self.dpb = Dpb()
 
     def decode_frame(self, data: bytes):
         """Decode one temporal unit; returns (y, u, v) planes or None."""
@@ -144,47 +394,79 @@ class Decoder:
             elif obu_type == ObuType.OBU_FRAME:
                 planes = self._decode_frame_obu(payload)
             elif obu_type == ObuType.OBU_FRAME_HEADER:
-                raise NotImplementedError("separate frame header OBUs")
+                r = BitReader(payload)
+                res = parse_frame_header(r, self.seq)
+                assert isinstance(res, int), "frame header without tiles"
+                planes = tuple(np.asarray(p)
+                               for p in self.dpb.slots[res]["planes"])
+                planes = self._output(planes)
         return planes
+
+    def _output(self, planes):
+        dt = np.uint8 if self.seq.bit_depth == 8 else np.uint16
+        out = tuple(p.astype(dt) for p in planes)
+        for p in out:
+            self.md5.update(np.ascontiguousarray(p).tobytes())
+        return out
 
     def _decode_frame_obu(self, payload: bytes):
         assert self.seq is not None, "no sequence header seen"
         r = BitReader(payload)
         fh = parse_frame_header(r, self.seq)
+        assert isinstance(fh, FrameHeader)
         tile_data = payload[r.byte_pos:]
         is_key = fh.frame_type == FrameType.KEY_FRAME
-        codec = FrameCodec(self.seq, fh,
-                           refs=None if is_key else [self._ref_planes])
+        refs = None
+        if not is_key:
+            refs = {n: self.dpb.slots[fh.ref_frame_idx[n - 1]]["planes"]
+                    for n in range(1, 8)}
+        codec = FrameCodec(self.seq, fh, refs=refs)
+        if not is_key and self.seq.enable_order_hint:
+            bits = self.seq.order_hint_bits
+
+            def rel(a, b):
+                diff = (a - b) & ((1 << bits) - 1)
+                m = 1 << (bits - 1)
+                return (diff & (m - 1)) - (diff & m)
+
+            for n in range(1, 8):
+                ref_oh = self.dpb.slots[fh.ref_frame_idx[n - 1]]["order_hint"]
+                codec.sign_bias[n] = int(rel(ref_oh, fh.order_hint) > 0)
         codec.decode_tile(tile_data)
         codec.apply_loop_filter()
         codec.apply_cdef()
         planes = codec.cropped_recon()
-        self._ref_planes = [p.astype(np.int32) for p in planes]
-        for p in planes:
-            self.md5.update(np.ascontiguousarray(p).tobytes())
-        return planes
+        mask = 0xFF if is_key and fh.show_frame else fh.refresh_frame_flags
+        if mask:
+            self.dpb.refresh(mask, [p.astype(np.int32) for p in planes],
+                             fh.order_hint, fh.order_hint)
+        if fh.show_frame:
+            return self._output(planes)
+        return None
 
 
 def encode_ivf(frames, cfg: EncoderConfig, path: str,
                decider: ModeDecider | None = None) -> list[bytes]:
-    """Convenience: encode frames to an IVF file; returns recon frames."""
-    from fractions import Fraction
-
+    """Convenience: encode frames to an IVF file; returns recon frames in
+    display order."""
     from .io import IvfWriter
 
     enc = Encoder(cfg, decider)
-    recons = []
+    pts = 0
     with IvfWriter(path, cfg.source_width, cfg.source_height,
                    cfg.frame_rate) as w:
-        for i, planes in enumerate(frames):
-            payload = enc.encode_frame(planes)
-            w.write_frame(payload, pts=i)
-            recons.append(enc.last_recon)
-    return recons
+        for planes in frames:
+            for payload in enc.send_picture(planes):
+                w.write_frame(payload, pts=pts)
+                pts += 1
+        for payload in enc.flush():
+            w.write_frame(payload, pts=pts)
+            pts += 1
+    return [enc.recon_by_display[d] for d in sorted(enc.recon_by_display)]
 
 
 def decode_ivf(path: str):
-    """Decode an IVF file; returns (frames, md5hex)."""
+    """Decode an IVF file; returns (frames, md5hex) in display order."""
     from .io import IvfReader
 
     dec = Decoder()

@@ -55,21 +55,31 @@ def _enc(args) -> int:
     n = 0
     total_bytes = 0
     psnrs = []
+    sources = []
+    pts = 0
     with IvfWriter(args.bitstream, info.width, info.height,
                    info.frame_rate) as w:
+
+        def emit(payloads):
+            nonlocal pts, total_bytes
+            for payload in payloads:
+                w.write_frame(payload, pts=pts)
+                total_bytes += len(payload)
+                pts += 1
+
         for planes in frames:
             if args.frames and n >= args.frames:
                 break
-            payload = enc.encode_frame(planes)
-            w.write_frame(payload, pts=n)
-            total_bytes += len(payload)
-            if args.stat_report:
-                p = frame_psnr(planes, enc.last_recon,
-                               peak=(1 << info.bit_depth) - 1)
-                psnrs.append(p)
-                print(f"frame {n}: {len(payload):6d} B  "
-                      f"psnr Y {p[0]:.2f} U {p[1]:.2f} V {p[2]:.2f}")
+            sources.append(planes if args.stat_report else None)
+            emit(enc.send_picture(planes))
             n += 1
+        emit(enc.flush())
+    if args.stat_report:
+        for d in sorted(enc.recon_by_display):
+            p = frame_psnr(sources[d], enc.recon_by_display[d],
+                           peak=(1 << info.bit_depth) - 1)
+            psnrs.append(p)
+            print(f"frame {d}: psnr Y {p[0]:.2f} U {p[1]:.2f} V {p[2]:.2f}")
     dt = time.time() - t0
     fps = n / dt if dt else 0.0
     kbps = total_bytes * 8 * float(info.frame_rate) / max(n, 1) / 1000

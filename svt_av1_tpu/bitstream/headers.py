@@ -35,6 +35,8 @@ class SequenceHeader:
     use_128x128_superblock: bool = False
     enable_filter_intra: bool = True
     enable_intra_edge_filter: bool = True
+    enable_order_hint: bool = False
+    order_hint_bits: int = 7
     enable_superres: bool = False
     enable_cdef: bool = False
     enable_restoration: bool = False
@@ -60,6 +62,11 @@ class FrameHeader:
 
     frame_type: FrameType = FrameType.KEY_FRAME
     show_frame: bool = True
+    showable_frame: bool = False
+    error_resilient_mode: bool = False
+    order_hint: int = 0
+    ref_frame_idx: tuple = (0, 0, 0, 0, 0, 0, 0)   # LAST..ALTREF -> slot
+    reference_select: bool = False
     frame_width: int = 0
     frame_height: int = 0
     base_q_idx: int = 50
@@ -121,9 +128,14 @@ def write_sequence_header(seq: SequenceHeader) -> bytes:
     w.flag(False)                       # enable_masked_compound
     w.flag(False)                       # enable_warped_motion
     w.flag(False)                       # enable_dual_filter
-    w.flag(False)                       # enable_order_hint
+    w.flag(seq.enable_order_hint)
+    if seq.enable_order_hint:
+        w.flag(False)                   # enable_jnt_comp
+        w.flag(False)                   # enable_ref_frame_mvs
     w.flag(False)                       # seq_choose_screen_content_tools
     w.flag(False)                       # seq_force_screen_content_tools = 0
+    if seq.enable_order_hint:
+        w.f(seq.order_hint_bits - 1, 3)
     w.flag(seq.enable_superres)
     w.flag(seq.enable_cdef)
     w.flag(seq.enable_restoration)
@@ -179,8 +191,10 @@ def parse_sequence_header(data: bytes) -> SequenceHeader:
     seq.enable_intra_edge_filter = r.flag()
     for _ in range(4):                   # interintra/masked/warped/dual
         r.flag()
-    enable_order_hint = r.flag()
-    assert not enable_order_hint, "order hints unsupported (intra-only)"
+    seq.enable_order_hint = r.flag()
+    if seq.enable_order_hint:
+        assert not r.flag(), "jnt_comp unsupported"
+        assert not r.flag(), "ref_frame_mvs unsupported"
     choose_sc = r.flag()
     if choose_sc:
         force_sc = 2
@@ -188,6 +202,8 @@ def parse_sequence_header(data: bytes) -> SequenceHeader:
         force_sc = r.f(1)
     if force_sc:
         raise NotImplementedError("screen content tools")
+    if seq.enable_order_hint:
+        seq.order_hint_bits = r.f(3) + 1
     seq.enable_superres = r.flag()
     seq.enable_cdef = r.flag()
     seq.enable_restoration = r.flag()
@@ -247,36 +263,50 @@ def tile_limits(seq: SequenceHeader, fh: FrameHeader):
             max_log2_tile_rows, min_log2_tiles)
 
 
+def write_show_existing_header(w: BitWriter, map_idx: int) -> None:
+    """show_existing_frame short header (spec 5.9.2)."""
+    w.flag(True)
+    w.f(map_idx, 3)
+
+
 def write_frame_header(w: BitWriter, seq: SequenceHeader, fh: FrameHeader) -> None:
     """Write the uncompressed header (no trailing bits; the caller
-    byte-aligns per OBU type)."""
+    byte-aligns per OBU type).  Syntax mirrors the reference writer
+    write_uncompressed_header_obu (EbEntropyCoding.c:4022)."""
     is_inter = fh.frame_type == FrameType.INTER_FRAME
-    assert fh.show_frame
     w.flag(False)                        # show_existing_frame
     w.f(int(fh.frame_type), 2)
     w.flag(fh.show_frame)
-    if is_inter:
-        # error_resilient_mode = 1: fresh CDFs/contexts every frame
-        w.flag(True)
-    # (key+shown frames imply error_resilient = 1, not coded)
+    if not fh.show_frame:
+        w.flag(fh.showable_frame)
+    if not (fh.frame_type == FrameType.KEY_FRAME and fh.show_frame):
+        w.flag(fh.error_resilient_mode)
     w.flag(fh.disable_cdf_update)
     # allow_screen_content_tools: seq_force == 0 -> nothing coded
     w.flag(False)                        # frame_size_override_flag
-    # order hints disabled -> no order_hint
-    # primary_ref_frame: error_resilient/intra -> NONE, not coded
+    if seq.enable_order_hint:
+        w.f(fh.order_hint & ((1 << seq.order_hint_bits) - 1),
+            seq.order_hint_bits)
+    if not fh.error_resilient_mode and is_inter:
+        w.f(fh.primary_ref_frame, 3)
     if is_inter:
         w.f(fh.refresh_frame_flags, 8)
-        for _ in range(7):
-            w.f(0, 3)                    # ref_frame_idx[i] = slot 0
+        if fh.error_resilient_mode and seq.enable_order_hint:
+            raise NotImplementedError("ER + order hints ref_order_hint")
+        if seq.enable_order_hint:
+            w.flag(False)                # frame_refs_short_signaling
+        for i in range(7):
+            w.f(fh.ref_frame_idx[i], 3)
         _write_frame_size(w, seq, fh)
         _write_render_size(w)
         w.flag(False)                    # allow_high_precision_mv
         w.flag(False)                    # is_filter_switchable
         w.f(0, 2)                        # interpolation_filter = REGULAR
         w.flag(False)                    # is_motion_mode_switchable
-        # use_ref_frame_mvs: error_resilient -> skipped
+        # use_ref_frame_mvs: seq.enable_ref_frame_mvs == 0 -> skipped
     else:
-        # refresh_frame_flags implied all for shown key frames
+        if not fh.show_frame:
+            w.f(fh.refresh_frame_flags, 8)
         _write_frame_size(w, seq, fh)
         _write_render_size(w)
         # allow_intrabc: only if allow_screen_content_tools
@@ -293,12 +323,13 @@ def write_frame_header(w: BitWriter, seq: SequenceHeader, fh: FrameHeader) -> No
     _write_lr_params(w, seq, fh)
     if not fh.coded_lossless:
         w.flag(fh.tx_mode_select)        # read_tx_mode
-    if fh.frame_type == FrameType.INTER_FRAME:
-        w.flag(False)                    # reference_select (single ref)
-    # skip_mode: not allowed (no order hints) -> skip
-    # allow_warped_motion: error_res / seq-disabled -> skip
+    if is_inter:
+        w.flag(fh.reference_select)
+    assert not fh.reference_select, "compound header (skip mode) TBD"
+    # skip_mode: !reference_select -> skipModeAllowed == 0, nothing coded
+    # allow_warped_motion: seq-disabled -> skip
     w.flag(fh.reduced_tx_set)
-    if fh.frame_type == FrameType.INTER_FRAME:
+    if is_inter:
         for _ in range(7):
             w.flag(False)                # is_global (LAST..ALTREF)
     # film grain: not present -> skip
@@ -372,26 +403,37 @@ def _write_lr_params(w: BitWriter, seq: SequenceHeader, fh: FrameHeader) -> None
 
 
 def parse_frame_header(r: BitReader, seq: SequenceHeader) -> FrameHeader:
+    """Returns a FrameHeader, or an int map_idx for show_existing_frame."""
     fh = FrameHeader()
     show_existing = r.flag()
-    assert not show_existing, "show_existing_frame unsupported"
+    if show_existing:
+        return r.f(3)
     fh.frame_type = FrameType(r.f(2))
     fh.show_frame = r.flag()
     is_inter = fh.frame_type == FrameType.INTER_FRAME
-    assert fh.show_frame and fh.frame_type in (
+    assert fh.frame_type in (
         FrameType.KEY_FRAME, FrameType.INTER_FRAME), "unsupported frame type"
-    if is_inter:
-        err_res = r.flag()
-        assert err_res, "non-error-resilient inter frames unsupported"
+    if not fh.show_frame:
+        fh.showable_frame = r.flag()
+    if not (fh.frame_type == FrameType.KEY_FRAME and fh.show_frame):
+        fh.error_resilient_mode = r.flag()
     fh.disable_cdf_update = r.flag()
     size_override = r.flag()
     assert not size_override
     fh.frame_width = seq.max_frame_width
     fh.frame_height = seq.max_frame_height
+    if seq.enable_order_hint:
+        fh.order_hint = r.f(seq.order_hint_bits)
+    if not fh.error_resilient_mode and is_inter:
+        fh.primary_ref_frame = r.f(3)
+        assert fh.primary_ref_frame == PRIMARY_REF_NONE, \
+            "CDF inheritance unsupported"
     if is_inter:
         fh.refresh_frame_flags = r.f(8)
-        for _ in range(7):
-            assert r.f(3) == 0, "only ref slot 0 supported"
+        assert not (fh.error_resilient_mode and seq.enable_order_hint)
+        if seq.enable_order_hint:
+            assert not r.flag()          # frame_refs_short_signaling
+        fh.ref_frame_idx = tuple(r.f(3) for _ in range(7))
         if seq.enable_superres:
             assert not r.flag()
         assert not r.flag()              # render size diff
@@ -400,6 +442,8 @@ def parse_frame_header(r: BitReader, seq: SequenceHeader) -> FrameHeader:
         assert r.f(2) == 0               # REGULAR filter
         assert not r.flag()              # is_motion_mode_switchable
     else:
+        if not fh.show_frame:
+            fh.refresh_frame_flags = r.f(8)
         if seq.enable_superres:
             assert not r.flag()
         render_diff = r.flag()
@@ -460,7 +504,8 @@ def parse_frame_header(r: BitReader, seq: SequenceHeader) -> FrameHeader:
     if not fh.coded_lossless:
         fh.tx_mode_select = r.flag()
     if is_inter:
-        assert not r.flag()              # reference_select
+        fh.reference_select = r.flag()
+        assert not fh.reference_select, "compound parse (skip mode) TBD"
     fh.reduced_tx_set = r.flag()
     if is_inter:
         for _ in range(7):

@@ -166,6 +166,7 @@ class BlockDecision:
     inter_mode: int = 0                 # PredictionMode NEARESTMV..NEWMV
     mv: tuple = (0, 0)                  # (row, col) 1/8 pel
     ref_mv_idx: int = 0
+    ref: int = 1                        # named reference (LAST..ALTREF)
 
 
 class ModeDecider:
@@ -188,66 +189,72 @@ class ModeDecider:
 
     def decide_inter(self, codec: "FrameCodec", x, y, bw, bh,
                      mi_row, mi_col, bs_mi) -> BlockDecision:
-        """Inter-frame decision: try NEAREST/GLOBAL/NEW against the best
-        intra mode by prediction SAD (full RD in RdoDecider)."""
+        """Inter-frame decision: per candidate reference, try NEAREST/
+        NEAR/GLOBAL/NEW against the best intra mode by prediction SAD
+        (full RD in RdoDecider)."""
         from . import mv_pred as mp
         from ..ops import me as me_ops
 
         src = codec.source[0][y:y + bh, x:x + bw].astype(np.int32)
-        stack_res = mp.find_mv_stack(
-            codec.mi, mi_row, mi_col, bs_mi, bs_mi, 1,
-            codec.mi_rows, codec.mi_cols, sb_mi=codec.seq.sb_size // 4)
-
-        def mc_sad(mv):
-            pred = codec.predict_inter(0, mv, x, y, bw, bh)
-            return int(np.abs(src - pred).sum())
-
         in_frame = lambda mv: codec.mv_window_in_frame(mv, x, y, bw, bh)
-        cands = []
-        nearest = stack_res.ref_mv_list[0]
-        near = stack_res.ref_mv_list[1]
-        if in_frame(nearest):
-            cands.append((mc_sad(nearest), mp.NEARESTMV, nearest, 0))
-        if len(stack_res.stack) >= 2 and near != nearest and in_frame(near):
-            cands.append((mc_sad(near) + 16, mp.NEARMV, near, 0))
-        if in_frame((0, 0)):
-            cands.append((mc_sad((0, 0)) + 32, mp.GLOBALMV, (0, 0), 0))
-        # NEWMV: full-pel ME around the nearest predictor, window kept
-        # inside the visible frame (the reference decoder build does not
-        # pad references in its MT path, so out-of-frame reads are
-        # avoided entirely, like SVT's restricted-MV default)
         vis_w, vis_h = codec.fh.frame_width, codec.fh.frame_height
         blk = src.astype(np.uint8)
-        ref_vis = codec.refs[0][0][REF_PAD:REF_PAD + vis_h,
-                                   REF_PAD:REF_PAD + vis_w]
-        if bw <= vis_w and bh <= vis_h and x + bw <= vis_w and y + bh <= vis_h:
-            cx = int(np.clip(x + (nearest[1] >> 3), 4, max(vis_w - bw - 4, 4)))
-            cy = int(np.clip(y + (nearest[0] >> 3), 4, max(vis_h - bh - 4, 4)))
-            dx, dy, sad = me_ops.hme_search(blk, ref_vis, cx, cy, 24, 24)
-            best_x = int(np.clip(cx + dx, 4, vis_w - bw - 4))
-            best_y = int(np.clip(cy + dy, 4, vis_h - bh - 4))
-            new_mv = ((best_y - y) * 8, (best_x - x) * 8)
-            # sub-pel refinement: half then quarter (hp disabled keeps
-            # components even in 1/8 units)
-            best_mv = new_mv
-            best_sad = mc_sad(new_mv) if in_frame(new_mv) else (1 << 30)
-            for step in (4, 2):
-                improved = True
-                while improved:
-                    improved = False
-                    for drow, dcol in ((-step, 0), (step, 0), (0, -step),
-                                       (0, step), (-step, -step),
-                                       (-step, step), (step, -step),
-                                       (step, step)):
-                        cand = (best_mv[0] + drow, best_mv[1] + dcol)
-                        if not in_frame(cand):
-                            continue
-                        csad = mc_sad(cand)
-                        if csad < best_sad:
-                            best_mv, best_sad = cand, csad
-                            improved = True
-            if in_frame(best_mv):
-                cands.append((best_sad + 96, mp.NEWMV, best_mv, 0))
+        cands = []                         # (cost, mode, mv, drl_idx, ref)
+        for ref in codec.search_refs():
+            stack_res = mp.find_mv_stack(
+                codec.mi, mi_row, mi_col, bs_mi, bs_mi, ref,
+                codec.mi_rows, codec.mi_cols, sb_mi=codec.seq.sb_size // 4,
+                sign_bias=codec.sign_bias)
+
+            def mc_sad(mv, ref=ref):
+                pred = codec.predict_inter(0, mv, x, y, bw, bh, ref)
+                return int(np.abs(src - pred).sum())
+
+            nearest = stack_res.ref_mv_list[0]
+            near = stack_res.ref_mv_list[1]
+            if in_frame(nearest):
+                cands.append((mc_sad(nearest), mp.NEARESTMV, nearest, 0, ref))
+            if len(stack_res.stack) >= 2 and near != nearest and in_frame(near):
+                cands.append((mc_sad(near) + 16, mp.NEARMV, near, 0, ref))
+            if in_frame((0, 0)):
+                cands.append((mc_sad((0, 0)) + 32, mp.GLOBALMV, (0, 0), 0, ref))
+            # NEWMV: full-pel ME around the nearest predictor, window kept
+            # inside the visible frame (the reference decoder build does
+            # not pad references in its MT path, so out-of-frame reads
+            # are avoided entirely, like SVT's restricted-MV default)
+            ref_vis = codec.refs[ref][0][REF_PAD:REF_PAD + vis_h,
+                                         REF_PAD:REF_PAD + vis_w]
+            if bw <= vis_w and bh <= vis_h and x + bw <= vis_w \
+                    and y + bh <= vis_h:
+                cx = int(np.clip(x + (nearest[1] >> 3), 4,
+                                 max(vis_w - bw - 4, 4)))
+                cy = int(np.clip(y + (nearest[0] >> 3), 4,
+                                 max(vis_h - bh - 4, 4)))
+                dx, dy, sad = me_ops.hme_search(blk, ref_vis, cx, cy, 24, 24)
+                best_x = int(np.clip(cx + dx, 4, vis_w - bw - 4))
+                best_y = int(np.clip(cy + dy, 4, vis_h - bh - 4))
+                new_mv = ((best_y - y) * 8, (best_x - x) * 8)
+                # sub-pel refinement: half then quarter (hp disabled keeps
+                # components even in 1/8 units)
+                best_mv = new_mv
+                best_sad = mc_sad(new_mv) if in_frame(new_mv) else (1 << 30)
+                for step in (4, 2):
+                    improved = True
+                    while improved:
+                        improved = False
+                        for drow, dcol in ((-step, 0), (step, 0), (0, -step),
+                                           (0, step), (-step, -step),
+                                           (-step, step), (step, -step),
+                                           (step, step)):
+                            cand = (best_mv[0] + drow, best_mv[1] + dcol)
+                            if not in_frame(cand):
+                                continue
+                            csad = mc_sad(cand)
+                            if csad < best_sad:
+                                best_mv, best_sad = cand, csad
+                                improved = True
+                if in_frame(best_mv):
+                    cands.append((best_sad + 96, mp.NEWMV, best_mv, 0, ref))
         if not cands:
             return self.decide(codec, x, y, bw, bh)
 
@@ -261,7 +268,7 @@ class ModeDecider:
             return intra_d
         return BlockDecision(is_inter=True, inter_mode=best[1],
                              mv=(int(best[2][0]), int(best[2][1])),
-                             ref_mv_idx=best[3])
+                             ref_mv_idx=best[3], ref=best[4])
 
     def decide(self, codec: "FrameCodec", x: int, y: int, bw: int, bh: int
                ) -> BlockDecision:
@@ -332,10 +339,23 @@ class FrameCodec:
         self.bedge_y = [_g(p).astype(bool) for p in range(3)]
         self.skip_grid = [_g(p).astype(bool) for p in range(3)]
         self.mi = mv_pred.MiGrid.create(self.mi_rows, self.mi_cols)
-        # reference frames (padded) for inter frames
+        # reference frames for inter coding: {named_ref 1..7: [padded planes]}
+        # identical plane lists may be shared between names (slot aliasing)
         self.refs = None
         if refs is not None:
-            self.refs = [[self._pad_ref(p) for p in ref] for ref in refs]
+            pad_cache = {}
+
+            def padded(planes):
+                key = id(planes)
+                if key not in pad_cache:
+                    pad_cache[key] = [self._pad_ref(p) for p in planes]
+                return pad_cache[key]
+
+            self.refs = {name: padded(planes)
+                         for name, planes in refs.items()}
+        # RefFrameSignBias per named ref (spec: ref order hint after the
+        # current frame); filled by the caller from DPB order hints
+        self.sign_bias = [0] * 8
         self.io = None
         self.decider = None
 
@@ -880,7 +900,7 @@ class FrameCodec:
         r0, r1 = mi_row, min(mi_row + bs_mi, self.mi_rows)
         c0, c1 = mi_col, min(mi_col + bs_mi, self.mi_cols)
         if decision.is_inter:
-            g.ref_frame[r0:r1, c0:c1] = 1          # LAST
+            g.ref_frame[r0:r1, c0:c1] = decision.ref
             g.mv_row[r0:r1, c0:c1] = decision.mv[0]
             g.mv_col[r0:r1, c0:c1] = decision.mv[1]
             g.mode[r0:r1, c0:c1] = decision.inter_mode
@@ -889,6 +909,7 @@ class FrameCodec:
             g.mv_row[r0:r1, c0:c1] = 0
             g.mv_col[r0:r1, c0:c1] = 0
             g.mode[r0:r1, c0:c1] = int(decision.y_mode)
+        g.ref_frame1[r0:r1, c0:c1] = 0
         g.bw4[r0:r1, c0:c1] = bs_mi
         g.bh4[r0:r1, c0:c1] = bs_mi
         # DLF skip grids (inter blocks only count as skip for edge rules)
@@ -913,36 +934,55 @@ class FrameCodec:
 
     def _neighbor_ref_counts(self, mi_row, mi_col):
         counts = np.zeros(8, np.int32)
-        if mi_row > 0 and self.mi.ref_frame[mi_row - 1, mi_col] > 0:
-            counts[int(self.mi.ref_frame[mi_row - 1, mi_col])] += 1
-        if mi_col > 0 and self.mi.ref_frame[mi_row, mi_col - 1] > 0:
-            counts[int(self.mi.ref_frame[mi_row, mi_col - 1])] += 1
+        for r, c in ((mi_row - 1, mi_col), (mi_row, mi_col - 1)):
+            if r < 0 or c < 0:
+                continue
+            if self.mi.ref_frame[r, c] > 0:
+                counts[int(self.mi.ref_frame[r, c])] += 1
+                if self.mi.ref_frame1[r, c] > 0:
+                    counts[int(self.mi.ref_frame1[r, c])] += 1
         return counts
 
     @staticmethod
     def _ctx3(a, b):
         return 1 if a == b else (0 if a < b else 2)
 
-    def _code_ref_frames(self, mi_row, mi_col):
-        """Single-reference signaling; we emit/expect LAST
+    # named references (spec MvReferenceFrame)
+    LAST, LAST2, LAST3, GOLDEN, BWDREF, ALTREF2, ALTREF = range(1, 8)
+
+    def _code_ref_frames(self, mi_row, mi_col, ref=None):
+        """Single-reference signaling tree over all 7 named refs
         (read_ref_frames, EbDecParseInterBlock.c:242)."""
         io = self.io
         rc = self._neighbor_ref_counts(mi_row, mi_col)
+        ctx3 = self._ctx3
+        sr = self.fc.single_ref
+
+        def bit(value, ctx, idx):
+            return io.symbol(None if io.is_decoder else int(value),
+                             sr[ctx][idx], 2)
+
         fwd = rc[1] + rc[2] + rc[3] + rc[4]
         bwd = rc[5] + rc[6] + rc[7]
-        p1_ctx = self._ctx3(fwd, bwd)
-        bit0 = io.symbol(0 if not io.is_decoder else None,
-                         self.fc.single_ref[p1_ctx][0], 2)
-        assert bit0 == 0, "backward refs unsupported"
-        p_ctx = self._ctx3(rc[1] + rc[2], rc[3] + rc[4])
-        bit2 = io.symbol(0 if not io.is_decoder else None,
-                         self.fc.single_ref[p_ctx][2], 2)
-        assert bit2 == 0, "LAST3/GOLDEN unsupported"
-        p4_ctx = self._ctx3(rc[1], rc[2])
-        bit3 = io.symbol(0 if not io.is_decoder else None,
-                         self.fc.single_ref[p4_ctx][3], 2)
-        assert bit3 == 0, "LAST2 unsupported"
-        return 1  # LAST_FRAME
+        bit0 = bit(None if ref is None else ref >= self.BWDREF,
+                   ctx3(fwd, bwd), 0)
+        if bit0:
+            bit1 = bit(None if ref is None else ref == self.ALTREF,
+                       ctx3(rc[5] + rc[6], rc[7]), 1)
+            if bit1:
+                return self.ALTREF
+            bit5 = bit(None if ref is None else ref == self.ALTREF2,
+                       ctx3(rc[5], rc[6]), 5)
+            return self.ALTREF2 if bit5 else self.BWDREF
+        bit2 = bit(None if ref is None else ref in (self.LAST3, self.GOLDEN),
+                   ctx3(rc[1] + rc[2], rc[3] + rc[4]), 2)
+        if bit2:
+            bit4 = bit(None if ref is None else ref == self.GOLDEN,
+                       ctx3(rc[3], rc[4]), 4)
+            return self.GOLDEN if bit4 else self.LAST3
+        bit3 = bit(None if ref is None else ref == self.LAST2,
+                   ctx3(rc[1], rc[2]), 3)
+        return self.LAST2 if bit3 else self.LAST
 
     def _code_inter_mode(self, mode_ctx, mode):
         """newmv/zeromv/refmv flag ladder."""
@@ -990,6 +1030,18 @@ class FrameCodec:
                         return out_idx
         return out_idx
 
+    def search_refs(self):
+        """Named refs worth searching: one per distinct reference picture
+        (slot aliases collapse), preferring the canonical short names."""
+        seen = {}
+        for name in (1, 5, 7, 4, 2, 3, 6):     # LAST,BWD,ALT,GLD,L2,L3,A2
+            if name not in self.refs:
+                continue
+            key = id(self.refs[name])
+            if key not in seen:
+                seen[key] = name
+        return list(seen.values())
+
     def mv_window_in_frame(self, mv, x, y, bw, bh) -> bool:
         """True when the MC read windows (luma + chroma, incl. 8-tap
         margins) stay inside the visible frame for this mv."""
@@ -1013,9 +1065,9 @@ class FrameCodec:
                 return False
         return True
 
-    def predict_inter(self, plane, mv, px, py, pw, ph):
-        """Motion-compensated prediction from the LAST reference."""
-        ref = self.refs[0][plane]
+    def predict_inter(self, plane, mv, px, py, pw, ph, ref_name=1):
+        """Motion-compensated prediction from a named reference."""
+        ref = self.refs[ref_name][plane]
         sh = 1 if plane else 0
         pos_x = (px << 4) + (mv[1] << (1 - sh))
         pos_y = (py << 4) + (mv[0] << (1 - sh))
@@ -1039,7 +1091,8 @@ class FrameCodec:
             ts = self.tx_size_for(plane, bw, bh)
             if decision.is_inter:
                 tt = TxType.DCT_DCT
-                pred = self.predict_inter(plane, decision.mv, px, py, pw, ph)
+                pred = self.predict_inter(plane, decision.mv, px, py, pw, ph,
+                                          decision.ref)
             else:
                 tt = self.tx_type_for(plane, decision, ts)
                 mode = decision.y_mode if plane == 0 else PredictionMode(decision.uv_mode)
@@ -1097,11 +1150,13 @@ class FrameCodec:
                              self.fc.intra_inter[ii_ctx], 2)
 
         if is_inter:
-            self._code_ref_frames(mi_row, mi_col)
+            ref = self._code_ref_frames(
+                mi_row, mi_col,
+                None if decision is None else decision.ref)
             stack_res = mv_pred.find_mv_stack(
-                self.mi, mi_row, mi_col, bs_mi, bs_mi, 1,
+                self.mi, mi_row, mi_col, bs_mi, bs_mi, ref,
                 self.mi_rows, self.mi_cols,
-                sb_mi=self.seq.sb_size // MI)
+                sb_mi=self.seq.sb_size // MI, sign_bias=self.sign_bias)
             mode = self._code_inter_mode(
                 stack_res.mode_context,
                 None if decision is None else decision.inter_mode)
@@ -1132,7 +1187,7 @@ class FrameCodec:
             if io.is_decoder:
                 decision = BlockDecision(is_inter=True, inter_mode=mode,
                                          mv=(int(mv[0]), int(mv[1])),
-                                         ref_mv_idx=ref_mv_idx)
+                                         ref_mv_idx=ref_mv_idx, ref=ref)
         else:
             decision2 = self._code_intra_in_inter(decision, bw, bh)
             if io.is_decoder:
@@ -1241,7 +1296,8 @@ class FrameCodec:
             ts = self.tx_size_for(plane, bw, bh)
             self._record_tx_geometry(plane, px, py, pw, ph, ts)
             if decision.is_inter:
-                pred = self.predict_inter(plane, decision.mv, px, py, pw, ph)
+                pred = self.predict_inter(plane, decision.mv, px, py, pw, ph,
+                                          decision.ref)
                 default_tt = TxType.DCT_DCT
                 ttr = (lambda ts=ts: self._inter_tx_type_io(ts, None)) \
                     if plane == 0 else None

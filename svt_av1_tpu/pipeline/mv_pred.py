@@ -32,10 +32,18 @@ REFMV_CTX_MASK = (1 << (8 - REFMV_OFFSET)) - 1
 
 # inter modes (PredictionMode numbering from constants.py)
 NEARESTMV, NEARMV, GLOBALMV, NEWMV = 13, 14, 15, 16
+# compound modes
+NEAREST_NEARESTMV, NEAR_NEARMV = 17, 18
+NEAREST_NEWMV, NEW_NEARESTMV = 19, 20
+NEAR_NEWMV, NEW_NEARMV = 21, 22
+GLOBAL_GLOBALMV, NEW_NEWMV = 23, 24
 
 
-def has_newmv(mode: int) -> bool:
-    return mode == NEWMV
+def has_newmv(mode: int, j: int = 0) -> bool:
+    """spec has_newmv(mode, refList)."""
+    return (mode == NEWMV or mode == NEW_NEWMV
+            or (j == 1 and mode in (NEAREST_NEWMV, NEAR_NEWMV))
+            or (j == 0 and mode in (NEW_NEARESTMV, NEW_NEARMV)))
 
 
 @dataclasses.dataclass
@@ -48,13 +56,17 @@ class MiGrid:
     mode: np.ndarray           # [mi_rows, mi_cols] uint8
     bw4: np.ndarray            # block width in mi units at that mi
     bh4: np.ndarray
+    ref_frame1: np.ndarray = None   # second ref (compound); 0 = none
+    mv1_row: np.ndarray = None
+    mv1_col: np.ndarray = None
 
     @classmethod
     def create(cls, mi_rows: int, mi_cols: int) -> "MiGrid":
         z = lambda dt: np.zeros((mi_rows, mi_cols), dt)
         return cls(z(np.int8), z(np.int16), z(np.int16), z(np.uint8),
                    np.ones((mi_rows, mi_cols), np.int16),
-                   np.ones((mi_rows, mi_cols), np.int16))
+                   np.ones((mi_rows, mi_cols), np.int16),
+                   z(np.int8), z(np.int16), z(np.int16))
 
 
 @dataclasses.dataclass
@@ -68,33 +80,38 @@ class MvStackResult:
 def find_mv_stack(grid: MiGrid, mi_row: int, mi_col: int, bw4: int, bh4: int,
                   ref_frame: int, mi_rows: int, mi_cols: int,
                   sb_mi: int = 16, gm_mv=(0, 0), allow_hp: bool = False,
-                  force_int: bool = False) -> MvStackResult:
+                  force_int: bool = False, sign_bias=None) -> MvStackResult:
     stack: list[list] = []     # [mv_row, mv_col, weight]
     found_above = 0
     found_left = 0
     newmv_count = 0
-
-    def add_candidate(r, c, weight):
-        nonlocal newmv_count, found_above, found_left
-        pass  # replaced below per scan kind
+    if sign_bias is None:
+        sign_bias = [0] * 8
 
     def add_ref_mv(cand_rc, weight, bump):
-        """add_ref_mv_candidate for single ref."""
+        """add_ref_mv_candidate for single ref: a candidate contributes
+        once per matching ref position (spec 7.10.2.9)."""
         nonlocal newmv_count
         r, c = cand_rc
-        if grid.ref_frame[r, c] != ref_frame:
-            return 0
-        mv = (int(grid.mv_row[r, c]), int(grid.mv_col[r, c]))
-        for ent in stack:
-            if (ent[0], ent[1]) == mv:
-                ent[2] += weight
-                break
-        else:
-            if len(stack) < MAX_REF_MV_STACK_SIZE:
-                stack.append([mv[0], mv[1], weight])
-        if has_newmv(int(grid.mode[r, c])):
-            newmv_count += 1
-        return 1
+        found = 0
+        cand_refs = (int(grid.ref_frame[r, c]), int(grid.ref_frame1[r, c]))
+        cand_mvs = ((int(grid.mv_row[r, c]), int(grid.mv_col[r, c])),
+                    (int(grid.mv1_row[r, c]), int(grid.mv1_col[r, c])))
+        for j in range(2):
+            if cand_refs[j] != ref_frame:
+                continue
+            mv = cand_mvs[j]
+            for ent in stack:
+                if (ent[0], ent[1]) == mv:
+                    ent[2] += weight
+                    break
+            else:
+                if len(stack) < MAX_REF_MV_STACK_SIZE:
+                    stack.append([mv[0], mv[1], weight])
+            if has_newmv(int(grid.mode[r, c]), j):
+                newmv_count += 1
+            found = 1
+        return found
 
     row_adj = (bh4 < 2) and (mi_row & 1)
     col_adj = (bw4 < 2) and (mi_col & 1)
@@ -223,8 +240,11 @@ def find_mv_stack(grid: MiGrid, mi_row: int, mi_col: int, bw4: int, bh4: int,
     sort_span(0, num_nearest)
     sort_span(num_nearest, len(stack))
 
-    # extra search process (single ref): any inter neighbor's mvs
+    # extra search process (single ref): any inter neighbor's mvs,
+    # sign-flipped when the candidate ref lies on the other temporal side
+    # (spec add_extra_mv_candidate; RefFrameSignBias from order hints)
     if len(stack) < MAX_MV_REF_CANDIDATES:
+        our_bias = sign_bias[ref_frame]
         mi_width = min(min(16, bw4), mi_cols - mi_col)
         mi_height = min(min(16, bh4), mi_rows - mi_row)
         mi_size = min(mi_width, mi_height)
@@ -237,9 +257,15 @@ def find_mv_stack(grid: MiGrid, mi_row: int, mi_col: int, bw4: int, bh4: int,
                     mv_row, mv_col = mi_row + idx, mi_col - 1
                 if not (0 <= mv_col < mi_cols and 0 <= mv_row < mi_rows):
                     break
-                if grid.ref_frame[mv_row, mv_col] > 0:
-                    mv = (int(grid.mv_row[mv_row, mv_col]),
-                          int(grid.mv_col[mv_row, mv_col]))
+                for rf, mr, mc in (
+                        (grid.ref_frame, grid.mv_row, grid.mv_col),
+                        (grid.ref_frame1, grid.mv1_row, grid.mv1_col)):
+                    cand_ref = int(rf[mv_row, mv_col])
+                    if cand_ref <= 0 or len(stack) >= MAX_MV_REF_CANDIDATES:
+                        continue
+                    mv = (int(mr[mv_row, mv_col]), int(mc[mv_row, mv_col]))
+                    if sign_bias[cand_ref] != our_bias:
+                        mv = (-mv[0], -mv[1])
                     if all((e[0], e[1]) != mv for e in stack):
                         stack.append([mv[0], mv[1], 2])
                 idx += int(grid.bh4[mv_row, mv_col]) if pass_ else \

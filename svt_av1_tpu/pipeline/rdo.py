@@ -207,7 +207,8 @@ class _RegionState:
     so partition trials can be rolled back (the analog of the reference
     MD's candidate-buffer neighbor arrays, EbModeDecisionProcess)."""
 
-    _MI_FIELDS = ("ref_frame", "mv_row", "mv_col", "mode", "bw4", "bh4")
+    _MI_FIELDS = ("ref_frame", "mv_row", "mv_col", "mode", "bw4", "bh4",
+                  "ref_frame1", "mv1_row", "mv1_col")
 
     def __init__(self, codec: FrameCodec, mi_row: int, mi_col: int,
                  bs_mi: int):
