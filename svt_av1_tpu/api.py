@@ -332,6 +332,11 @@ class Encoder:
 
         fh = self._frame_header(job, refs_idx)
         fh.refresh_frame_flags = self._refresh_mask(job)
+        if not job.is_key:
+            # compound prediction once any backward reference exists
+            fh.reference_select = any(
+                self._rel_dist(named[n], job.display) > 0
+                for n in range(1, 8))
         codec = FrameCodec(self.seq, fh, source_planes=planes, refs=refs)
         codec.sign_bias = sign_bias
         tile_data = codec.encode_tile(self._decider())
@@ -349,7 +354,7 @@ class Encoder:
             self._anchor = job.display
 
         w = BitWriter()
-        write_frame_header(w, self.seq, fh)
+        write_frame_header(w, self.seq, fh, self._slot_order_hints())
         w.byte_align()
         frame_payload = w.bytes() + tile_data
 
@@ -369,6 +374,11 @@ class Encoder:
         diff = (a - b) & ((1 << bits) - 1)
         m = 1 << (bits - 1)
         return (diff & (m - 1)) - (diff & m)
+
+    def _slot_order_hints(self):
+        mask = (1 << self.seq.order_hint_bits) - 1
+        return [0 if s is None else (s["order_hint"] & mask)
+                for s in self.dpb.slots]
 
 
 # --------------------------------------------------------------------------
@@ -395,7 +405,7 @@ class Decoder:
                 planes = self._decode_frame_obu(payload)
             elif obu_type == ObuType.OBU_FRAME_HEADER:
                 r = BitReader(payload)
-                res = parse_frame_header(r, self.seq)
+                res = parse_frame_header(r, self.seq, self._hints())
                 assert isinstance(res, int), "frame header without tiles"
                 planes = tuple(np.asarray(p)
                                for p in self.dpb.slots[res]["planes"])
@@ -409,10 +419,17 @@ class Decoder:
             self.md5.update(np.ascontiguousarray(p).tobytes())
         return out
 
+    def _hints(self):
+        if self.seq is None or not self.seq.enable_order_hint:
+            return (0,) * 8
+        mask = (1 << self.seq.order_hint_bits) - 1
+        return [0 if s is None else (s["order_hint"] & mask)
+                for s in self.dpb.slots]
+
     def _decode_frame_obu(self, payload: bytes):
         assert self.seq is not None, "no sequence header seen"
         r = BitReader(payload)
-        fh = parse_frame_header(r, self.seq)
+        fh = parse_frame_header(r, self.seq, self._hints())
         assert isinstance(fh, FrameHeader)
         tile_data = payload[r.byte_pos:]
         is_key = fh.frame_type == FrameType.KEY_FRAME

@@ -269,7 +269,51 @@ def write_show_existing_header(w: BitWriter, map_idx: int) -> None:
     w.f(map_idx, 3)
 
 
-def write_frame_header(w: BitWriter, seq: SequenceHeader, fh: FrameHeader) -> None:
+def get_relative_dist(seq: SequenceHeader, a: int, b: int) -> int:
+    """spec get_relative_dist over wrapped order hints."""
+    if not seq.enable_order_hint:
+        return 0
+    bits = seq.order_hint_bits
+    diff = (a - b) & ((1 << bits) - 1)
+    m = 1 << (bits - 1)
+    return (diff & (m - 1)) - (diff & m)
+
+
+def skip_mode_allowed(seq: SequenceHeader, fh: FrameHeader,
+                      ref_order_hints) -> bool:
+    """spec 5.9.22 skip mode params: whether skip_mode_present is coded.
+    ref_order_hints: order hint per DPB slot (the decoder's state)."""
+    if (fh.frame_type != FrameType.INTER_FRAME or not fh.reference_select
+            or not seq.enable_order_hint):
+        return False
+    cur = fh.order_hint & ((1 << seq.order_hint_bits) - 1)
+    fwd_idx = bwd_idx = -1
+    fwd_hint = bwd_hint = 0
+    for i in range(7):
+        ref_hint = ref_order_hints[fh.ref_frame_idx[i]]
+        d = get_relative_dist(seq, ref_hint, cur)
+        if d < 0:
+            if fwd_idx < 0 or get_relative_dist(seq, ref_hint, fwd_hint) > 0:
+                fwd_idx, fwd_hint = i, ref_hint
+        elif d > 0:
+            if bwd_idx < 0 or get_relative_dist(seq, ref_hint, bwd_hint) < 0:
+                bwd_idx, bwd_hint = i, ref_hint
+    if fwd_idx < 0:
+        return False
+    if bwd_idx >= 0:
+        return True
+    snd_idx = -1
+    snd_hint = 0
+    for i in range(7):
+        ref_hint = ref_order_hints[fh.ref_frame_idx[i]]
+        if get_relative_dist(seq, ref_hint, fwd_hint) < 0:
+            if snd_idx < 0 or get_relative_dist(seq, ref_hint, snd_hint) > 0:
+                snd_idx, snd_hint = i, ref_hint
+    return snd_idx >= 0
+
+
+def write_frame_header(w: BitWriter, seq: SequenceHeader, fh: FrameHeader,
+                       ref_order_hints=(0,) * 8) -> None:
     """Write the uncompressed header (no trailing bits; the caller
     byte-aligns per OBU type).  Syntax mirrors the reference writer
     write_uncompressed_header_obu (EbEntropyCoding.c:4022)."""
@@ -325,8 +369,8 @@ def write_frame_header(w: BitWriter, seq: SequenceHeader, fh: FrameHeader) -> No
         w.flag(fh.tx_mode_select)        # read_tx_mode
     if is_inter:
         w.flag(fh.reference_select)
-    assert not fh.reference_select, "compound header (skip mode) TBD"
-    # skip_mode: !reference_select -> skipModeAllowed == 0, nothing coded
+    if skip_mode_allowed(seq, fh, ref_order_hints):
+        w.flag(False)                    # skip_mode_present
     # allow_warped_motion: seq-disabled -> skip
     w.flag(fh.reduced_tx_set)
     if is_inter:
@@ -402,7 +446,8 @@ def _write_lr_params(w: BitWriter, seq: SequenceHeader, fh: FrameHeader) -> None
     raise NotImplementedError("lr signaling")
 
 
-def parse_frame_header(r: BitReader, seq: SequenceHeader) -> FrameHeader:
+def parse_frame_header(r: BitReader, seq: SequenceHeader,
+                       ref_order_hints=(0,) * 8):
     """Returns a FrameHeader, or an int map_idx for show_existing_frame."""
     fh = FrameHeader()
     show_existing = r.flag()
@@ -505,7 +550,8 @@ def parse_frame_header(r: BitReader, seq: SequenceHeader) -> FrameHeader:
         fh.tx_mode_select = r.flag()
     if is_inter:
         fh.reference_select = r.flag()
-        assert not fh.reference_select, "compound parse (skip mode) TBD"
+    if skip_mode_allowed(seq, fh, ref_order_hints):
+        assert not r.flag(), "skip_mode_present unsupported"
     fh.reduced_tx_set = r.flag()
     if is_inter:
         for _ in range(7):

@@ -110,3 +110,80 @@ def convolve_2d_sr(src, src_x: int, src_y: int, w: int, h: int,
         acc = acc + yf[k] * cols[..., k:k + h, :]
     out = (acc + (1 << (FILTER_BITS - 1))) >> FILTER_BITS
     return xp.clip(out, 0, (1 << bd) - 1)
+
+
+# --------------------------------------------------------------------------
+# Compound (two-reference) path: jnt_convolve without dist weighting
+# (svt_av1_jnt_convolve_{2d,x,y,2d_copy}_c, EbInterPrediction.c:552+,
+#  use_jnt_comp_avg = 0 since the sequence signals enable_jnt_comp = 0)
+# --------------------------------------------------------------------------
+
+def _rpot(v, n, xp=np):
+    return (v + (1 << (n - 1))) >> n
+
+
+def jnt_round_offset(bd: int) -> int:
+    offset_bits = bd + 2 * FILTER_BITS - ROUND0_BITS_8
+    r1 = 7                       # COMPOUND_ROUND1_BITS
+    return (1 << (offset_bits - r1)) + (1 << (offset_bits - r1 - 1))
+
+
+def jnt_convolve(src, src_x: int, src_y: int, w: int, h: int,
+                 subpel_x_q4: int, subpel_y_q4: int,
+                 filter_x: int = REGULAR, filter_y: int = REGULAR,
+                 bd: int = 8, xp=np):
+    """One reference's contribution to a compound prediction: the
+    intermediate CONV-domain block (int32, offset included)."""
+    round_0, round_1 = ROUND0_BITS_8, 7
+    offset_bits = bd + 2 * FILTER_BITS - round_0
+    round_offset = jnt_round_offset(bd)
+    has_x = subpel_x_q4 & 15
+    has_y = subpel_y_q4 & 15
+
+    if not has_x and not has_y:
+        bits = 2 * FILTER_BITS - round_1 - round_0
+        blk = src[..., src_y:src_y + h, src_x:src_x + w].astype(xp.int32)
+        return (blk << bits) + round_offset
+
+    if has_x and has_y:
+        xf = interp_kernel(filter_x, subpel_x_q4, w)
+        yf = interp_kernel(filter_y, subpel_y_q4, w)
+        im_h = h + 7
+        rows = src[..., src_y - 3:src_y - 3 + im_h,
+                   src_x - 3:src_x + w + 4].astype(xp.int32)
+        acc = xp.zeros(rows.shape[:-1] + (w,), dtype=xp.int32) \
+            + (1 << (bd + FILTER_BITS - 1))
+        for k in range(8):
+            acc = acc + xf[k] * rows[..., :, k:k + w]
+        im = _rpot(acc, round_0, xp)
+        acc2 = xp.full(im.shape[:-2] + (h, w), 1 << offset_bits,
+                       dtype=xp.int32)
+        for k in range(8):
+            acc2 = acc2 + yf[k] * im[..., k:k + h, :]
+        return _rpot(acc2, round_1, xp)
+
+    if has_x:
+        bits = FILTER_BITS - round_1
+        xf = interp_kernel(filter_x, subpel_x_q4, w)
+        rows = src[..., src_y:src_y + h,
+                   src_x - 3:src_x + w + 4].astype(xp.int32)
+        acc = xp.zeros(rows.shape[:-1] + (w,), dtype=xp.int32)
+        for k in range(8):
+            acc = acc + xf[k] * rows[..., :, k:k + w]
+        return (_rpot(acc, round_0, xp) << bits) + round_offset
+
+    bits = FILTER_BITS - round_0
+    yf = interp_kernel(filter_y, subpel_y_q4, w)
+    cols = src[..., src_y - 3:src_y + h + 4, src_x:src_x + w].astype(xp.int32)
+    acc = xp.zeros(cols.shape[:-2] + (h, w), dtype=xp.int32)
+    for k in range(8):
+        acc = acc + yf[k] * cols[..., k:k + h, :]
+    return _rpot(acc << bits, round_1, xp) + round_offset
+
+
+def jnt_average(buf0, buf1, bd: int = 8, xp=np):
+    """COMPOUND_AVERAGE of two CONV-domain blocks -> pixels."""
+    round_0, round_1 = ROUND0_BITS_8, 7
+    round_bits = 2 * FILTER_BITS - round_0 - round_1
+    tmp = ((buf0 + buf1) >> 1) - jnt_round_offset(bd)
+    return xp.clip(_rpot(tmp, round_bits, xp), 0, (1 << bd) - 1)

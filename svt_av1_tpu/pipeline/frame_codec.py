@@ -163,10 +163,12 @@ class BlockDecision:
     tx_type_y: TxType = TxType.DCT_DCT
     # inter fields
     is_inter: bool = False
-    inter_mode: int = 0                 # PredictionMode NEARESTMV..NEWMV
+    inter_mode: int = 0                 # PredictionMode NEARESTMV..NEW_NEWMV
     mv: tuple = (0, 0)                  # (row, col) 1/8 pel
     ref_mv_idx: int = 0
     ref: int = 1                        # named reference (LAST..ALTREF)
+    ref1: int = 0                       # second ref (compound); 0 = none
+    mv1: tuple = (0, 0)
 
 
 class ModeDecider:
@@ -259,11 +261,47 @@ class ModeDecider:
             return self.decide(codec, x, y, bw, bh)
 
         best = min(cands, key=lambda c: c[0])
+
+        # compound trial: average the best forward and backward singles
+        comp_best = None
+        if codec.fh.reference_select and bw >= 8 and bh >= 8:
+            fwd = [c for c in cands if c[4] < 5 and c[1] != mp.GLOBALMV]
+            bwd = [c for c in cands if c[4] >= 5 and c[1] != mp.GLOBALMV]
+            if fwd and bwd:
+                bf = min(fwd, key=lambda c: c[0])
+                bb = min(bwd, key=lambda c: c[0])
+                rf, rb = bf[4], bb[4]
+                stack = mp.find_mv_stack(
+                    codec.mi, mi_row, mi_col, bs_mi, bs_mi, rf,
+                    codec.mi_rows, codec.mi_cols,
+                    sb_mi=codec.seq.sb_size // 4, sign_bias=codec.sign_bias,
+                    ref_frame1=rb).stack
+                lower = lambda mv: mp.lower_mv_precision(mv, False, False)
+                trials = [(mp.NEW_NEWMV, bf[2], bb[2], 96)]
+                if stack:
+                    trials.append((mp.NEAREST_NEARESTMV,
+                                   lower(stack[0][0]), lower(stack[0][1]), 0))
+                for mode, mv0, mv1, pen in trials:
+                    if not (in_frame(mv0) and in_frame(mv1)):
+                        continue
+                    pred = codec.predict_compound(0, mv0, mv1, x, y, bw, bh,
+                                                  rf, rb)
+                    sad = int(np.abs(src - pred).sum()) + pen
+                    if comp_best is None or sad < comp_best[0]:
+                        comp_best = (sad, mode, mv0, mv1, rf, rb)
+
         # intra fallback
         intra_d = self.decide(codec, x, y, bw, bh)
         pred = codec.predict(0, intra_d.y_mode, 0, x, y, bw, bh,
                              max_txsize_rect(bw, bh))
         intra_sad = int(np.abs(src - pred).sum()) + 128
+        if comp_best is not None and comp_best[0] < best[0] \
+                and comp_best[0] < intra_sad:
+            return BlockDecision(
+                is_inter=True, inter_mode=comp_best[1],
+                mv=(int(comp_best[2][0]), int(comp_best[2][1])),
+                mv1=(int(comp_best[3][0]), int(comp_best[3][1])),
+                ref=comp_best[4], ref1=comp_best[5])
         if intra_sad < best[0]:
             return intra_d
         return BlockDecision(is_inter=True, inter_mode=best[1],
@@ -904,12 +942,15 @@ class FrameCodec:
             g.mv_row[r0:r1, c0:c1] = decision.mv[0]
             g.mv_col[r0:r1, c0:c1] = decision.mv[1]
             g.mode[r0:r1, c0:c1] = decision.inter_mode
+            g.ref_frame1[r0:r1, c0:c1] = decision.ref1
+            g.mv1_row[r0:r1, c0:c1] = decision.mv1[0]
+            g.mv1_col[r0:r1, c0:c1] = decision.mv1[1]
         else:
             g.ref_frame[r0:r1, c0:c1] = 0
             g.mv_row[r0:r1, c0:c1] = 0
             g.mv_col[r0:r1, c0:c1] = 0
             g.mode[r0:r1, c0:c1] = int(decision.y_mode)
-        g.ref_frame1[r0:r1, c0:c1] = 0
+            g.ref_frame1[r0:r1, c0:c1] = 0
         g.bw4[r0:r1, c0:c1] = bs_mi
         g.bh4[r0:r1, c0:c1] = bs_mi
         # DLF skip grids (inter blocks only count as skip for edge rules)
@@ -949,6 +990,107 @@ class FrameCodec:
 
     # named references (spec MvReferenceFrame)
     LAST, LAST2, LAST3, GOLDEN, BWDREF, ALTREF2, ALTREF = range(1, 8)
+
+    def _nbr(self, mi_row, mi_col):
+        """(is_avail, is_inter, ref0, has_second, uni_comp) for the
+        above and left neighbors."""
+        out = []
+        for r, c in ((mi_row - 1, mi_col), (mi_row, mi_col - 1)):
+            if r < 0 or c < 0:
+                out.append(None)
+                continue
+            rf0 = int(self.mi.ref_frame[r, c])
+            rf1 = int(self.mi.ref_frame1[r, c])
+            uni = rf1 > 0 and not ((rf0 >= self.BWDREF) ^ (rf1 >= self.BWDREF))
+            out.append((rf0 > 0, rf0, rf1 > 0, uni))
+        return out
+
+    def _reference_mode_ctx(self, mi_row, mi_col):
+        """get_reference_mode_context (EbDecParseInterBlock.c:63)."""
+        above, left = self._nbr(mi_row, mi_col)
+        bwd = lambda rf: rf >= self.BWDREF
+        if above and left:
+            a_inter, a_rf0, a_2nd, _ = above
+            l_inter, l_rf0, l_2nd, _ = left
+            if not a_2nd and not l_2nd:
+                return int(bwd(a_rf0)) ^ int(bwd(l_rf0))
+            if not a_2nd:
+                return 2 + int(bwd(a_rf0) or not a_inter)
+            if not l_2nd:
+                return 2 + int(bwd(l_rf0) or not l_inter)
+            return 4
+        if above or left:
+            e_inter, e_rf0, e_2nd, _ = above or left
+            return 3 if e_2nd else int(bwd(e_rf0))
+        return 1
+
+    def _comp_ref_type_ctx(self, mi_row, mi_col):
+        """get_comp_reference_type_context (EbDecParseHelper.c:217)."""
+        above, left = self._nbr(mi_row, mi_col)
+        bwd = lambda rf: rf >= self.BWDREF
+        if above and left:
+            a_inter, a_rf0, a_2nd, a_uni = above
+            l_inter, l_rf0, l_2nd, l_uni = left
+            if not a_inter and not l_inter:
+                return 2
+            if not a_inter or not l_inter:
+                inter = above if not l_inter else left
+                _, rf0, second, uni = inter
+                return 2 if not second else 1 + 2 * int(uni)
+            if not a_2nd and not l_2nd:
+                return 1 + 2 * int(not (bwd(a_rf0) ^ bwd(l_rf0)))
+            if not a_2nd or not l_2nd:
+                uni = l_uni if not a_2nd else a_uni
+                if not uni:
+                    return 1
+                return 3 + int(not (bwd(a_rf0) ^ bwd(l_rf0)))
+            if not a_uni and not l_uni:
+                return 0
+            if not a_uni or not l_uni:
+                return 2
+            return 3 + int(not ((a_rf0 == self.BWDREF) ^ (l_rf0 == self.BWDREF)))
+        if above or left:
+            e_inter, e_rf0, e_2nd, e_uni = above or left
+            if not e_inter:
+                return 2
+            return 2 if not e_2nd else 4 * int(e_uni)
+        return 2
+
+    def _code_comp_ref_frames(self, mi_row, mi_col, refs=None):
+        """Compound (bidirectional) reference pair signaling."""
+        io = self.io
+        rc = self._neighbor_ref_counts(mi_row, mi_col)
+        ctx3 = self._ctx3
+        crt_ctx = self._comp_ref_type_ctx(mi_row, mi_col)
+        crt = io.symbol(None if refs is None else 1,
+                        self.fc.comp_ref_type[crt_ctx], 2)
+        assert crt == 1, "unidirectional compound unsupported"
+
+        def bit(value, cdf_set, ctx, idx):
+            return io.symbol(None if refs is None else int(value),
+                             cdf_set[ctx][idx], 2)
+
+        r0 = None if refs is None else refs[0]
+        b = bit(None if refs is None else r0 in (self.LAST3, self.GOLDEN),
+                self.fc.comp_ref, ctx3(rc[1] + rc[2], rc[3] + rc[4]), 0)
+        if not b:
+            b1 = bit(None if refs is None else r0 == self.LAST2,
+                     self.fc.comp_ref, ctx3(rc[1], rc[2]), 1)
+            ref0 = self.LAST2 if b1 else self.LAST
+        else:
+            b2 = bit(None if refs is None else r0 == self.GOLDEN,
+                     self.fc.comp_ref, ctx3(rc[3], rc[4]), 2)
+            ref0 = self.GOLDEN if b2 else self.LAST3
+        r1 = None if refs is None else refs[1]
+        bb = bit(None if refs is None else r1 == self.ALTREF,
+                 self.fc.comp_bwdref, ctx3(rc[5] + rc[6], rc[7]), 0)
+        if bb:
+            ref1 = self.ALTREF
+        else:
+            bb1 = bit(None if refs is None else r1 == self.ALTREF2,
+                      self.fc.comp_bwdref, ctx3(rc[5], rc[6]), 1)
+            ref1 = self.ALTREF2 if bb1 else self.BWDREF
+        return ref0, ref1
 
     def _code_ref_frames(self, mi_row, mi_col, ref=None):
         """Single-reference signaling tree over all 7 named refs
@@ -1007,7 +1149,7 @@ class FrameCodec:
     def _code_drl(self, mode, stack, ref_mv_idx):
         io = self.io
         out_idx = 0
-        if mode == mv_pred.NEWMV:
+        if mode in (mv_pred.NEWMV, mv_pred.NEW_NEWMV):
             for idx in range(2):
                 if len(stack) > idx + 1:
                     ctx = mv_pred.drl_ctx(stack, idx)
@@ -1018,7 +1160,8 @@ class FrameCodec:
                     if not bit:
                         return out_idx
                     out_idx = idx + 1
-        elif mode == mv_pred.NEARMV:
+        elif mode in (mv_pred.NEARMV, mv_pred.NEAR_NEARMV,
+                      mv_pred.NEAR_NEWMV, mv_pred.NEW_NEARMV):
             for idx in range(1, 3):
                 if len(stack) > idx + 1:
                     ctx = mv_pred.drl_ctx(stack, idx)
@@ -1065,21 +1208,46 @@ class FrameCodec:
                 return False
         return True
 
-    def predict_inter(self, plane, mv, px, py, pw, ph, ref_name=1):
-        """Motion-compensated prediction from a named reference."""
-        ref = self.refs[ref_name][plane]
+    def _mc_pos(self, ref, plane, mv, px, py, pw, ph):
         sh = 1 if plane else 0
         pos_x = (px << 4) + (mv[1] << (1 - sh))
         pos_y = (py << 4) + (mv[0] << (1 - sh))
         int_x = (pos_x >> 4) + REF_PAD
         int_y = (pos_y >> 4) + REF_PAD
-        sub_x = pos_x & 15
-        sub_y = pos_y & 15
         int_x = int(np.clip(int_x, 4, ref.shape[1] - pw - 8))
         int_y = int(np.clip(int_y, 4, ref.shape[0] - ph - 8))
+        return int_x, int_y, pos_x & 15, pos_y & 15
+
+    def predict_inter(self, plane, mv, px, py, pw, ph, ref_name=1):
+        """Motion-compensated prediction from a named reference."""
+        ref = self.refs[ref_name][plane]
+        int_x, int_y, sub_x, sub_y = self._mc_pos(ref, plane, mv, px, py,
+                                                  pw, ph)
         return np.asarray(inter_ops.convolve_2d_sr(
             ref, int_x, int_y, pw, ph, sub_x, sub_y,
             bd=self.seq.bit_depth))
+
+    def predict_compound(self, plane, mv0, mv1, px, py, pw, ph,
+                         ref0_name, ref1_name):
+        """COMPOUND_AVERAGE prediction (jnt convolve, no dist weights)."""
+        bufs = []
+        for mv, name in ((mv0, ref0_name), (mv1, ref1_name)):
+            ref = self.refs[name][plane]
+            int_x, int_y, sub_x, sub_y = self._mc_pos(ref, plane, mv,
+                                                      px, py, pw, ph)
+            bufs.append(np.asarray(inter_ops.jnt_convolve(
+                ref, int_x, int_y, pw, ph, sub_x, sub_y,
+                bd=self.seq.bit_depth)))
+        return np.asarray(inter_ops.jnt_average(
+            bufs[0], bufs[1], self.seq.bit_depth))
+
+    def predict_inter_block(self, plane, decision, px, py, pw, ph):
+        if decision.ref1 > 0:
+            return self.predict_compound(plane, decision.mv, decision.mv1,
+                                         px, py, pw, ph, decision.ref,
+                                         decision.ref1)
+        return self.predict_inter(plane, decision.mv, px, py, pw, ph,
+                                  decision.ref)
 
     def _compute_block_inter(self, decision, x, y, bw, bh):
         """Predict (MC or intra) / transform / quantize / recon per plane."""
@@ -1091,8 +1259,8 @@ class FrameCodec:
             ts = self.tx_size_for(plane, bw, bh)
             if decision.is_inter:
                 tt = TxType.DCT_DCT
-                pred = self.predict_inter(plane, decision.mv, px, py, pw, ph,
-                                          decision.ref)
+                pred = self.predict_inter_block(plane, decision, px, py,
+                                                pw, ph)
             else:
                 tt = self.tx_type_for(plane, decision, ts)
                 mode = decision.y_mode if plane == 0 else PredictionMode(decision.uv_mode)
@@ -1150,44 +1318,60 @@ class FrameCodec:
                              self.fc.intra_inter[ii_ctx], 2)
 
         if is_inter:
-            ref = self._code_ref_frames(
-                mi_row, mi_col,
-                None if decision is None else decision.ref)
-            stack_res = mv_pred.find_mv_stack(
-                self.mi, mi_row, mi_col, bs_mi, bs_mi, ref,
-                self.mi_rows, self.mi_cols,
-                sb_mi=self.seq.sb_size // MI, sign_bias=self.sign_bias)
-            mode = self._code_inter_mode(
-                stack_res.mode_context,
-                None if decision is None else decision.inter_mode)
-            ref_mv_idx = self._code_drl(
-                mode, stack_res.stack,
-                0 if decision is None else decision.ref_mv_idx)
-            nearestmv = stack_res.ref_mv_list[0]
-            nearmv = stack_res.ref_mv_list[1]
-            if ref_mv_idx > 0 and mode == mv_pred.NEARMV:
-                nearmv = stack_res.stack[1 + ref_mv_idx][0]
-            if mode == mv_pred.NEWMV:
-                ref_mv = nearestmv
-                if len(stack_res.stack) > 1:
-                    ref_mv = stack_res.stack[ref_mv_idx][0]
+            comp = 0
+            if self.fh.reference_select and bsize >= 8:
+                rm_ctx = self._reference_mode_ctx(mi_row, mi_col)
+                comp = io.symbol(
+                    None if decision is None else int(decision.ref1 > 0),
+                    self.fc.comp_inter[rm_ctx], 2)
+            if comp:
+                ref, ref1 = self._code_comp_ref_frames(
+                    mi_row, mi_col,
+                    None if decision is None
+                    else (decision.ref, decision.ref1))
+                decision2 = self._code_compound_mode(
+                    decision, ref, ref1, mi_row, mi_col, bs_mi)
                 if io.is_decoder:
-                    mv = decode_mv(io.ec, ref_mv[0], ref_mv[1], self.fc.nmv,
-                                   MV_SUBPEL_LOW_PRECISION)
-                else:
-                    mv = decision.mv
-                    encode_mv(io.ec, mv[0], mv[1], ref_mv[0], ref_mv[1],
-                              self.fc.nmv, MV_SUBPEL_LOW_PRECISION)
-            elif mode == mv_pred.NEARESTMV:
-                mv = nearestmv
-            elif mode == mv_pred.NEARMV:
-                mv = nearmv
+                    decision = decision2
             else:
-                mv = (0, 0)              # GLOBALMV (identity model)
-            if io.is_decoder:
-                decision = BlockDecision(is_inter=True, inter_mode=mode,
-                                         mv=(int(mv[0]), int(mv[1])),
-                                         ref_mv_idx=ref_mv_idx, ref=ref)
+                ref = self._code_ref_frames(
+                    mi_row, mi_col,
+                    None if decision is None else decision.ref)
+                stack_res = mv_pred.find_mv_stack(
+                    self.mi, mi_row, mi_col, bs_mi, bs_mi, ref,
+                    self.mi_rows, self.mi_cols,
+                    sb_mi=self.seq.sb_size // MI, sign_bias=self.sign_bias)
+                mode = self._code_inter_mode(
+                    stack_res.mode_context,
+                    None if decision is None else decision.inter_mode)
+                ref_mv_idx = self._code_drl(
+                    mode, stack_res.stack,
+                    0 if decision is None else decision.ref_mv_idx)
+                nearestmv = stack_res.ref_mv_list[0]
+                nearmv = stack_res.ref_mv_list[1]
+                if ref_mv_idx > 0 and mode == mv_pred.NEARMV:
+                    nearmv = stack_res.stack[1 + ref_mv_idx][0]
+                if mode == mv_pred.NEWMV:
+                    ref_mv = nearestmv
+                    if len(stack_res.stack) > 1:
+                        ref_mv = stack_res.stack[ref_mv_idx][0]
+                    if io.is_decoder:
+                        mv = decode_mv(io.ec, ref_mv[0], ref_mv[1],
+                                       self.fc.nmv, MV_SUBPEL_LOW_PRECISION)
+                    else:
+                        mv = decision.mv
+                        encode_mv(io.ec, mv[0], mv[1], ref_mv[0], ref_mv[1],
+                                  self.fc.nmv, MV_SUBPEL_LOW_PRECISION)
+                elif mode == mv_pred.NEARESTMV:
+                    mv = nearestmv
+                elif mode == mv_pred.NEARMV:
+                    mv = nearmv
+                else:
+                    mv = (0, 0)              # GLOBALMV (identity model)
+                if io.is_decoder:
+                    decision = BlockDecision(is_inter=True, inter_mode=mode,
+                                             mv=(int(mv[0]), int(mv[1])),
+                                             ref_mv_idx=ref_mv_idx, ref=ref)
         else:
             decision2 = self._code_intra_in_inter(decision, bw, bh)
             if io.is_decoder:
@@ -1202,6 +1386,80 @@ class FrameCodec:
             self._decode_residual_inter(decision, skip, x, y, bw, bh)
         else:
             self._write_residual_inter(decision, txbs, skip, x, y, bw, bh)
+
+    def _code_compound_mode(self, decision, ref, ref1, mi_row, mi_col,
+                            bs_mi):
+        """Compound mode symbol + DRL + MVs (read path:
+        inter_block_mode_info, EbDecParseInterBlock.c:2150+)."""
+        io = self.io
+        stack_res = mv_pred.find_mv_stack(
+            self.mi, mi_row, mi_col, bs_mi, bs_mi, ref,
+            self.mi_rows, self.mi_cols, sb_mi=self.seq.sb_size // MI,
+            sign_bias=self.sign_bias, ref_frame1=ref1)
+        ctx = mv_pred.compound_mode_ctx(stack_res.mode_context)
+        sym = io.symbol(
+            None if decision is None
+            else decision.inter_mode - mv_pred.NEAREST_NEARESTMV,
+            self.fc.inter_compound_mode[ctx], 8)
+        mode = sym + mv_pred.NEAREST_NEARESTMV
+        ref_mv_idx = self._code_drl(
+            mode, stack_res.stack,
+            0 if decision is None else decision.ref_mv_idx)
+        stack = stack_res.stack
+        lower = lambda mv: mv_pred.lower_mv_precision(
+            mv, False, False)
+        nearest = (lower(stack[0][0]), lower(stack[0][1]))
+        near_idx = min(ref_mv_idx + 1, len(stack) - 1)
+        near = (lower(stack[near_idx][0]), lower(stack[near_idx][1]))
+        # ref mvs for NEW components (NEAR_NEWMV/NEW_NEARMV shift by 1)
+        rmi = ref_mv_idx
+        if mode in (mv_pred.NEAR_NEWMV, mv_pred.NEW_NEARMV):
+            rmi = 1 + ref_mv_idx
+        rmi = min(rmi, len(stack) - 1)
+        ref_mv = [nearest[0], nearest[1]]
+        if mode in (mv_pred.NEW_NEWMV, mv_pred.NEW_NEARESTMV,
+                    mv_pred.NEW_NEARMV):
+            ref_mv[0] = stack[rmi][0]
+        if mode in (mv_pred.NEW_NEWMV, mv_pred.NEAREST_NEWMV,
+                    mv_pred.NEAR_NEWMV):
+            ref_mv[1] = stack[rmi][1]
+
+        def code_new(j):
+            if io.is_decoder:
+                return decode_mv(io.ec, ref_mv[j][0], ref_mv[j][1],
+                                 self.fc.nmv, MV_SUBPEL_LOW_PRECISION)
+            mv = decision.mv if j == 0 else decision.mv1
+            encode_mv(io.ec, mv[0], mv[1], ref_mv[j][0], ref_mv[j][1],
+                      self.fc.nmv, MV_SUBPEL_LOW_PRECISION)
+            return mv
+
+        if mode == mv_pred.NEAREST_NEARESTMV:
+            mv0, mv1 = nearest
+        elif mode == mv_pred.NEAR_NEARMV:
+            mv0, mv1 = near
+        elif mode == mv_pred.GLOBAL_GLOBALMV:
+            mv0 = mv1 = (0, 0)
+        elif mode == mv_pred.NEW_NEWMV:
+            mv0 = code_new(0)
+            mv1 = code_new(1)
+        elif mode == mv_pred.NEW_NEARESTMV:
+            mv0 = code_new(0)
+            mv1 = nearest[1]
+        elif mode == mv_pred.NEAREST_NEWMV:
+            mv0 = nearest[0]
+            mv1 = code_new(1)
+        elif mode == mv_pred.NEW_NEARMV:
+            mv0 = code_new(0)
+            mv1 = near[1]
+        else:                            # NEAR_NEWMV
+            mv0 = near[0]
+            mv1 = code_new(1)
+        # comp_group_idx / compound_idx: seq disables masked + jnt comp,
+        # so nothing is coded and prediction is the simple average
+        return BlockDecision(is_inter=True, inter_mode=mode,
+                             mv=(int(mv0[0]), int(mv0[1])),
+                             mv1=(int(mv1[0]), int(mv1[1])),
+                             ref_mv_idx=ref_mv_idx, ref=ref, ref1=ref1)
 
     def _code_intra_in_inter(self, decision, bw, bh):
         """Intra mode syntax inside an inter frame (y_mode_cdf by size
@@ -1296,8 +1554,8 @@ class FrameCodec:
             ts = self.tx_size_for(plane, bw, bh)
             self._record_tx_geometry(plane, px, py, pw, ph, ts)
             if decision.is_inter:
-                pred = self.predict_inter(plane, decision.mv, px, py, pw, ph,
-                                          decision.ref)
+                pred = self.predict_inter_block(plane, decision, px, py,
+                                                pw, ph)
                 default_tt = TxType.DCT_DCT
                 ttr = (lambda ts=ts: self._inter_tx_type_io(ts, None)) \
                     if plane == 0 else None

@@ -40,10 +40,10 @@ GLOBAL_GLOBALMV, NEW_NEWMV = 23, 24
 
 
 def has_newmv(mode: int, j: int = 0) -> bool:
-    """spec has_newmv(mode, refList)."""
-    return (mode == NEWMV or mode == NEW_NEWMV
-            or (j == 1 and mode in (NEAREST_NEWMV, NEAR_NEWMV))
-            or (j == 0 and mode in (NEW_NEARESTMV, NEW_NEARMV)))
+    """has_newmv(mode) — the oracle decoder counts any NEW-bearing mode
+    regardless of ref position (EbDecParseInterBlock.c:383)."""
+    return mode in (NEWMV, NEW_NEWMV, NEAR_NEWMV, NEW_NEARMV,
+                    NEAREST_NEWMV, NEW_NEARESTMV)
 
 
 @dataclasses.dataclass
@@ -80,23 +80,41 @@ class MvStackResult:
 def find_mv_stack(grid: MiGrid, mi_row: int, mi_col: int, bw4: int, bh4: int,
                   ref_frame: int, mi_rows: int, mi_cols: int,
                   sb_mi: int = 16, gm_mv=(0, 0), allow_hp: bool = False,
-                  force_int: bool = False, sign_bias=None) -> MvStackResult:
-    stack: list[list] = []     # [mv_row, mv_col, weight]
+                  force_int: bool = False, sign_bias=None,
+                  ref_frame1: int = 0) -> MvStackResult:
+    """ref_frame1 > 0 selects the compound path: stack entries become
+    (mv0, mv1, weight) pairs (dec_setup_ref_mv_list compound branches)."""
+    compound = ref_frame1 > 0
+    stack: list[list] = []     # single: [r, c, w]; comp: [r0, c0, r1, c1, w]
     found_above = 0
     found_left = 0
     newmv_count = 0
     if sign_bias is None:
         sign_bias = [0] * 8
+    gm_mvs = (gm_mv, gm_mv)
 
     def add_ref_mv(cand_rc, weight, bump):
-        """add_ref_mv_candidate for single ref: a candidate contributes
-        once per matching ref position (spec 7.10.2.9)."""
+        """add_ref_mv_candidate (spec 7.10.2.9)."""
         nonlocal newmv_count
         r, c = cand_rc
         found = 0
         cand_refs = (int(grid.ref_frame[r, c]), int(grid.ref_frame1[r, c]))
         cand_mvs = ((int(grid.mv_row[r, c]), int(grid.mv_col[r, c])),
                     (int(grid.mv1_row[r, c]), int(grid.mv1_col[r, c])))
+        if compound:
+            if cand_refs[0] != ref_frame or cand_refs[1] != ref_frame1:
+                return 0
+            key = cand_mvs[0] + cand_mvs[1]
+            for ent in stack:
+                if tuple(ent[:4]) == key:
+                    ent[4] += weight
+                    break
+            else:
+                if len(stack) < MAX_REF_MV_STACK_SIZE:
+                    stack.append(list(key) + [weight])
+            if has_newmv(int(grid.mode[r, c])):
+                newmv_count += 1
+            return 1
         for j in range(2):
             if cand_refs[j] != ref_frame:
                 continue
@@ -212,7 +230,7 @@ def find_mv_stack(grid: MiGrid, mi_row: int, mi_col: int, bw4: int, bh4: int,
     num_nearest = len(stack)
     num_new = newmv_count
     for ent in stack:
-        ent[2] += REF_CAT_LEVEL
+        ent[-1] += REF_CAT_LEVEL
 
     # no temporal MVs (use_ref_frame_mvs == 0): the reference leaves the
     # GLOBALMV context bit clear in this case (dec_setup_ref_mv_list)
@@ -232,7 +250,7 @@ def find_mv_stack(grid: MiGrid, mi_row: int, mi_col: int, bw4: int, bh4: int,
         while end > start:
             new_end = start
             for idx in range(start + 1, end):
-                if stack[idx - 1][2] < stack[idx][2]:
+                if stack[idx - 1][-1] < stack[idx][-1]:
                     stack[idx - 1], stack[idx] = stack[idx], stack[idx - 1]
                     new_end = idx
             end = new_end
@@ -240,17 +258,20 @@ def find_mv_stack(grid: MiGrid, mi_row: int, mi_col: int, bw4: int, bh4: int,
     sort_span(0, num_nearest)
     sort_span(num_nearest, len(stack))
 
-    # extra search process (single ref): any inter neighbor's mvs,
-    # sign-flipped when the candidate ref lies on the other temporal side
-    # (spec add_extra_mv_candidate; RefFrameSignBias from order hints)
+    # extra search process: neighbor mvs from any ref, sign-flipped when
+    # the candidate ref lies on the other temporal side (spec
+    # add_extra_mv_candidate; RefFrameSignBias from order hints)
     if len(stack) < MAX_MV_REF_CANDIDATES:
-        our_bias = sign_bias[ref_frame]
+        our_refs = (ref_frame, ref_frame1)
+        ref_id = [[], []]            # same-ref candidates per position
+        ref_diff = [[], []]          # different-ref (sign-adjusted)
         mi_width = min(min(16, bw4), mi_cols - mi_col)
         mi_height = min(min(16, bh4), mi_rows - mi_row)
         mi_size = min(mi_width, mi_height)
         for pass_ in range(2):
             idx = 0
-            while idx < mi_size and len(stack) < MAX_MV_REF_CANDIDATES:
+            while idx < mi_size and (compound
+                                     or len(stack) < MAX_MV_REF_CANDIDATES):
                 if pass_ == 0:
                     mv_row, mv_col = mi_row - 1, mi_col + idx
                 else:
@@ -261,15 +282,49 @@ def find_mv_stack(grid: MiGrid, mi_row: int, mi_col: int, bw4: int, bh4: int,
                         (grid.ref_frame, grid.mv_row, grid.mv_col),
                         (grid.ref_frame1, grid.mv1_row, grid.mv1_col)):
                     cand_ref = int(rf[mv_row, mv_col])
-                    if cand_ref <= 0 or len(stack) >= MAX_MV_REF_CANDIDATES:
+                    if cand_ref <= 0:
                         continue
                     mv = (int(mr[mv_row, mv_col]), int(mc[mv_row, mv_col]))
-                    if sign_bias[cand_ref] != our_bias:
-                        mv = (-mv[0], -mv[1])
-                    if all((e[0], e[1]) != mv for e in stack):
-                        stack.append([mv[0], mv[1], 2])
+                    if compound:
+                        for cmp_idx in range(2):
+                            if cand_ref == our_refs[cmp_idx] \
+                                    and len(ref_id[cmp_idx]) < 2:
+                                ref_id[cmp_idx].append(mv)
+                            elif len(ref_diff[cmp_idx]) < 2:
+                                amv = mv
+                                if sign_bias[cand_ref] != \
+                                        sign_bias[our_refs[cmp_idx]]:
+                                    amv = (-mv[0], -mv[1])
+                                ref_diff[cmp_idx].append(amv)
+                    else:
+                        # NOTE: the reference appends BOTH ref positions of
+                        # the final candidate without re-checking the cap,
+                        # so the stack may reach 3 entries here
+                        # (process_single_ref_mv_candidate,
+                        # EbDecParseInterBlock.c:772)
+                        amv = mv
+                        if sign_bias[cand_ref] != sign_bias[ref_frame]:
+                            amv = (-mv[0], -mv[1])
+                        if all((e[0], e[1]) != amv for e in stack):
+                            stack.append([amv[0], amv[1], 2])
                 idx += int(grid.bh4[mv_row, mv_col]) if pass_ else \
                     int(grid.bw4[mv_row, mv_col])
+        if compound:
+            comp_list = [[], []]
+            for cmp_idx in range(2):
+                lst = (ref_id[cmp_idx] + ref_diff[cmp_idx])[:2]
+                while len(lst) < 2:
+                    lst.append(gm_mvs[cmp_idx])
+                comp_list[cmp_idx] = lst
+            if len(stack) == 1:
+                if (comp_list[0][0] + comp_list[1][0]) == tuple(stack[0][:4]):
+                    stack.append(list(comp_list[0][1] + comp_list[1][1]) + [2])
+                else:
+                    stack.append(list(comp_list[0][0] + comp_list[1][0]) + [2])
+            elif len(stack) == 0:
+                for k in range(MAX_MV_REF_CANDIDATES):
+                    stack.append(
+                        list(comp_list[0][k] + comp_list[1][k]) + [2])
 
     # clamp
     bw_px, bh_px = bw4 * 4, bh4 * 4
@@ -277,11 +332,14 @@ def find_mv_stack(grid: MiGrid, mi_row: int, mi_col: int, bw4: int, bh4: int,
     mb_to_right = ((mi_cols - bw4 - mi_col) * 4) * 8
     mb_to_top = -(mi_row * 4) * 8
     mb_to_bottom = ((mi_rows - bh4 - mi_row) * 4) * 8
+    lo_c = mb_to_left - bw_px * 8 - MV_BORDER
+    hi_c = mb_to_right + bw_px * 8 + MV_BORDER
+    lo_r = mb_to_top - bh_px * 8 - MV_BORDER
+    hi_r = mb_to_bottom + bh_px * 8 + MV_BORDER
     for ent in stack:
-        ent[1] = int(np.clip(ent[1], mb_to_left - bw_px * 8 - MV_BORDER,
-                             mb_to_right + bw_px * 8 + MV_BORDER))
-        ent[0] = int(np.clip(ent[0], mb_to_top - bh_px * 8 - MV_BORDER,
-                             mb_to_bottom + bh_px * 8 + MV_BORDER))
+        for base in range(0, len(ent) - 1, 2):
+            ent[base] = int(np.clip(ent[base], lo_r, hi_r))
+            ent[base + 1] = int(np.clip(ent[base + 1], lo_c, hi_c))
 
     ref_match_count = (found_above > 0) + (found_left > 0)
     if nearest_match == 0:
@@ -310,8 +368,12 @@ def find_mv_stack(grid: MiGrid, mi_row: int, mi_col: int, bw4: int, bh4: int,
             mv = gm_mv
         ref_list.append(lower_mv_precision(mv, allow_hp, force_int))
 
+    if compound:
+        out_stack = [((e[0], e[1]), (e[2], e[3]), e[4]) for e in stack]
+    else:
+        out_stack = [((e[0], e[1]), e[2]) for e in stack]
     return MvStackResult(
-        stack=[((e[0], e[1]), e[2]) for e in stack],
+        stack=out_stack,
         mode_context=mode_context,
         newmv_count=newmv_count,
         ref_mv_list=ref_list)
@@ -355,11 +417,27 @@ def lower_mv_precision(mv, allow_hp: bool, force_int: bool):
 
 
 def drl_ctx(stack, idx: int) -> int:
-    """av1_drl_ctx over stack weights."""
-    if stack[idx][1] >= REF_CAT_LEVEL and stack[idx + 1][1] >= REF_CAT_LEVEL:
+    """av1_drl_ctx over stack weights (weight is the last element)."""
+    w0, w1 = stack[idx][-1], stack[idx + 1][-1]
+    if w0 >= REF_CAT_LEVEL and w1 >= REF_CAT_LEVEL:
         return 0
-    if stack[idx][1] >= REF_CAT_LEVEL and stack[idx + 1][1] < REF_CAT_LEVEL:
+    if w0 >= REF_CAT_LEVEL and w1 < REF_CAT_LEVEL:
         return 1
-    if stack[idx][1] < REF_CAT_LEVEL and stack[idx + 1][1] < REF_CAT_LEVEL:
+    if w0 < REF_CAT_LEVEL and w1 < REF_CAT_LEVEL:
         return 2
     return 0
+
+
+# compound mode context (svt_mode_context_analyzer,
+# EbDecParseInterBlock.c:1209; compound_mode_ctx_map:27)
+COMPOUND_MODE_CTX_MAP = [
+    [0, 1, 1, 1, 1],
+    [1, 2, 3, 4, 4],
+    [4, 4, 5, 6, 7],
+]
+
+
+def compound_mode_ctx(mode_context: int) -> int:
+    newmv_ctx = mode_context & NEWMV_CTX_MASK
+    refmv_ctx = (mode_context >> REFMV_OFFSET) & REFMV_CTX_MASK
+    return COMPOUND_MODE_CTX_MAP[refmv_ctx >> 1][min(newmv_ctx, 4)]
