@@ -192,6 +192,9 @@ class Encoder:
             enable_order_hint=self.pd.gop > 1,
             enable_cdef=sig.cdef_level > 0 and cfg.qp > 0,
         )
+        from .pipeline.rate_control import RateControl
+        self.rc = RateControl(cfg, float(cfg.frame_rate),
+                              all_intra=self.pd.key_interval == 1)
         self._buffer = []            # pending source frames (display order)
         self._next_display = 0       # display idx of _buffer[0]
         self._sent = 0
@@ -262,12 +265,7 @@ class Encoder:
         return self._encode_display(job)
 
     def _qindex_for(self, job: CodeJob) -> int:
-        base = QUANTIZER_TO_QINDEX[self.cfg.qp]
-        if job.is_key:
-            off = -12
-        else:
-            off = (-8, 8, 14, 18, 22, 24)[min(job.layer, 5)]
-        return int(np.clip(base + off, 1, 255)) if base > 0 else 0
+        return self.rc.pick_qindex(job.is_key, job.layer)
 
     def _frame_header(self, job: CodeJob, refs_idx) -> FrameHeader:
         from .ops.dlf import filter_levels_from_qindex
@@ -364,6 +362,7 @@ class Encoder:
                             write_sequence_header(self.seq))
             self._wrote_seq_header = True
         out += wrap_obu(ObuType.OBU_FRAME, frame_payload)
+        self.rc.update(job.is_key, job.layer, 8 * len(out))
         self.frame_count += 1
         return out
 

@@ -17,7 +17,7 @@ from fractions import Fraction
 import numpy as np
 
 from .api import Decoder, Encoder
-from .config import EncoderConfig
+from .config import EncoderConfig, RateControlMode
 from .io import IvfReader, IvfWriter, Y4MReader
 from .io.y4m import VideoInfo, read_planar_frame
 from .utils.metrics import frame_psnr
@@ -49,7 +49,9 @@ def _enc(args) -> int:
                         disable_dlf=args.no_dlf,
                         encoder_bit_depth=info.bit_depth,
                         intra_period_length=args.keyint,
-                        enc_mode=args.preset)
+                        enc_mode=args.preset,
+                        rate_control_mode=RateControlMode(args.rc),
+                        target_bit_rate=args.tbr)
     enc = Encoder(cfg)
     t0 = time.time()
     n = 0
@@ -136,6 +138,10 @@ def main(argv=None) -> int:
     e.add_argument("--keyint", type=int, default=-2,
                    help="intra period: -2 all-intra, -1 single key + IPP, "
                         "N = key frame every N+1 frames")
+    e.add_argument("--rc", type=int, default=0, choices=(0, 1, 2),
+                   help="0 CQP, 1 VBR, 2 CVBR")
+    e.add_argument("--tbr", type=int, default=7_000_000,
+                   help="target bitrate (bits/s) for --rc 1/2")
     e.add_argument("--preset", type=int, default=8,
                    help="enc-mode 0..13 (lower = slower/better)")
     e.set_defaults(fn=_enc)

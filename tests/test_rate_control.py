@@ -1,0 +1,49 @@
+"""Rate control: VBR accuracy + CQP ladder invariants (the analog of the
+reference's RC behavior checks; rate_control_kernel
+EbRateControlProcess.c:7175)."""
+import os
+
+import numpy as np
+import pytest
+
+from svt_av1_tpu.api import encode_ivf
+from svt_av1_tpu.config import EncoderConfig, RateControlMode
+from svt_av1_tpu.pipeline.rate_control import RateControl
+
+
+def test_cqp_ladder_monotone_layers():
+    cfg = EncoderConfig(source_width=64, source_height=64, qp=40)
+    rc = RateControl(cfg, 30.0)
+    qs = [rc.pick_qindex(False, layer) for layer in range(4)]
+    assert qs == sorted(qs)
+    assert rc.pick_qindex(True, 0) < qs[0]
+
+
+def test_cqp_all_intra_uses_exact_qp():
+    cfg = EncoderConfig(source_width=64, source_height=64, qp=40)
+    rc = RateControl(cfg, 30.0, all_intra=True)
+    from svt_av1_tpu.bitstream.headers import QUANTIZER_TO_QINDEX
+    assert rc.pick_qindex(True, 0) == QUANTIZER_TO_QINDEX[40]
+
+
+@pytest.mark.parametrize("target", [200_000, 600_000])
+def test_vbr_hits_target(tmp_path, target):
+    # tolerance mirrors the reference's under/over_shoot_pct defaults (25%)
+    rng = np.random.default_rng(3)
+    w, h, n = 176, 144, 25
+    frames = []
+    for i in range(n):
+        yy, xx = np.mgrid[0:h, 0:w]
+        y = (120 + 60 * np.sin(xx / 13 + i * .4)
+             + rng.integers(-15, 16, (h, w))).clip(0, 255).astype(np.uint8)
+        u = np.full((h // 2, w // 2), 128, np.uint8)
+        v = np.full((h // 2, w // 2), 128, np.uint8)
+        frames.append((y, u, v))
+    cfg = EncoderConfig(source_width=w, source_height=h, qp=40,
+                        intra_period_length=-1, hierarchical_levels=2,
+                        enc_mode=8, rate_control_mode=RateControlMode.VBR,
+                        target_bit_rate=target, frame_rate=30)
+    path = tmp_path / "vbr.ivf"
+    encode_ivf(frames, cfg, str(path))
+    kbps = os.path.getsize(path) * 8 * 30 / n
+    assert abs(kbps - target) / target < 0.25, (kbps, target)
