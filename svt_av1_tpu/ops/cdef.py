@@ -260,26 +260,102 @@ def _scatter(plane: np.ndarray, blocks: np.ndarray, ys, xs):
 # Encoder-side strength search
 # --------------------------------------------------------------------------
 
+class _SearchCtx:
+    """Shared per-(windows, dirs) state: the 16 neighbor diffs, clamp
+    bounds and center pixels, gathered once so every strength combo is
+    pure elementwise math (the batched analog of the reference's combo
+    loop in EbEncCdef.c svt_av1_cdef_search)."""
+
+    def __init__(self, windows, dirs):
+        n, hp, wp = windows.shape
+        h, w = hp - 4, wp - 4
+        win = windows.astype(np.int32)
+        x = win[:, 2:2 + h, 2:2 + w]
+        self.x = x
+        diffs_p, diffs_s = [], []
+        mx, mn = x.copy(), x.copy()
+
+        def shifted(dy_arr, dx_arr):
+            out = np.empty((n, h, w), np.int32)
+            for dy in np.unique(dy_arr):
+                sel_y = dy_arr == dy
+                for dx in np.unique(dx_arr[sel_y]):
+                    sel = sel_y & (dx_arr == dx)
+                    out[sel] = win[sel][:, 2 + dy:2 + dy + h,
+                                        2 + dx:2 + dx + w]
+            return out
+
+        dirs = np.asarray(dirs, np.int32)
+        for k in range(2):
+            off = DIRECTIONS[dirs, k]
+            for sign in (1, -1):
+                p = shifted(sign * off[:, 0], sign * off[:, 1])
+                mx = np.maximum(mx, np.where(p == CDEF_VERY_LARGE, mx, p))
+                mn = np.minimum(mn, p)
+                diffs_p.append(p - x)
+            for rot in (2, 6):
+                off2 = DIRECTIONS[(dirs + rot) & 7, k]
+                for sign in (1, -1):
+                    s = shifted(sign * off2[:, 0], sign * off2[:, 1])
+                    mx = np.maximum(mx,
+                                    np.where(s == CDEF_VERY_LARGE, mx, s))
+                    mn = np.minimum(mn, s)
+                    diffs_s.append(s - x)
+        # primary diffs ordered [k0+, k0-, k1+, k1-]; secondary
+        # [k0: r2+, r2-, r6+, r6-, k1: ...]
+        self.dp = diffs_p
+        self.ds = diffs_s
+        self.mx, self.mn = mx, mn
+
+    def run(self, pri_strength, sec_strength, pri_damping, sec_damping,
+            coeff_shift):
+        pri = np.asarray(pri_strength, np.int32).reshape(-1, 1, 1)
+        tap_idx = (pri.reshape(-1) >> coeff_shift) & 1
+        tp = PRI_TAPS[tap_idx][:, :, None, None]      # [N, 2, 1, 1]
+        sum_ = np.zeros_like(self.x)
+        if np.any(pri):
+            for k in range(2):
+                for sgn in range(2):
+                    sum_ += tp[:, k] * _constrain(self.dp[2 * k + sgn],
+                                                  pri, pri_damping)
+        if sec_strength:
+            st = SEC_TAPS[tap_idx][:, :, None, None]
+            for k in range(2):
+                for j in range(4):
+                    sum_ += st[:, k] * _constrain(
+                        self.ds[4 * k + j], np.int32(sec_strength),
+                        sec_damping)
+        y = self.x + ((8 + sum_ - (sum_ < 0)) >> 4)
+        return np.clip(y, self.mn, self.mx)
+
+
 def cdef_search(source, recon, skips, mi_rows: int, mi_cols: int,
                 damping: int, bit_depth: int = 8,
                 pri_set=(0, 1, 2, 4, 6, 8, 12, 15), sec_set=(0, 1, 2, 3)):
     """Pick the (y_strength, uv_strength) pair minimizing frame MSE.
 
     The reference searches 16x4 strength combos per filter block and DP-
-    selects 2^cdef_bits presets (EbEncCdef.c svt_av1_cdef_search); here we
-    evaluate a strength subset fully batched over every eligible 8x8 unit
-    (cdef_bits=0: one preset per frame) and pick Y/UV independently.
+    selects 2^cdef_bits presets (EbEncCdef.c svt_av1_cdef_search); here
+    the 16 neighbor gathers are hoisted out and a hierarchical sweep
+    (primaries at sec=0, then secondaries for the winner) evaluates each
+    combo as pure elementwise math over every eligible 8x8 unit.
     Returns (y_strength, uv_strength) in coded pri*4+sec packing.
     """
     coeff_shift = max(bit_depth - 8, 0)
     by, bx = _nonskip_units(skips, mi_rows, mi_cols)
     if len(by) == 0:
         return 0, 0
+    if len(by) > 64:
+        # subsample the search like the reference's fast presets
+        # (EbCdefProcess.c cdef_seg_search row skipping)
+        keep = (by % 2) == 0
+        by, bx = by[keep], bx[keep]
     fw, fh = mi_cols * 4, mi_rows * 4
 
     luma_win = _extract_windows(recon[0], by, bx, 8, 8, fw, fh)
     dirs, var = find_dir(
         luma_win[:, 2:10, 2:10].astype(np.uint16), coeff_shift)
+    dirs0 = np.zeros_like(dirs)
 
     def gather_src(plane, ys, xs, bh, bw):
         rows = ys[:, None, None] + np.arange(bh)[None, :, None]
@@ -288,34 +364,44 @@ def cdef_search(source, recon, skips, mi_rows: int, mi_cols: int,
                      np.clip(cols, 0, plane.shape[1] - 1)].astype(np.int64)
 
     def best_strength(pli_planes_src, pli_planes_rec, bh, bw, is_luma):
-        src = [gather_src(s, by * bh, bx * bw, bh, bw) for s in pli_planes_src]
+        src = [gather_src(s, by * bh, bx * bw, bh, bw)
+               for s in pli_planes_src]
         wins = [_extract_windows(r, by, bx, bh, bw,
                                  fw >> (0 if is_luma else 1),
                                  fh >> (0 if is_luma else 1))
                 for r in pli_planes_rec]
         dmp = damping + coeff_shift - (0 if is_luma else 1)
-        best = (None, 0)
-        for pri in pri_set:
-            for sec in sec_set:          # coded values; 3 applies as 4
-                if pri == 0 and sec == 0:
-                    err = sum(
-                        int(((s - w[:, 2:2 + bh, 2:2 + bw]) ** 2).sum())
-                        for s, w in zip(src, wins))
-                else:
-                    p = pri << coeff_shift
-                    s_ = (sec + (sec == 3)) << coeff_shift
-                    err = 0
-                    for sp, wp in zip(src, wins):
-                        pri_arr = (adjust_strength(p, var) if is_luma
-                                   else np.full(len(by), p, np.int32))
-                        filt = filter_blocks(
-                            wp, np.where(p > 0, dirs, 0), pri_arr, s_,
-                            dmp, dmp, coeff_shift)
-                        err += int(((sp - filt) ** 2).sum())
-                strength = pri * CDEF_SEC_STRENGTHS + sec
-                if best[0] is None or err < best[0]:
-                    best = (err, strength)
-        return best[1]
+        ctx = {}          # dir-variant -> per-plane _SearchCtx list
+
+        def err_of(pri, sec):
+            if pri == 0 and sec == 0:
+                return sum(int(((s - w[:, 2:2 + bh, 2:2 + bw]) ** 2).sum())
+                           for s, w in zip(src, wins))
+            p = pri << coeff_shift
+            s_ = (sec + (sec == 3)) << coeff_shift
+            key = bool(p)
+            if key not in ctx:
+                d = dirs if p else dirs0
+                ctx[key] = [_SearchCtx(w_, d) for w_ in wins]
+            e = 0
+            for sp, sc in zip(src, ctx[key]):
+                pri_arr = (adjust_strength(p, var) if is_luma
+                           else np.full(len(by), p, np.int32))
+                filt = sc.run(pri_arr, s_, dmp, dmp, coeff_shift)
+                e += int(((sp - filt) ** 2).sum())
+            return e
+
+        best_pri, best_err = 0, err_of(0, 0)
+        for pri in pri_set[1:]:
+            e = err_of(pri, 0)
+            if e < best_err:
+                best_pri, best_err = pri, e
+        best_sec = 0
+        for sec in sec_set[1:]:          # coded values; 3 applies as 4
+            e = err_of(best_pri, sec)
+            if e < best_err:
+                best_sec, best_err = sec, e
+        return best_pri * CDEF_SEC_STRENGTHS + best_sec
 
     y_str = best_strength([source[0]], [recon[0]], 8, 8, True)
     uv_str = 0
