@@ -191,6 +191,7 @@ class Encoder:
             enable_intra_edge_filter=True,
             enable_order_hint=self.pd.gop > 1,
             enable_cdef=sig.cdef_level > 0 and cfg.qp > 0,
+            enable_restoration=bool(sig.enable_restoration) and cfg.qp > 0,
         )
         from .pipeline.rate_control import RateControl
         self.rc = RateControl(cfg, float(cfg.frame_rate),
@@ -335,12 +336,30 @@ class Encoder:
             fh.reference_select = any(
                 self._rel_dist(named[n], job.display) > 0
                 for n in range(1, 8))
+        decider = self._decider()
+        decider.replay_store = {}    # per-frame; reused on LR re-encode
         codec = FrameCodec(self.seq, fh, source_planes=planes, refs=refs)
         codec.sign_bias = sign_bias
-        tile_data = codec.encode_tile(self._decider())
+        tile_data = codec.encode_tile(decider)
         codec.apply_loop_filter()
         codec.search_cdef()
         codec.apply_cdef()
+        if self.seq.enable_restoration:
+            from .pipeline.rdo import rd_lambda
+            if codec.search_lr(rd_lambda(fh.base_q_idx, self.seq.bit_depth)):
+                # LR syntax lives inside the tile: re-encode it with the
+                # searched per-unit params (decisions replay; the
+                # reference instead orders entropy coding after the REST
+                # stage, EbEncHandle.c pipeline)
+                codec2 = FrameCodec(self.seq, fh, source_planes=planes,
+                                    refs=refs)
+                codec2.sign_bias = sign_bias
+                codec2.lr_plan = codec.lr_plan
+                tile_data = codec2.encode_tile(decider)
+                codec2.apply_loop_filter()
+                codec2.apply_cdef()
+                codec2.apply_lr()
+                codec = codec2
         self.last_recon = codec.cropped_recon()
         self.recon_by_display[job.display] = self.last_recon
 
@@ -451,6 +470,7 @@ class Decoder:
         codec.decode_tile(tile_data)
         codec.apply_loop_filter()
         codec.apply_cdef()
+        codec.apply_lr()
         planes = codec.cropped_recon()
         mask = 0xFF if is_key and fh.show_frame else fh.refresh_frame_flags
         if mask:

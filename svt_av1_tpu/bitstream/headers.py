@@ -88,6 +88,19 @@ class FrameHeader:
     cdef_bits: int = 0
     cdef_y_strengths: tuple = (0,)
     cdef_uv_strengths: tuple = (0,)
+    # loop restoration (spec 5.9.20 lr_params)
+    lr_type: tuple = (0, 0, 0)        # RestorationType per plane
+    # luma unit = 256 >> (2 - shift); 128x128 superblocks need shift >= 1
+    lr_unit_shift: int = 1
+    lr_uv_shift: int = 1
+
+    def lr_unit_size(self, plane: int) -> int:
+        size = 256 >> (2 - self.lr_unit_shift)
+        return size >> (self.lr_uv_shift if plane else 0)
+
+    @property
+    def uses_lr(self) -> bool:
+        return any(self.lr_type)
 
     @property
     def coded_lossless(self) -> bool:
@@ -440,10 +453,29 @@ def _write_cdef_params(w: BitWriter, seq: SequenceHeader, fh: FrameHeader) -> No
             w.f(fh.cdef_uv_strengths[i], 6)
 
 
+# coded lr_type value -> RestorationType (spec remap_lr_type)
+REMAP_LR_TYPE = (0, 3, 1, 2)          # NONE, SWITCHABLE, WIENER, SGRPROJ
+LR_TYPE_TO_CODED = {t: i for i, t in enumerate(REMAP_LR_TYPE)}
+
+
 def _write_lr_params(w: BitWriter, seq: SequenceHeader, fh: FrameHeader) -> None:
     if fh.coded_lossless or fh.allow_intrabc or not seq.enable_restoration:
         return
-    raise NotImplementedError("lr signaling")
+    n_planes = 1 if seq.monochrome else 3
+    for p in range(n_planes):
+        w.f(LR_TYPE_TO_CODED[fh.lr_type[p]], 2)
+    uses_lr = any(fh.lr_type[:n_planes])
+    uses_chroma_lr = any(fh.lr_type[1:n_planes])
+    if not uses_lr:
+        return
+    if seq.use_128x128_superblock:
+        w.f(fh.lr_unit_shift - 1, 1)
+    else:
+        w.f(min(fh.lr_unit_shift, 1), 1)
+        if fh.lr_unit_shift:
+            w.f(fh.lr_unit_shift - 1, 1)
+    if not seq.monochrome and uses_chroma_lr:
+        w.f(fh.lr_uv_shift, 1)           # 4:2:0: one shift bit
 
 
 def parse_frame_header(r: BitReader, seq: SequenceHeader,
@@ -545,7 +577,20 @@ def parse_frame_header(r: BitReader, seq: SequenceHeader,
         fh.cdef_y_strengths = tuple(ys)
         fh.cdef_uv_strengths = tuple(uvs)
     if seq.enable_restoration and not (fh.coded_lossless or fh.allow_intrabc):
-        raise NotImplementedError
+        n_planes = 1 if seq.monochrome else 3
+        fh.lr_type = tuple(REMAP_LR_TYPE[r.f(2)] for _ in range(n_planes))
+        uses_lr = any(fh.lr_type)
+        uses_chroma_lr = any(fh.lr_type[1:])
+        fh.lr_uv_shift = 0
+        if uses_lr:
+            if seq.use_128x128_superblock:
+                fh.lr_unit_shift = r.f(1) + 1
+            else:
+                fh.lr_unit_shift = r.f(1)
+                if fh.lr_unit_shift:
+                    fh.lr_unit_shift += r.f(1)
+            if not seq.monochrome and uses_chroma_lr:
+                fh.lr_uv_shift = r.f(1)
     if not fh.coded_lossless:
         fh.tx_mode_select = r.flag()
     if is_inter:

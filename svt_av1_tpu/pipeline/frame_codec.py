@@ -396,6 +396,9 @@ class FrameCodec:
         self.sign_bias = [0] * 8
         self.io = None
         self.decider = None
+        self.deblocked = None        # post-DLF pre-CDEF copy (for LR)
+        self.lr_units = None
+        self.lr_plan = None
 
     @staticmethod
     def _pad_ref(plane: np.ndarray) -> np.ndarray:
@@ -433,11 +436,152 @@ class FrameCodec:
         plan = None
         if not self.io.is_decoder:
             plan = getattr(self.decider, "plan_superblock", None)
+        self._init_lr_state()
         for mi_row in range(0, self.mi_rows, sb_mi):
             for mi_col in range(0, self.mi_cols, sb_mi):
+                self._code_lr(mi_row, mi_col)
                 if plan is not None:
                     plan(self, mi_row, mi_col)
                 self._partition(sb, mi_row, mi_col)
+
+    # -- loop restoration syntax (read_lr, EbDecParseBlock.c:2829) ---------
+
+    def _init_lr_state(self):
+        from ..ops import restoration as lr
+
+        self.lr_units = None
+        if not self.fh.uses_lr or self.fh.allow_intrabc:
+            return
+        self.lr_units = []
+        self.lr_ref = []
+        for p in range(self.num_planes):
+            sub = 1 if p else 0
+            size = self.fh.lr_unit_size(p)
+            pw = (self.fh.frame_width + sub) >> sub
+            ph = (self.fh.frame_height + sub) >> sub
+            rows = lr.count_units(ph, size)
+            cols = lr.count_units(pw, size)
+            self.lr_units.append([[None] * cols for _ in range(rows)])
+            self.lr_ref.append(lr.default_wiener_taps() * 2)  # v+h taps
+
+    def _code_lr(self, mi_row, mi_col):
+        from ..entropy import subexp as se
+        from ..ops import restoration as lr
+
+        if self.lr_units is None:
+            return
+        sb_mi = self.seq.sb_size // MI
+        for p in range(self.num_planes):
+            if self.fh.lr_type[p] == lr.RESTORE_NONE:
+                continue
+            assert self.fh.lr_type[p] == lr.RESTORE_WIENER, "SGR/switchable TBD"
+            sub = 1 if p else 0
+            size = self.fh.lr_unit_size(p)
+            pw = (self.fh.frame_width + sub) >> sub
+            ph = (self.fh.frame_height + sub) >> sub
+            rows = lr.count_units(ph, size)
+            cols = lr.count_units(pw, size)
+            r0 = (mi_row * (MI >> sub) + size - 1) // size
+            r1 = min(rows, ((mi_row + sb_mi) * (MI >> sub) + size - 1) // size)
+            c0 = (mi_col * (MI >> sub) + size - 1) // size
+            c1 = min(cols, ((mi_col + sb_mi) * (MI >> sub) + size - 1) // size)
+            for ur in range(r0, r1):
+                for uc in range(c0, c1):
+                    self._code_lr_unit(p, ur, uc, se, lr)
+
+    def _code_lr_unit(self, plane, ur, uc, se, lr):
+        io = self.io
+        plan = None
+        if not io.is_decoder:
+            plan = self.lr_plan[plane][ur][uc] \
+                if getattr(self, "lr_plan", None) else None
+        use = io.symbol(None if io.is_decoder else int(plan is not None),
+                        self.fc.wiener_restore, 2)
+        if not use:
+            self.lr_units[plane][ur][uc] = None
+            return
+        ref = self.lr_ref[plane]
+        taps_v, taps_h = [0, 0, 0], [0, 0, 0]
+        enc = None if io.is_decoder else plan
+        for d, taps in ((0, taps_v), (1, taps_h)):
+            for k in range(3):
+                if plane > 0 and k == 0:
+                    taps[k] = 0          # 5-tap chroma window
+                    continue
+                want = None if enc is None else enc[d][k]
+                taps[k] = se.code_signed_subexp_ref(
+                    io, want, lr.WIENER_TAPS_MIN[k],
+                    lr.WIENER_TAPS_MAX[k] + 1, lr.WIENER_SUBEXP_K[k],
+                    ref[3 * d + k])
+        self.lr_ref[plane] = taps_v + taps_h
+        self.lr_units[plane][ur][uc] = (list(taps_v), list(taps_h))
+
+    def apply_lr(self):
+        """Normative Wiener loop restoration on the post-CDEF recon."""
+        from ..ops import restoration as lr
+
+        if self.lr_units is None or self.deblocked is None:
+            return
+        for p in range(self.num_planes):
+            if self.fh.lr_type[p] == lr.RESTORE_NONE:
+                continue
+            sub = 1 if p else 0
+            size = self.fh.lr_unit_size(p)
+            pw = (self.fh.frame_width + sub) >> sub
+            ph = (self.fh.frame_height + sub) >> sub
+            vlims = lr.unit_limits_vert(ph, size, sub)
+            hlims = lr.unit_limits(pw, size)
+            # pure function of (cdef output, deblock output): the oracle
+            # decoder's save/restore of seam columns keeps every block's
+            # context pre-LR (EbDecRestoration.c:445-464), so no unit
+            # ordering effects exist
+            cdef_out = self.recon[p]
+            out = cdef_out.copy()
+            for ur, (v0, v1) in enumerate(vlims):
+                for uc, (h0, h1) in enumerate(hlims):
+                    unit = self.lr_units[p][ur][uc]
+                    if unit is None:
+                        continue
+                    taps_v, taps_h = unit
+                    out[v0:v1, h0:h1] = lr.apply_wiener_unit(
+                        cdef_out, self.deblocked[p], v0, v1, h0, h1,
+                        taps_v, taps_h, sub, pw, ph, self.seq.bit_depth)
+            self.recon[p] = out
+
+    def search_lr(self, lam: float = 1000.0):
+        """Encoder Wiener search; fills fh.lr_type and self.lr_plan.
+        Returns True when any unit picked a filter."""
+        from ..ops import restoration as lr
+
+        if self.deblocked is None:
+            return False
+        self.lr_plan = []
+        types = []
+        any_used = False
+        for p in range(self.num_planes):
+            sub = 1 if p else 0
+            size = self.fh.lr_unit_size(p)
+            pw = (self.fh.frame_width + sub) >> sub
+            ph = (self.fh.frame_height + sub) >> sub
+            vlims = lr.unit_limits_vert(ph, size, sub)
+            hlims = lr.unit_limits(pw, size)
+            plane_plan = [[None] * len(hlims) for _ in range(len(vlims))]
+            used = False
+            for ur, (v0, v1) in enumerate(vlims):
+                for uc, (h0, h1) in enumerate(hlims):
+                    tv, th, sse_f, sse_n = lr.pick_wiener_unit(
+                        self.source[p], self.recon[p], self.deblocked[p],
+                        v0, v1, h0, h1, sub, pw, ph, self.seq.bit_depth,
+                        is_chroma=p > 0)
+                    # ~30 bits of taps + flag; keep only clear wins
+                    if tv is not None and sse_f + lam * 32 < sse_n:
+                        plane_plan[ur][uc] = (tv, th)
+                        used = True
+            types.append(lr.RESTORE_WIENER if used else lr.RESTORE_NONE)
+            any_used |= used
+            self.lr_plan.append(plane_plan)
+        self.fh.lr_type = tuple(types) + (0,) * (3 - len(types))
+        return any_used
 
     def _partition(self, bsize: int, mi_row: int, mi_col: int):
         if mi_row >= self.mi_rows or mi_col >= self.mi_cols:
@@ -876,6 +1020,7 @@ class FrameCodec:
 
         fh = self.fh
         if fh.coded_lossless or fh.allow_intrabc:
+            self._save_deblocked()
             return
         lv, lh = fh.filter_level
         lu, lvv = fh.filter_level_uv
@@ -892,6 +1037,12 @@ class FrameCodec:
                 self.bedge_x[plane], self.bedge_y[plane],
                 self.aligned_w >> sx, self.aligned_h >> sx,
                 plv, plh, fh.sharpness, plane > 0)
+        self._save_deblocked()
+
+    def _save_deblocked(self):
+        if self.seq.enable_restoration:
+            self.deblocked = [self.recon[p].copy()
+                              for p in range(self.num_planes)]
 
 
     def apply_cdef(self):

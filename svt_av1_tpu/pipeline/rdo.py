@@ -292,8 +292,14 @@ class PartitionRdoDecider(RdoDecider):
 
     # -- the search ----------------------------------------------------
 
+    replay_store = None        # set per frame by the orchestrator
+
     def plan_superblock(self, codec: FrameCodec, mi_row: int, mi_col: int):
         if not HAVE_NATIVE_EC:
+            return
+        key = (mi_row, mi_col)
+        if self.replay_store is not None and key in self.replay_store:
+            self._plan, self._cache = self.replay_store[key]
             return
         self._plan = {}
         self._cache = {}
@@ -302,6 +308,8 @@ class PartitionRdoDecider(RdoDecider):
         snap = _RegionState(codec, mi_row, mi_col, sb_mi)
         self._eval_node(codec, codec.seq.sb_size, mi_row, mi_col, lam)
         snap.restore(codec)
+        if self.replay_store is not None:
+            self.replay_store[key] = (self._plan, self._cache)
 
     def _eval_node(self, codec, bsize, r, c, lam) -> float:
         if r >= codec.mi_rows or c >= codec.mi_cols:
