@@ -310,8 +310,29 @@ class Encoder:
                 return 1 << i
         return 1 << order[0]
 
+    def _tf_source(self, job: CodeJob, planes):
+        """MCTF for key / layer-0 pictures: filter the source against up
+        to altref_nframes buffered neighbors (mctf_frame analog)."""
+        if self.sig.tf_level <= 0 or self.pd.gop <= 1:
+            return planes
+        if not (job.is_key or job.layer == 0):
+            return planes
+        from .pipeline.mctf import temporal_filter
+        half = max((self.cfg.altref_nframes - 1) // 2, 1)
+        neighbors = []
+        for d in range(job.display - half, job.display + half + 1):
+            idx = d - self._next_display
+            if d == job.display or idx < 0 or idx >= len(self._buffer):
+                continue
+            neighbors.append(self._buffer[idx])
+        if not neighbors:
+            return planes
+        return temporal_filter(planes, neighbors, self.cfg.qp,
+                               self.cfg.encoder_bit_depth)
+
     def _encode_display(self, job: CodeJob) -> bytes:
-        planes = self._buffer[job.display - self._next_display]
+        planes = self._tf_source(
+            job, self._buffer[job.display - self._next_display])
         refs = None
         refs_idx = (0,) * 7
         sign_bias = [0] * 8
