@@ -192,6 +192,7 @@ class Encoder:
             enable_order_hint=self.pd.gop > 1,
             enable_cdef=sig.cdef_level > 0 and cfg.qp > 0,
             enable_restoration=bool(sig.enable_restoration) and cfg.qp > 0,
+            film_grain_params_present=cfg.film_grain_denoise_strength > 0,
         )
         from .pipeline.rate_control import RateControl
         self.rc = RateControl(cfg, float(cfg.frame_rate),
@@ -357,6 +358,8 @@ class Encoder:
             fh.reference_select = any(
                 self._rel_dist(named[n], job.display) > 0
                 for n in range(1, 8))
+        if self.seq.film_grain_params_present:
+            fh.film_grain = self._estimate_film_grain(job, planes)
         decider = self._decider()
         decider.replay_store = {}    # per-frame; reused on LR re-encode
         codec = FrameCodec(self.seq, fh, source_planes=planes, refs=refs)
@@ -384,6 +387,9 @@ class Encoder:
         self.last_recon = codec.cropped_recon()
         self.recon_by_display[job.display] = self.last_recon
 
+        # header derivations (skip-mode frames) use the decoder's view of
+        # the DPB, i.e. BEFORE this frame's refresh
+        ref_hints = self._slot_order_hints()
         if fh.refresh_frame_flags:
             ref_planes = [p.astype(np.int32) for p in self.last_recon]
             self.dpb.refresh(fh.refresh_frame_flags, ref_planes,
@@ -392,7 +398,7 @@ class Encoder:
             self._anchor = job.display
 
         w = BitWriter()
-        write_frame_header(w, self.seq, fh, self._slot_order_hints())
+        write_frame_header(w, self.seq, fh, ref_hints)
         w.byte_align()
         frame_payload = w.bytes() + tile_data
 
@@ -405,6 +411,30 @@ class Encoder:
         self.rc.update(job.is_key, job.layer, 8 * len(out))
         self.frame_count += 1
         return out
+
+    def _estimate_film_grain(self, job: CodeJob, planes):
+        """Simple grain model: source noise sigma -> flat scaling curve
+        with a white (lag-0) grain template.  The reference fits a full
+        AR model (noise_model.c); this covers the synthesis/signaling
+        surface with an honest strength estimate."""
+        from .ops.film_grain import FilmGrainParams
+        from .pipeline.mctf import estimate_noise
+
+        sigma = max(estimate_noise(np.asarray(planes[0])), 0.0)
+        strength = self.cfg.film_grain_denoise_strength
+        s = int(np.clip(round(sigma * 13.5 * strength / 8.0), 0, 120))
+        if s == 0:
+            return None
+        pts = [(0, s), (255, s)]
+        return FilmGrainParams(
+            apply_grain=True,
+            grain_seed=(7391 + 173 * job.display) & 0xFFFF,
+            scaling_points_y=list(pts),
+            scaling_points_cb=[(0, s // 2), (255, s // 2)],
+            scaling_points_cr=[(0, s // 2), (255, s // 2)],
+            ar_coeff_lag=0,
+            ar_coeffs_cb=[0], ar_coeffs_cr=[0],
+        )
 
     def _rel_dist(self, a: int, b: int) -> int:
         bits = self.seq.order_hint_bits
@@ -446,14 +476,17 @@ class Decoder:
                 r = BitReader(payload)
                 res = parse_frame_header(r, self.seq, self._hints())
                 assert isinstance(res, int), "frame header without tiles"
-                planes = tuple(np.asarray(p)
-                               for p in self.dpb.slots[res]["planes"])
-                planes = self._output(planes)
+                slot = self.dpb.slots[res]
+                planes = tuple(np.asarray(p) for p in slot["planes"])
+                planes = self._output(planes, slot.get("film_grain"))
         return planes
 
-    def _output(self, planes):
+    def _output(self, planes, film_grain=None):
         dt = np.uint8 if self.seq.bit_depth == 8 else np.uint16
         out = tuple(p.astype(dt) for p in planes)
+        if film_grain is not None and film_grain.apply_grain:
+            from .ops.film_grain import apply_grain
+            out = apply_grain(film_grain, out, self.seq.bit_depth)
         for p in out:
             self.md5.update(np.ascontiguousarray(p).tobytes())
         return out
@@ -497,8 +530,11 @@ class Decoder:
         if mask:
             self.dpb.refresh(mask, [p.astype(np.int32) for p in planes],
                              fh.order_hint, fh.order_hint)
+            for i in range(8):
+                if mask & (1 << i):
+                    self.dpb.slots[i]["film_grain"] = fh.film_grain
         if fh.show_frame:
-            return self._output(planes)
+            return self._output(planes, fh.film_grain)
         return None
 
 

@@ -94,6 +94,8 @@ class FrameHeader:
     lr_unit_shift: int = 1
     lr_uv_shift: int = 1
 
+    film_grain: object = None         # FilmGrainParams when signaled
+
     def lr_unit_size(self, plane: int) -> int:
         size = 256 >> (2 - self.lr_unit_shift)
         return size >> (self.lr_uv_shift if plane else 0)
@@ -389,7 +391,7 @@ def write_frame_header(w: BitWriter, seq: SequenceHeader, fh: FrameHeader,
     if is_inter:
         for _ in range(7):
             w.flag(False)                # is_global (LAST..ALTREF)
-    # film grain: not present -> skip
+    _write_film_grain(w, seq, fh)
 
 
 def _write_frame_size(w: BitWriter, seq: SequenceHeader, fh: FrameHeader) -> None:
@@ -601,7 +603,113 @@ def parse_frame_header(r: BitReader, seq: SequenceHeader,
     if is_inter:
         for _ in range(7):
             assert not r.flag()          # is_global
+    _parse_film_grain(r, seq, fh)
     return fh
+
+
+def _write_film_grain(w: BitWriter, seq: SequenceHeader,
+                      fh: FrameHeader) -> None:
+    """spec 5.9.30 film_grain_params (write path; update_grain only)."""
+    if not seq.film_grain_params_present or not (fh.show_frame
+                                                 or fh.showable_frame):
+        return
+    fg = fh.film_grain
+    w.flag(fg is not None and fg.apply_grain)
+    if fg is None or not fg.apply_grain:
+        return
+    w.f(fg.grain_seed, 16)
+    if fh.frame_type == FrameType.INTER_FRAME:
+        w.flag(True)                     # update_grain
+    w.f(len(fg.scaling_points_y), 4)
+    for x, v in fg.scaling_points_y:
+        w.f(x, 8)
+        w.f(v, 8)
+    if not seq.monochrome:
+        w.flag(fg.chroma_scaling_from_luma)
+    no_chroma = seq.monochrome or fg.chroma_scaling_from_luma or \
+        not fg.scaling_points_y        # 4:2:0 && num_y == 0
+    if not no_chroma:
+        w.f(len(fg.scaling_points_cb), 4)
+        for x, v in fg.scaling_points_cb:
+            w.f(x, 8)
+            w.f(v, 8)
+        w.f(len(fg.scaling_points_cr), 4)
+        for x, v in fg.scaling_points_cr:
+            w.f(x, 8)
+            w.f(v, 8)
+    w.f(fg.scaling_shift - 8, 2)
+    w.f(fg.ar_coeff_lag, 2)
+    num_pos = 2 * fg.ar_coeff_lag * (fg.ar_coeff_lag + 1)
+    if fg.scaling_points_y:
+        for c in fg.ar_coeffs_y:
+            w.f(c + 128, 8)
+    if fg.chroma_scaling_from_luma or fg.scaling_points_cb:
+        for c in fg.ar_coeffs_cb:
+            w.f(c + 128, 8)
+    if fg.chroma_scaling_from_luma or fg.scaling_points_cr:
+        for c in fg.ar_coeffs_cr:
+            w.f(c + 128, 8)
+    w.f(fg.ar_coeff_shift - 6, 2)
+    w.f(fg.grain_scale_shift, 2)
+    if fg.scaling_points_cb:
+        w.f(fg.cb_mult, 8)
+        w.f(fg.cb_luma_mult, 8)
+        w.f(fg.cb_offset, 9)
+    if fg.scaling_points_cr:
+        w.f(fg.cr_mult, 8)
+        w.f(fg.cr_luma_mult, 8)
+        w.f(fg.cr_offset, 9)
+    w.flag(fg.overlap_flag)
+    w.flag(fg.clip_to_restricted_range)
+
+
+def _parse_film_grain(r: BitReader, seq: SequenceHeader,
+                      fh: FrameHeader) -> None:
+    from ..ops.film_grain import FilmGrainParams
+
+    if not seq.film_grain_params_present or not (fh.show_frame
+                                                 or fh.showable_frame):
+        return
+    if not r.flag():                     # apply_grain
+        return
+    fg = FilmGrainParams(apply_grain=True)
+    fg.grain_seed = r.f(16)
+    if fh.frame_type == FrameType.INTER_FRAME:
+        assert r.flag(), "film grain ref-load unsupported"
+    n = r.f(4)
+    fg.scaling_points_y = [(r.f(8), r.f(8)) for _ in range(n)]
+    if not seq.monochrome:
+        fg.chroma_scaling_from_luma = r.flag()
+    no_chroma = seq.monochrome or fg.chroma_scaling_from_luma or \
+        not fg.scaling_points_y
+    if not no_chroma:
+        n = r.f(4)
+        fg.scaling_points_cb = [(r.f(8), r.f(8)) for _ in range(n)]
+        n = r.f(4)
+        fg.scaling_points_cr = [(r.f(8), r.f(8)) for _ in range(n)]
+    fg.scaling_shift = r.f(2) + 8
+    fg.ar_coeff_lag = r.f(2)
+    num_pos = 2 * fg.ar_coeff_lag * (fg.ar_coeff_lag + 1)
+    if fg.scaling_points_y:
+        fg.ar_coeffs_y = [r.f(8) - 128 for _ in range(num_pos)]
+    npc = num_pos + (1 if fg.scaling_points_y else 0)
+    if fg.chroma_scaling_from_luma or fg.scaling_points_cb:
+        fg.ar_coeffs_cb = [r.f(8) - 128 for _ in range(npc)]
+    if fg.chroma_scaling_from_luma or fg.scaling_points_cr:
+        fg.ar_coeffs_cr = [r.f(8) - 128 for _ in range(npc)]
+    fg.ar_coeff_shift = r.f(2) + 6
+    fg.grain_scale_shift = r.f(2)
+    if fg.scaling_points_cb:
+        fg.cb_mult = r.f(8)
+        fg.cb_luma_mult = r.f(8)
+        fg.cb_offset = r.f(9)
+    if fg.scaling_points_cr:
+        fg.cr_mult = r.f(8)
+        fg.cr_luma_mult = r.f(8)
+        fg.cr_offset = r.f(9)
+    fg.overlap_flag = r.flag()
+    fg.clip_to_restricted_range = r.flag()
+    fh.film_grain = fg
 
 
 # --------------------------------------------------------------------------

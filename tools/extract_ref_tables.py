@@ -209,6 +209,10 @@ def main():
          "sub_pel_filters_4smooth"}))
 
     OUT.parent.mkdir(parents=True, exist_ok=True)
+    print("extracting film grain gaussian sequence from grainSynthesis.c")
+    tables.update(extract_tables(
+        REF / "grainSynthesis.c", {"gaussian_sequence"}))
+
     np.savez_compressed(OUT, **tables)
     total = sum(t.size for t in tables.values())
     print(f"wrote {len(tables)} tables, {total} values -> {OUT}")
