@@ -92,9 +92,10 @@ class PictureDecision:
             self.key_interval = 1        # all-intra (auto default)
         elif period >= 0:
             self.key_interval = period + 1
+        self.scene_changes = set()       # displays forced to key (SCD)
 
     def is_key(self, display: int) -> bool:
-        if display == 0:
+        if display == 0 or display in self.scene_changes:
             return True
         return self.key_interval is not None and \
             self.key_interval > 0 and display % self.key_interval == 0
@@ -104,11 +105,14 @@ class PictureDecision:
         order), return (jobs, consumed) or (None, 0) to wait for more."""
         if self.is_key(start):
             return [CodeJob("code", start, 0, is_key=True)], 1
-        # GOP span is bounded by the next key frame
+        # GOP span is bounded by the next key frame (periodic or SCD)
         g = self.gop
         if self.key_interval:
             next_key = ((start // self.key_interval) + 1) * self.key_interval
             g = min(g, next_key - start)
+        for sc in self.scene_changes:
+            if start < sc:
+                g = min(g, sc - start)
         if n_available < g:
             if not eos or n_available <= 0:
                 return None, 0
@@ -175,7 +179,8 @@ def _named_ref_displays(display: int, dpb: Dpb, anchor: int):
 class Encoder:
     """Streaming encoder: send_picture() -> ready packets; flush() ends."""
 
-    def __init__(self, cfg: EncoderConfig, decider: ModeDecider | None = None):
+    def __init__(self, cfg: EncoderConfig, decider: ModeDecider | None = None,
+                 two_pass_stats: list | None = None):
         self.cfg = cfg
         self._decider_arg = decider
         sig = __import__("svt_av1_tpu.config", fromlist=["derive_signals"]
@@ -197,6 +202,13 @@ class Encoder:
         from .pipeline.rate_control import RateControl
         self.rc = RateControl(cfg, float(cfg.frame_rate),
                               all_intra=self.pd.key_interval == 1)
+        if two_pass_stats:
+            from .pipeline.first_pass import (complexity_weights,
+                                              detect_scene_changes)
+            self.rc.weights = complexity_weights(two_pass_stats)
+            if self.pd.key_interval != 1:
+                self.pd.scene_changes = set(
+                    detect_scene_changes(two_pass_stats))
         self._buffer = []            # pending source frames (display order)
         self._next_display = 0       # display idx of _buffer[0]
         self._sent = 0
@@ -267,14 +279,13 @@ class Encoder:
         return self._encode_display(job)
 
     def _qindex_for(self, job: CodeJob) -> int:
-        return self.rc.pick_qindex(job.is_key, job.layer)
+        return self.rc.pick_qindex(job.is_key, job.layer, job.display)
 
     def _frame_header(self, job: CodeJob, refs_idx) -> FrameHeader:
         from .ops.dlf import filter_levels_from_qindex
 
         qindex = self._qindex_for(job)
-        dlf_off = self.cfg.disable_dlf or self.cfg.encoder_bit_depth > 8
-        lvl = 0 if dlf_off else filter_levels_from_qindex(
+        lvl = 0 if self.cfg.disable_dlf else filter_levels_from_qindex(
             qindex, self.cfg.encoder_bit_depth)
         return FrameHeader(
             frame_type=FrameType.KEY_FRAME if job.is_key

@@ -52,7 +52,29 @@ def _enc(args) -> int:
                         enc_mode=args.preset,
                         rate_control_mode=RateControlMode(args.rc),
                         target_bit_rate=args.tbr)
-    enc = Encoder(cfg)
+    if args.enc_pass == 1:
+        # first pass: open-loop analysis only (firstpass.c analog)
+        from .pipeline.first_pass import analyze_frame, write_stats
+        stats, prev = [], None
+        n = 0
+        t0 = time.time()
+        for planes in frames:
+            if args.frames and n >= args.frames:
+                break
+            stats.append(analyze_frame(planes[0], prev))
+            prev = planes[0]
+            n += 1
+        write_stats(args.stats or (args.bitstream + ".stats"), stats)
+        print(f"PASS1: analyzed {n} frames in {time.time() - t0:.2f}s -> "
+              f"{args.stats or args.bitstream + '.stats'}")
+        return 0
+
+    two_pass_stats = None
+    if args.enc_pass == 2:
+        from .pipeline.first_pass import read_stats
+        two_pass_stats = read_stats(args.stats or (args.bitstream + ".stats"))
+
+    enc = Encoder(cfg, two_pass_stats=two_pass_stats)
     t0 = time.time()
     n = 0
     total_bytes = 0
@@ -140,6 +162,10 @@ def main(argv=None) -> int:
                         "N = key frame every N+1 frames")
     e.add_argument("--rc", type=int, default=0, choices=(0, 1, 2),
                    help="0 CQP, 1 VBR, 2 CVBR")
+    e.add_argument("--pass", dest="enc_pass", type=int, default=0,
+                   choices=(0, 1, 2), help="2-pass: 1 analyze, 2 encode")
+    e.add_argument("--stats", default="",
+                   help="stats file for --pass 1/2")
     e.add_argument("--tbr", type=int, default=7_000_000,
                    help="target bitrate (bits/s) for --rc 1/2")
     e.add_argument("--preset", type=int, default=8,

@@ -38,12 +38,12 @@ def _thresholds(level: int, sharpness: int):
     return np.int32(blimit), np.int32(inside), np.int32(hev)
 
 
-def _sc(x):
-    """signed_char_clamp on int32 arrays."""
-    return np.clip(x, -128, 127)
+def _sc(x, shift=0):
+    """signed_char_clamp (bd-scaled) on int32 arrays."""
+    return np.clip(x, -128 << shift, (128 << shift) - 1)
 
 
-def _filter_line(p, q, blimit, limit, thresh, size):
+def _filter_line(p, q, blimit, limit, thresh, size, shift=0):
     """Filter one edge line.
 
     p: [..., np] samples left/above of the edge, p[..., 0] farthest
@@ -59,16 +59,17 @@ def _filter_line(p, q, blimit, limit, thresh, size):
     if size == 4:
         mask = ((np.abs(p1 - p0) <= limit) & (np.abs(q1 - q0) <= limit)
                 & (np.abs(p0 - q0) * 2 + np.abs(p1 - q1) // 2 <= blimit))
-        return _filter4(p, q, mask, thresh)
+        return _filter4(p, q, mask, thresh, shift)
 
     p2, q2 = p[..., P - 3], q[..., 2]
     if size == 6:
         mask = ((np.abs(p2 - p1) <= limit) & (np.abs(p1 - p0) <= limit)
                 & (np.abs(q1 - q0) <= limit) & (np.abs(q2 - q1) <= limit)
                 & (np.abs(p0 - q0) * 2 + np.abs(p1 - q1) // 2 <= blimit))
-        flat = ((np.abs(p1 - p0) <= 1) & (np.abs(q1 - q0) <= 1)
-                & (np.abs(p2 - p0) <= 1) & (np.abs(q2 - q0) <= 1))
-        fp, fq = _filter4(p, q, mask & ~flat, thresh)
+        fth = 1 << shift
+        flat = ((np.abs(p1 - p0) <= fth) & (np.abs(q1 - q0) <= fth)
+                & (np.abs(p2 - p0) <= fth) & (np.abs(q2 - q0) <= fth))
+        fp, fq = _filter4(p, q, mask & ~flat, thresh, shift)
         # 5-tap [1,2,2,2,1]
         sel = mask & flat
         op1 = (p2 * 3 + p1 * 2 + p0 * 2 + q0 + 4) >> 3
@@ -86,11 +87,12 @@ def _filter_line(p, q, blimit, limit, thresh, size):
             & (np.abs(p1 - p0) <= limit) & (np.abs(q1 - q0) <= limit)
             & (np.abs(q2 - q1) <= limit) & (np.abs(q3 - q2) <= limit)
             & (np.abs(p0 - q0) * 2 + np.abs(p1 - q1) // 2 <= blimit))
-    flat = ((np.abs(p1 - p0) <= 1) & (np.abs(q1 - q0) <= 1)
-            & (np.abs(p2 - p0) <= 1) & (np.abs(q2 - q0) <= 1)
-            & (np.abs(p3 - p0) <= 1) & (np.abs(q3 - q0) <= 1))
+    fth = 1 << shift
+    flat = ((np.abs(p1 - p0) <= fth) & (np.abs(q1 - q0) <= fth)
+            & (np.abs(p2 - p0) <= fth) & (np.abs(q2 - q0) <= fth)
+            & (np.abs(p3 - p0) <= fth) & (np.abs(q3 - q0) <= fth))
 
-    fp, fq = _filter4(p, q, mask & ~flat, thresh)
+    fp, fq = _filter4(p, q, mask & ~flat, thresh, shift)
 
     # 7-tap [1,1,1,2,1,1,1]
     sel8 = mask & flat
@@ -111,9 +113,9 @@ def _filter_line(p, q, blimit, limit, thresh, size):
     # size 14: flat2 over p6..q6
     p4, p5, p6 = p[..., P - 5], p[..., P - 6], p[..., P - 7]
     q4, q5, q6 = q[..., 4], q[..., 5], q[..., 6]
-    flat2 = ((np.abs(p6 - p0) <= 1) & (np.abs(p5 - p0) <= 1)
-             & (np.abs(p4 - p0) <= 1) & (np.abs(q4 - q0) <= 1)
-             & (np.abs(q5 - q0) <= 1) & (np.abs(q6 - q0) <= 1))
+    flat2 = ((np.abs(p6 - p0) <= fth) & (np.abs(p5 - p0) <= fth)
+             & (np.abs(p4 - p0) <= fth) & (np.abs(q4 - q0) <= fth)
+             & (np.abs(q5 - q0) <= fth) & (np.abs(q6 - q0) <= fth))
     sel8_only = sel8 & ~flat2
     for idx, v in ((P - 3, op2), (P - 2, op1), (P - 1, op0)):
         fp[..., idx] = np.where(sel8_only, v, fp[..., idx])
@@ -144,23 +146,24 @@ def _filter_line(p, q, blimit, limit, thresh, size):
     return fp, fq
 
 
-def _filter4(p, q, mask, thresh):
+def _filter4(p, q, mask, thresh, shift=0):
     """4-tap filter applied where mask; returns modified copies."""
     P = p.shape[-1]
+    t80 = 128 << shift
     p0, p1 = p[..., P - 1], p[..., P - 2]
     q0, q1 = q[..., 0], q[..., 1]
     hev = (np.abs(p1 - p0) > thresh) | (np.abs(q1 - q0) > thresh)
-    ps1, ps0 = p1 - 128, p0 - 128
-    qs0, qs1 = q0 - 128, q1 - 128
-    f = np.where(hev, _sc(ps1 - qs1), 0)
-    f = np.where(mask, _sc(f + 3 * (qs0 - ps0)), 0)
-    f1 = _sc(f + 4) >> 3
-    f2 = _sc(f + 3) >> 3
-    oq0 = _sc(qs0 - f1) + 128
-    op0 = _sc(ps0 + f2) + 128
+    ps1, ps0 = p1 - t80, p0 - t80
+    qs0, qs1 = q0 - t80, q1 - t80
+    f = np.where(hev, _sc(ps1 - qs1, shift), 0)
+    f = np.where(mask, _sc(f + 3 * (qs0 - ps0), shift), 0)
+    f1 = _sc(f + 4, shift) >> 3
+    f2 = _sc(f + 3, shift) >> 3
+    oq0 = _sc(qs0 - f1, shift) + t80
+    op0 = _sc(ps0 + f2, shift) + t80
     fo = np.where(~hev, (f1 + 1) >> 1, 0)
-    oq1 = _sc(qs1 - fo) + 128
-    op1 = _sc(ps1 + fo) + 128
+    oq1 = _sc(qs1 - fo, shift) + t80
+    op1 = _sc(ps1 + fo, shift) + t80
     fp = p.copy()
     fq = q.copy()
     fp[..., P - 1] = np.where(mask, op0, p0)
@@ -174,7 +177,7 @@ def loop_filter_plane(plane: np.ndarray, tx_w: np.ndarray, tx_h: np.ndarray,
                       skip: np.ndarray, block_edge_x: np.ndarray,
                       block_edge_y: np.ndarray, width: int, height: int,
                       level_v: int, level_h: int, sharpness: int,
-                      is_chroma: bool) -> np.ndarray:
+                      is_chroma: bool, bd: int = 8) -> np.ndarray:
     """Filter one plane in place (returns the same array).
 
     tx_w/tx_h/skip/block_edge_*: per-4x4-unit grids in PLANE coordinates
@@ -184,8 +187,10 @@ def loop_filter_plane(plane: np.ndarray, tx_w: np.ndarray, tx_h: np.ndarray,
     """
     x4max = width >> 2
     y4max = height >> 2
+    shift = bd - 8
     if level_v > 0:
         bl, lim, hev = _thresholds(level_v, sharpness)
+        bl, lim, hev = bl << shift, lim << shift, hev << shift
         for x4 in range(1, x4max):
             x = x4 << 2
             left_w = tx_w[:, x4 - 1]
@@ -225,12 +230,13 @@ def loop_filter_plane(plane: np.ndarray, tx_w: np.ndarray, tx_h: np.ndarray,
                     npx, nqx = min(2, x - xl), min(2, xr - x)
                 p = plane[:y4max * 4, x - npx:x]
                 q = plane[:y4max * 4, x:x + nqx]
-                fp, fq = _filter_line(p, q, bl, lim, hev, size)
+                fp, fq = _filter_line(p, q, bl, lim, hev, size, shift)
                 sel_rows = rmask
                 plane[:y4max * 4, x - npx:x][sel_rows] = fp[sel_rows]
                 plane[:y4max * 4, x:x + nqx][sel_rows] = fq[sel_rows]
     if level_h > 0:
         bl, lim, hev = _thresholds(level_h, sharpness)
+        bl, lim, hev = bl << shift, lim << shift, hev << shift
         for y4 in range(1, y4max):
             y = y4 << 2
             up_h = tx_h[y4 - 1, :]
@@ -262,7 +268,7 @@ def loop_filter_plane(plane: np.ndarray, tx_w: np.ndarray, tx_h: np.ndarray,
                     npx, nqx = min(2, y), min(2, plane.shape[0] - y)
                 p = plane[y - npx:y, :x4max * 4].T
                 q = plane[y:y + nqx, :x4max * 4].T
-                fp, fq = _filter_line(p, q, bl, lim, hev, size)
+                fp, fq = _filter_line(p, q, bl, lim, hev, size, shift)
                 plane[y - npx:y, :x4max * 4].T[cmask] = fp[cmask]
                 plane[y:y + nqx, :x4max * 4].T[cmask] = fq[cmask]
     return plane

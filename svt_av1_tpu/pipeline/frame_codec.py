@@ -1036,7 +1036,7 @@ class FrameCodec:
                 self.tx_h_grid[plane], self.skip_grid[plane],
                 self.bedge_x[plane], self.bedge_y[plane],
                 self.aligned_w >> sx, self.aligned_h >> sx,
-                plv, plh, fh.sharpness, plane > 0)
+                plv, plh, fh.sharpness, plane > 0, self.seq.bit_depth)
         self._save_deblocked()
 
     def _save_deblocked(self):

@@ -61,13 +61,15 @@ class RateControl:
             qp0 = float(np.clip(qp0, cfg.min_qp_allowed, cfg.max_qp_allowed))
         self.state = RcState(qp=qp0)
         self.ema_bits = None           # recent realized bits/frame
+        self.weights = None            # per-display 2-pass weights
         # leaky-bucket fullness in bits (positive = under budget)
         self.fullness = 0.0
         self.buffer_size = cfg.target_bit_rate  # ~1s window
 
     # -- qindex selection ---------------------------------------------------
 
-    def pick_qindex(self, is_key: bool, layer: int) -> int:
+    def pick_qindex(self, is_key: bool, layer: int,
+                    display: int | None = None) -> int:
         if self.mode == RateControlMode.CQP:
             base = QUANTIZER_TO_QINDEX[self.cfg.qp]
             if base == 0 or self.all_intra:
@@ -82,6 +84,11 @@ class RateControl:
                            self.cfg.max_qp_allowed))
         base = _qp_to_qindex(qp)
         off = KEY_OFFSET * 2 if is_key else LAYER_OFFSETS[min(layer, 5)]
+        if self.weights is not None and display is not None \
+                and display < len(self.weights):
+            # 2-pass: easy frames (weight < 1) ride at higher q
+            off += int(np.clip(round(-10 * np.log2(
+                max(self.weights[display], 1e-3))), -24, 24))
         lo = QUANTIZER_TO_QINDEX[self.cfg.min_qp_allowed]
         hi = QUANTIZER_TO_QINDEX[self.cfg.max_qp_allowed]
         return int(np.clip(base + off, max(lo, 1), max(hi, 1)))

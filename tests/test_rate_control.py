@@ -47,3 +47,35 @@ def test_vbr_hits_target(tmp_path, target):
     encode_ivf(frames, cfg, str(path))
     kbps = os.path.getsize(path) * 8 * 30 / n
     assert abs(kbps - target) / target < 0.25, (kbps, target)
+
+
+def test_two_pass_scene_change_and_weights():
+    from svt_av1_tpu.pipeline.first_pass import (analyze_frame,
+                                                 complexity_weights,
+                                                 detect_scene_changes,
+                                                 read_stats, write_stats)
+    rng = np.random.default_rng(3)
+    w, h = 176, 144
+    yy, xx = np.mgrid[0:h, 0:w]
+    stats, prev = [], None
+    for i in range(12):
+        if i < 6:
+            y = (110 + 70 * np.sin(xx / 17 + i * 0.2)
+                 + rng.integers(-8, 9, (h, w))).clip(0, 255).astype(np.uint8)
+        else:
+            y = (40 + 90 * np.cos(yy / 7 + i * 0.3)
+                 + rng.integers(-8, 9, (h, w))).clip(0, 255).astype(np.uint8)
+        stats.append(analyze_frame(y, prev))
+        prev = y
+    assert detect_scene_changes(stats) == [6]
+    wts = complexity_weights(stats)
+    assert abs(np.mean(wts) - 1.0) < 1e-9
+    assert wts[6] > wts[3]               # cut frame costs more
+
+
+def test_stats_roundtrip(tmp_path):
+    from svt_av1_tpu.pipeline.first_pass import read_stats, write_stats
+    stats = [{"intra": 5.0, "inter": 2.5}, {"intra": 7.1, "inter": 9.9}]
+    p = str(tmp_path / "s.jsonl")
+    write_stats(p, stats)
+    assert read_stats(p) == stats
