@@ -229,19 +229,19 @@ def cdef_frame(planes, skips, mi_rows: int, mi_cols: int,
     out = [p.copy() for p in planes]
     if y_pri or y_sec:
         pri_adj = adjust_strength(y_pri, var)
-        filt = filter_blocks(luma_win, np.where(y_pri > 0, dirs, 0),
-                             pri_adj, y_sec,
-                             damping + coeff_shift, damping + coeff_shift,
-                             coeff_shift)
+        ctx = _SearchCtx(luma_win, np.where(y_pri > 0, dirs, 0))
+        filt = ctx.run(pri_adj, y_sec, damping + coeff_shift,
+                       damping + coeff_shift, coeff_shift)
         _scatter(out[0], filt, by * 8, bx * 8)
     if len(planes) > 1 and (uv_pri or uv_sec):
         cw, ch = fw >> 1, fh >> 1
         d = damping + coeff_shift - 1
+        cdirs = np.where(uv_pri > 0, dirs, 0)
+        pri_arr = np.full(len(by), uv_pri, np.int32)
         for pli in (1, 2):
             wins = _extract_windows(planes[pli], by, bx, 4, 4, cw, ch)
-            filt = filter_blocks(wins, np.where(uv_pri > 0, dirs, 0),
-                                 np.full(len(by), uv_pri, np.int32),
-                                 uv_sec, d, d, coeff_shift)
+            ctx = _SearchCtx(wins, cdirs)
+            filt = ctx.run(pri_arr, uv_sec, d, d, coeff_shift)
             _scatter(out[pli], filt, by * 4, bx * 4)
     return out
 
