@@ -485,3 +485,45 @@ def predict_intra_block(mode: PredictionMode, angle_delta: int,
     if mode == PredictionMode.SMOOTH_H_PRED:
         return smooth_h_predictor(w, h, above_row, left_col)
     raise ValueError(mode)
+
+
+# --------------------------------------------------------------------------
+# Chroma-from-luma (spec 7.11.5; cfl_c.c, EbIntraPrediction.c:349-399)
+# --------------------------------------------------------------------------
+
+def cfl_luma_q3(luma_recon_block, xp=np):
+    """4:2:0 subsampled Q3 luma buffer: 2x2 box sum << 1."""
+    y = luma_recon_block.astype(xp.int32)
+    s = y[::2, ::2] + y[::2, 1::2] + y[1::2, ::2] + y[1::2, 1::2]
+    return (s << 1).astype(xp.int32)
+
+
+def cfl_ac(q3, xp=np):
+    """Subtract the rounded average (svt_subtract_average_c)."""
+    n = q3.size
+    log2n = int(n).bit_length() - 1
+    avg = (int(q3.sum()) + (n >> 1)) >> log2n
+    return q3 - avg
+
+
+def cfl_predict(dc_pred, ac_q3, alpha_q3: int, bd: int = 8, xp=np):
+    """dst = clip(dc + round_signed(alpha_q3 * ac_q3, 6))."""
+    v = alpha_q3 * ac_q3
+    scaled = xp.where(v >= 0, (v + 32) >> 6, -((-v + 32) >> 6))
+    return xp.clip(dc_pred + scaled, 0, (1 << bd) - 1)
+
+
+def cfl_idx_to_alpha(alpha_idx: int, joint_sign: int, plane_u: bool) -> int:
+    sign = cfl_sign_u(joint_sign) if plane_u else cfl_sign_v(joint_sign)
+    if sign == 0:                     # CFL_SIGN_ZERO
+        return 0
+    mag = (alpha_idx >> 4) if plane_u else (alpha_idx & 15)
+    return (mag + 1) if sign == 2 else -(mag + 1)
+
+
+def cfl_sign_u(js: int) -> int:
+    return ((js + 1) * 11) >> 5
+
+
+def cfl_sign_v(js: int) -> int:
+    return (js + 1) - 3 * cfl_sign_u(js)

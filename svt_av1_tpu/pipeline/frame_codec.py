@@ -158,8 +158,10 @@ class SymbolReader:
 class BlockDecision:
     y_mode: PredictionMode = PredictionMode.DC_PRED
     angle_delta_y: int = 0
-    uv_mode: int = 0                    # UVPredictionMode (no CFL yet)
+    uv_mode: int = 0                    # UVPredictionMode (13 = UV_CFL)
     angle_delta_uv: int = 0
+    cfl_signs: int = 0                  # joint sign (when uv_mode == 13)
+    cfl_idx: int = 0
     tx_type_y: TxType = TxType.DCT_DCT
     # inter fields
     is_inter: bool = False
@@ -712,8 +714,9 @@ class FrameCodec:
             uv_cdf = self.fc.uv_mode[int(cfl_allowed)][y_mode]
             uv_mode = io.symbol(None if decision is None else decision.uv_mode,
                                 uv_cdf, 14 if cfl_allowed else 13)
-            assert uv_mode != 13, "CFL not implemented"
-            if bsize >= 8 and intra_ops.is_directional(PredictionMode(uv_mode)):
+            if uv_mode == 13:
+                cfl_signs, cfl_idx = self._code_cfl(decision)
+            elif bsize >= 8 and intra_ops.is_directional(PredictionMode(uv_mode)):
                 sym = io.symbol(None if decision is None
                                 else decision.angle_delta_uv + 3,
                                 self.fc.angle_delta[uv_mode - 1], 7)
@@ -729,7 +732,9 @@ class FrameCodec:
         if io.is_decoder:
             decision = BlockDecision(
                 y_mode=PredictionMode(y_mode), angle_delta_y=angle_delta_y,
-                uv_mode=uv_mode, angle_delta_uv=angle_delta_uv)
+                uv_mode=uv_mode, angle_delta_uv=angle_delta_uv,
+                cfl_signs=cfl_signs if uv_mode == 13 else 0,
+                cfl_idx=cfl_idx if uv_mode == 13 else 0)
 
         # record mode info
         self.y_modes[mi_row:mi_row + bs_mi, mi_col:mi_col + bs_mi] = y_mode
@@ -757,7 +762,7 @@ class FrameCodec:
             return TxType.DCT_DCT
         if plane == 0:
             return decision.tx_type_y
-        mode = decision.uv_mode
+        mode = 0 if decision.uv_mode == 13 else decision.uv_mode
         tt = _INTRA_MODE_TO_TX_TYPE[mode]
         set_type = get_ext_tx_set_type(tx_size, False, self.fh.reduced_tx_set)
         if not ext_tx_used(set_type, tt):
@@ -766,6 +771,48 @@ class FrameCodec:
 
     def _plane_quant(self, plane: int) -> qz.PlaneQuant:
         return (self.yq, self.uq, self.vq)[plane]
+
+    def _code_cfl(self, decision):
+        """cfl_alpha_signs + per-plane alpha magnitudes
+        (read_cfl_alphas, EbDecParseBlock.c:316)."""
+        io = self.io
+        enc = None if io.is_decoder else decision
+        signs = io.symbol(None if enc is None else enc.cfl_signs,
+                          self.fc.cfl_sign, 8)
+        idx = 0
+        if intra_ops.cfl_sign_u(signs) != 0:
+            u = io.symbol(None if enc is None else enc.cfl_idx >> 4,
+                          self.fc.cfl_alpha[signs + 1 - 3], 16)
+            idx = u << 4
+        if intra_ops.cfl_sign_v(signs) != 0:
+            ctx = intra_ops.cfl_sign_v(signs) * 3 \
+                + intra_ops.cfl_sign_u(signs) - 3
+            v = io.symbol(None if enc is None else enc.cfl_idx & 15,
+                          self.fc.cfl_alpha[ctx], 16)
+            idx += v
+        return signs, idx
+
+    def predict_chroma(self, plane, decision, px, py, pw, ph, ts):
+        """Chroma intra prediction incl. chroma-from-luma."""
+        if decision.uv_mode == 13:
+            luma = self.recon[0][py * 2:py * 2 + ph * 2,
+                                 px * 2:px * 2 + pw * 2]
+            return self.predict_chroma_with_luma(plane, decision, px, py,
+                                                 pw, ph, ts, luma)
+        return self.predict(plane, PredictionMode(decision.uv_mode),
+                            decision.angle_delta_uv, px, py, pw, ph, ts)
+
+    def predict_chroma_with_luma(self, plane, decision, px, py, pw, ph,
+                                 ts, luma_recon):
+        """CfL prediction from an explicit luma recon buffer (the RDO
+        trial path supplies it before the block lands in the frame)."""
+        dc = self.predict(plane, PredictionMode.DC_PRED, 0,
+                          px, py, pw, ph, ts)
+        ac = intra_ops.cfl_ac(intra_ops.cfl_luma_q3(luma_recon))
+        alpha = intra_ops.cfl_idx_to_alpha(
+            decision.cfl_idx, decision.cfl_signs, plane == 1)
+        return np.asarray(intra_ops.cfl_predict(
+            dc, ac, alpha, self.seq.bit_depth))
 
     def _compute_block(self, decision, x, y, bw, bh):
         """Predict/transform/quantize/recon every tx block; returns their
@@ -778,9 +825,11 @@ class FrameCodec:
             pw, ph = bw >> sx, bh >> sy
             ts = self.tx_size_for(plane, bw, bh)
             tt = self.tx_type_for(plane, decision, ts)
-            mode = decision.y_mode if plane == 0 else PredictionMode(decision.uv_mode)
-            delta = decision.angle_delta_y if plane == 0 else decision.angle_delta_uv
-            pred = self.predict(plane, mode, delta, px, py, pw, ph, ts)
+            if plane == 0:
+                pred = self.predict(plane, decision.y_mode,
+                                    decision.angle_delta_y, px, py, pw, ph, ts)
+            else:
+                pred = self.predict_chroma(plane, decision, px, py, pw, ph, ts)
             src = self.source[plane][py:py + ph, px:px + pw]
             resid = src.astype(np.int32) - pred
             coeffs = np.asarray(tf.fwd_txfm2d(resid, tt, ts, self.seq.bit_depth))
@@ -959,10 +1008,13 @@ class FrameCodec:
 
     def _recon_skip(self, plane, decision, t):
         """Redo recon with zero residual for skip blocks."""
-        mode = decision.y_mode if plane == 0 else PredictionMode(decision.uv_mode)
-        delta = decision.angle_delta_y if plane == 0 else decision.angle_delta_uv
-        pred = self.predict(plane, mode, delta, t["px"], t["py"], t["pw"],
-                            t["ph"], t["tx_size"])
+        if plane == 0:
+            pred = self.predict(plane, decision.y_mode,
+                                decision.angle_delta_y, t["px"], t["py"],
+                                t["pw"], t["ph"], t["tx_size"])
+        else:
+            pred = self.predict_chroma(plane, decision, t["px"], t["py"],
+                                       t["pw"], t["ph"], t["tx_size"])
         self.recon[plane][t["py"]:t["py"] + t["ph"],
                           t["px"]:t["px"] + t["pw"]] = pred
 
@@ -974,11 +1026,16 @@ class FrameCodec:
             pw, ph = bw >> sx, bh >> sy
             ts = self.tx_size_for(plane, bw, bh)
             self._record_tx_geometry(plane, px, py, pw, ph, ts)
-            mode = decision.y_mode if plane == 0 else PredictionMode(decision.uv_mode)
-            delta = decision.angle_delta_y if plane == 0 else decision.angle_delta_uv
+
+            def _pred(plane=plane, px=px, py=py, pw=pw, ph=ph, ts=ts):
+                if plane == 0:
+                    return self.predict(plane, decision.y_mode,
+                                        decision.angle_delta_y,
+                                        px, py, pw, ph, ts)
+                return self.predict_chroma(plane, decision, px, py, pw, ph, ts)
+
             if skip:
-                pred = self.predict(plane, mode, delta, px, py, pw, ph, ts)
-                self.recon[plane][py:py + ph, px:px + pw] = pred
+                self.recon[plane][py:py + ph, px:px + pw] = _pred()
                 self._update_txb_ctx(plane, px, py, ts, 0)
                 continue
             plane_type = int(plane > 0)
@@ -992,7 +1049,7 @@ class FrameCodec:
                                 self._tx_type_io(plane, ts, ym, None))
                 if plane == 0 else None)
             self._update_txb_ctx(plane, px, py, ts, cul)
-            pred = self.predict(plane, mode, delta, px, py, pw, ph, ts)
+            pred = _pred()
             if eob == 0:
                 self.recon[plane][py:py + ph, px:px + pw] = pred
                 continue
@@ -1414,9 +1471,13 @@ class FrameCodec:
                                                 pw, ph)
             else:
                 tt = self.tx_type_for(plane, decision, ts)
-                mode = decision.y_mode if plane == 0 else PredictionMode(decision.uv_mode)
-                delta = decision.angle_delta_y if plane == 0 else decision.angle_delta_uv
-                pred = self.predict(plane, mode, delta, px, py, pw, ph, ts)
+                if plane == 0:
+                    pred = self.predict(plane, decision.y_mode,
+                                        decision.angle_delta_y,
+                                        px, py, pw, ph, ts)
+                else:
+                    pred = self.predict_chroma(plane, decision,
+                                               px, py, pw, ph, ts)
             src = self.source[plane][py:py + ph, px:px + pw]
             resid = src.astype(np.int32) - pred
             coeffs = np.asarray(tf.fwd_txfm2d(resid, tt, ts, self.seq.bit_depth))
@@ -1632,8 +1693,9 @@ class FrameCodec:
             uv_cdf = self.fc.uv_mode[int(cfl_allowed)][y_mode]
             uv_mode = io.symbol(None if decision is None else decision.uv_mode,
                                 uv_cdf, 14 if cfl_allowed else 13)
-            assert uv_mode != 13, "CFL not implemented"
-            if bw >= 8 and intra_ops.is_directional(PredictionMode(uv_mode)):
+            if uv_mode == 13:
+                cfl_signs, cfl_idx = self._code_cfl(decision)
+            elif bw >= 8 and intra_ops.is_directional(PredictionMode(uv_mode)):
                 sym = io.symbol(None if decision is None
                                 else decision.angle_delta_uv + 3,
                                 self.fc.angle_delta[uv_mode - 1], 7)
@@ -1645,7 +1707,9 @@ class FrameCodec:
             assert not use_fi
         return BlockDecision(y_mode=PredictionMode(y_mode),
                              angle_delta_y=angle_delta_y, uv_mode=uv_mode,
-                             angle_delta_uv=angle_delta_uv)
+                             angle_delta_uv=angle_delta_uv,
+                             cfl_signs=cfl_signs if uv_mode == 13 else 0,
+                             cfl_idx=cfl_idx if uv_mode == 13 else 0)
 
     def _inter_tx_type_io(self, tx_size, tx_type_val):
         """Luma tx-type signaling for inter blocks (inter ext-tx sets)."""
@@ -1711,9 +1775,13 @@ class FrameCodec:
                 ttr = (lambda ts=ts: self._inter_tx_type_io(ts, None)) \
                     if plane == 0 else None
             else:
-                mode = decision.y_mode if plane == 0 else PredictionMode(decision.uv_mode)
-                delta = decision.angle_delta_y if plane == 0 else decision.angle_delta_uv
-                pred = self.predict(plane, mode, delta, px, py, pw, ph, ts)
+                if plane == 0:
+                    pred = self.predict(plane, decision.y_mode,
+                                        decision.angle_delta_y,
+                                        px, py, pw, ph, ts)
+                else:
+                    pred = self.predict_chroma(plane, decision,
+                                               px, py, pw, ph, ts)
                 default_tt = self.tx_type_for(plane, decision, ts)
                 ttr = (lambda ts=ts, ym=int(decision.y_mode):
                        self._tx_type_io(plane, ts, ym, None)) \

@@ -138,7 +138,7 @@ class RdoDecider(ModeDecider):
                     best = (cost, best[1], delta)
         y_mode, angle_y = best[1], best[2]
 
-        # chroma: RD over a small uv set (no CFL yet)
+        # chroma: RD over a small uv set + chroma-from-luma
         uv_ts = codec.tx_size_for(1, bw, bh)
         uv_cands = set(self._stage0_prune(codec, 1, self.uv_modes, x, y,
                                           bw, bh, uv_ts, self.n_full_rd_uv))
@@ -155,12 +155,79 @@ class RdoDecider(ModeDecider):
             if best_uv is None or total < best_uv[0]:
                 best_uv = (total, uv)
 
+        cfl = None
+        if bw <= 32 and bh <= 32:
+            cfl = self._try_cfl(codec, probe, x, y, bw, bh, uv_ts, lam,
+                                y_mode, angle_y, best_uv[0])
+        if cfl is not None:
+            return BlockDecision(y_mode=y_mode, angle_delta_y=angle_y,
+                                 uv_mode=13, cfl_signs=cfl[0],
+                                 cfl_idx=cfl[1])
         return BlockDecision(y_mode=y_mode, angle_delta_y=angle_y,
                              uv_mode=best_uv[1], angle_delta_uv=0)
 
+    def _try_cfl(self, codec, probe, x, y, bw, bh, uv_ts, lam,
+                 y_mode, angle_y, best_cost):
+        """Chroma-from-luma candidate: reconstruct luma with the chosen
+        mode, least-SSE alpha per plane, full-RD compare vs the best
+        conventional uv mode."""
+        from ..ops import intra as intra_ops
+
+        ts = codec.tx_size_for(0, bw, bh)
+        pred = codec.predict(0, y_mode, angle_y, x, y, bw, bh, ts)
+        src = codec.source[0][y:y + bh, x:x + bw]
+        resid = src.astype(np.int32) - pred
+        coeffs = np.asarray(tf.fwd_txfm2d(resid, TxType.DCT_DCT, ts,
+                                          codec.seq.bit_depth))
+        _, dqc = qz.quantize_b(coeffs, codec.fh.base_q_idx,
+                               codec._plane_quant(0), ts)
+        luma_rec = np.asarray(tf.inv_txfm2d_add(
+            np.asarray(dqc), pred, TxType.DCT_DCT, ts, codec.seq.bit_depth))
+        ac = intra_ops.cfl_ac(intra_ops.cfl_luma_q3(luma_rec))
+
+        alphas = []
+        for plane in (1, 2):
+            px, py = x >> 1, y >> 1
+            pw, ph = bw >> 1, bh >> 1
+            dc = codec.predict(plane, PredictionMode.DC_PRED, 0,
+                               px, py, pw, ph, uv_ts)
+            tgt = codec.source[plane][py:py + ph, px:px + pw].astype(
+                np.int64) - dc
+            best = (1 << 62, 0)
+            for a in range(-16, 17):
+                v = a * ac
+                scaled = np.where(v >= 0, (v + 32) >> 6, -((-v + 32) >> 6))
+                sse = int(((tgt - scaled) ** 2).sum())
+                if sse < best[0]:
+                    best = (sse, a)
+            alphas.append(best[1])
+        au, av = alphas
+        if au == 0 and av == 0:
+            return None
+        sign = lambda a: 0 if a == 0 else (2 if a > 0 else 1)
+        joint = sign(au) * 3 + sign(av) - 1
+        idx = ((abs(au) - 1 if au else 0) << 4) | (abs(av) - 1 if av else 0)
+        d = BlockDecision(y_mode=y_mode, angle_delta_y=angle_y, uv_mode=13,
+                          cfl_signs=joint, cfl_idx=idx)
+        total = 0.0
+        for plane in (1, 2):
+            px, py = x >> 1, y >> 1
+            pw, ph = bw >> 1, bh >> 1
+            pred_c = codec.predict_chroma_with_luma(plane, d, px, py,
+                                                    pw, ph, uv_ts, luma_rec)
+            c, _ = self._block_cost(codec, probe, plane, None, 0, x, y,
+                                    bw, bh, uv_ts, lam, 0, 0,
+                                    uv_mode_for_txtype=0,
+                                    explicit_pred=pred_c)
+            total += c
+        # ~12 bits of cfl side info
+        if total + lam * 12 < best_cost:
+            return joint, idx
+        return None
+
     def _block_cost(self, codec: FrameCodec, probe, plane, mode, delta,
                     x, y, bw, bh, ts, lam, mi_row, mi_col,
-                    uv_mode_for_txtype=None):
+                    uv_mode_for_txtype=None, explicit_pred=None):
         sx = 1 if plane else 0
         px, py = x >> sx, y >> sx
         pw, ph = bw >> sx, bh >> sx
@@ -169,7 +236,10 @@ class RdoDecider(ModeDecider):
         else:
             d = BlockDecision(uv_mode=uv_mode_for_txtype or 0)
             tt = codec.tx_type_for(plane, d, ts)
-        pred = codec.predict(plane, mode, delta, px, py, pw, ph, ts)
+        if explicit_pred is not None:
+            pred = explicit_pred
+        else:
+            pred = codec.predict(plane, mode, delta, px, py, pw, ph, ts)
         src = codec.source[plane][py:py + ph, px:px + pw]
         resid = src.astype(np.int32) - pred
         coeffs = np.asarray(tf.fwd_txfm2d(resid, tt, ts, codec.seq.bit_depth))
