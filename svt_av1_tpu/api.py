@@ -195,6 +195,7 @@ class Encoder:
             enable_filter_intra=False,
             enable_intra_edge_filter=True,
             enable_order_hint=self.pd.gop > 1,
+            enable_superres=cfg.superres_mode > 0,
             enable_cdef=sig.cdef_level > 0 and cfg.qp > 0,
             enable_restoration=bool(sig.enable_restoration) and cfg.qp > 0,
             film_grain_params_present=cfg.film_grain_denoise_strength > 0,
@@ -369,6 +370,18 @@ class Encoder:
             fh.reference_select = any(
                 self._rel_dist(named[n], job.display) > 0
                 for n in range(1, 8))
+        if self.cfg.superres_mode and self.pd.key_interval == 1:
+            # fixed-denominator superres (scaled-reference MC pending, so
+            # all-intra only); encode at the downscaled width
+            from .ops.superres import downscale_plane, scaled_dim
+            fh.upscaled_width = fh.frame_width
+            fh.superres_denom = int(np.clip(self.cfg.superres_denom, 9, 16))
+            fh.frame_width = scaled_dim(fh.upscaled_width, fh.superres_denom)
+            planes = tuple(
+                downscale_plane(np.asarray(p),
+                                (fh.frame_width + (1 if i else 0))
+                                >> (1 if i else 0))
+                for i, p in enumerate(planes))
         if self.seq.film_grain_params_present:
             fh.film_grain = self._estimate_film_grain(job, planes)
         decider = self._decider()
@@ -379,6 +392,7 @@ class Encoder:
         codec.apply_loop_filter()
         codec.search_cdef()
         codec.apply_cdef()
+        codec.apply_superres()
         if self.seq.enable_restoration:
             from .pipeline.rdo import rd_lambda
             if codec.search_lr(rd_lambda(fh.base_q_idx, self.seq.bit_depth)):
@@ -393,6 +407,7 @@ class Encoder:
                 tile_data = codec2.encode_tile(decider)
                 codec2.apply_loop_filter()
                 codec2.apply_cdef()
+                codec2.apply_superres()
                 codec2.apply_lr()
                 codec = codec2
         self.last_recon = codec.cropped_recon()
@@ -535,6 +550,7 @@ class Decoder:
         codec.decode_tile(tile_data)
         codec.apply_loop_filter()
         codec.apply_cdef()
+        codec.apply_superres()
         codec.apply_lr()
         planes = codec.cropped_recon()
         mask = 0xFF if is_key and fh.show_frame else fh.refresh_frame_flags

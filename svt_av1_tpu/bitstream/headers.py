@@ -95,6 +95,9 @@ class FrameHeader:
     lr_uv_shift: int = 1
 
     film_grain: object = None         # FilmGrainParams when signaled
+    # super-resolution: frame_width is the CODED width; denom 8 = off
+    superres_denom: int = 8
+    upscaled_width: int = 0
 
     def lr_unit_size(self, plane: int) -> int:
         size = 256 >> (2 - self.lr_unit_shift)
@@ -395,11 +398,15 @@ def write_frame_header(w: BitWriter, seq: SequenceHeader, fh: FrameHeader,
 
 
 def _write_frame_size(w: BitWriter, seq: SequenceHeader, fh: FrameHeader) -> None:
-    # frame_size_override_flag == 0: sizes come from the sequence header
-    assert fh.frame_width == seq.max_frame_width
+    # frame_size_override_flag == 0: the (upscaled) size comes from the
+    # sequence header; superres_params derive the coded width (spec 5.9.8)
+    assert (fh.upscaled_width or fh.frame_width) == seq.max_frame_width
     assert fh.frame_height == seq.max_frame_height
     if seq.enable_superres:
-        w.flag(False)                    # use_superres
+        use = fh.superres_denom != 8
+        w.flag(use)
+        if use:
+            w.f(fh.superres_denom - 9, 3)
     # compute_image_size side effects only
 
 
@@ -480,6 +487,18 @@ def _write_lr_params(w: BitWriter, seq: SequenceHeader, fh: FrameHeader) -> None
         w.f(fh.lr_uv_shift, 1)           # 4:2:0: one shift bit
 
 
+def _parse_superres(r: BitReader, seq: SequenceHeader,
+                    fh: FrameHeader) -> None:
+    from ..ops.superres import scaled_dim
+
+    fh.upscaled_width = fh.frame_width
+    if not seq.enable_superres:
+        return
+    if r.flag():
+        fh.superres_denom = r.f(3) + 9
+        fh.frame_width = scaled_dim(fh.upscaled_width, fh.superres_denom)
+
+
 def parse_frame_header(r: BitReader, seq: SequenceHeader,
                        ref_order_hints=(0,) * 8):
     """Returns a FrameHeader, or an int map_idx for show_existing_frame."""
@@ -513,8 +532,7 @@ def parse_frame_header(r: BitReader, seq: SequenceHeader,
         if seq.enable_order_hint:
             assert not r.flag()          # frame_refs_short_signaling
         fh.ref_frame_idx = tuple(r.f(3) for _ in range(7))
-        if seq.enable_superres:
-            assert not r.flag()
+        _parse_superres(r, seq, fh)
         assert not r.flag()              # render size diff
         assert not r.flag()              # allow_high_precision_mv
         assert not r.flag()              # is_filter_switchable
@@ -523,8 +541,7 @@ def parse_frame_header(r: BitReader, seq: SequenceHeader,
     else:
         if not fh.show_frame:
             fh.refresh_frame_flags = r.f(8)
-        if seq.enable_superres:
-            assert not r.flag()
+        _parse_superres(r, seq, fh)
         render_diff = r.flag()
         assert not render_diff
     if not fh.disable_cdf_update:

@@ -183,10 +183,12 @@ def loop_filter_plane(plane: np.ndarray, tx_w: np.ndarray, tx_h: np.ndarray,
     tx_w/tx_h/skip/block_edge_*: per-4x4-unit grids in PLANE coordinates
     ([h4, w4]); block_edge_x[y4, x4] true when a prediction-block
     boundary lies at the left edge of that unit (block_edge_y: top edge).
-    width/height: the visible plane size (edges beyond are not filtered).
+    width/height: the VISIBLE plane size; a 4px unit is filtered only
+    when its start coordinate lies inside it (dec_loop_filter_block's
+    width <= x || height <= y early-out, EbDecLF.c:115).
     """
-    x4max = width >> 2
-    y4max = height >> 2
+    x4max = (width + 3) >> 2
+    y4max = (height + 3) >> 2
     shift = bd - 8
     if level_v > 0:
         bl, lim, hev = _thresholds(level_v, sharpness)

@@ -459,7 +459,7 @@ class FrameCodec:
         for p in range(self.num_planes):
             sub = 1 if p else 0
             size = self.fh.lr_unit_size(p)
-            pw = (self.fh.frame_width + sub) >> sub
+            pw = (self._lr_width() + sub) >> sub
             ph = (self.fh.frame_height + sub) >> sub
             rows = lr.count_units(ph, size)
             cols = lr.count_units(pw, size)
@@ -479,7 +479,7 @@ class FrameCodec:
             assert self.fh.lr_type[p] == lr.RESTORE_WIENER, "SGR/switchable TBD"
             sub = 1 if p else 0
             size = self.fh.lr_unit_size(p)
-            pw = (self.fh.frame_width + sub) >> sub
+            pw = (self._lr_width() + sub) >> sub
             ph = (self.fh.frame_height + sub) >> sub
             rows = lr.count_units(ph, size)
             cols = lr.count_units(pw, size)
@@ -517,6 +517,35 @@ class FrameCodec:
                     ref[3 * d + k])
         self.lr_ref[plane] = taps_v + taps_h
         self.lr_units[plane][ur][uc] = (list(taps_v), list(taps_h))
+
+    def _lr_width(self) -> int:
+        """LR operates on the superres-upscaled frame (spec 7.17)."""
+        return self.fh.upscaled_width or self.fh.frame_width
+
+    def apply_superres(self):
+        """Normative horizontal upscale after CDEF, before LR (7.16);
+        the saved deblock rows upscale too (save_deblock_boundary_lines
+        parity for the LR stripe context)."""
+        from ..ops import superres as sr
+
+        fh = self.fh
+        up = fh.upscaled_width or fh.frame_width
+        if fh.superres_denom == 8 or up == fh.frame_width:
+            self.out_w = fh.frame_width
+            return
+        bd = self.seq.bit_depth
+        for p in range(self.num_planes):
+            sub = 1 if p else 0
+            cw = (fh.frame_width + sub) >> sub
+            uw = (up + sub) >> sub
+            ph = (fh.frame_height + sub) >> sub
+            ctx_w = self.aligned_w >> sub    # mi_col_end << 2 per plane
+            self.recon[p] = sr.upscale_plane(self.recon[p], cw, uw, ph, bd,
+                                             ctx_w)
+            if self.deblocked is not None:
+                self.deblocked[p] = sr.upscale_plane(
+                    self.deblocked[p], cw, uw, ph, bd, ctx_w)
+        self.out_w = up
 
     def apply_lr(self):
         """Normative Wiener loop restoration on the post-CDEF recon."""
@@ -563,7 +592,7 @@ class FrameCodec:
         for p in range(self.num_planes):
             sub = 1 if p else 0
             size = self.fh.lr_unit_size(p)
-            pw = (self.fh.frame_width + sub) >> sub
+            pw = (self._lr_width() + sub) >> sub
             ph = (self.fh.frame_height + sub) >> sub
             vlims = lr.unit_limits_vert(ph, size, sub)
             hlims = lr.unit_limits(pw, size)
@@ -1092,7 +1121,8 @@ class FrameCodec:
                 self.recon[plane], self.tx_w_grid[plane],
                 self.tx_h_grid[plane], self.skip_grid[plane],
                 self.bedge_x[plane], self.bedge_y[plane],
-                self.aligned_w >> sx, self.aligned_h >> sx,
+                (fh.frame_width + sx) >> sx,
+                (fh.frame_height + sx) >> sx,
                 plv, plh, fh.sharpness, plane > 0, self.seq.bit_depth)
         self._save_deblocked()
 
@@ -1809,7 +1839,8 @@ class FrameCodec:
             self.recon[plane][py:py + ph, px:px + pw] = recon
 
     def cropped_recon(self):
-        w, h = self.fh.frame_width, self.fh.frame_height
+        w = getattr(self, "out_w", None) or self.fh.frame_width
+        h = self.fh.frame_height
         dt = np.uint8 if self.seq.bit_depth == 8 else np.uint16
         return [self.recon[0][:h, :w].astype(dt),
                 self.recon[1][:h >> 1, :w >> 1].astype(dt),

@@ -213,6 +213,16 @@ def main():
     tables.update(extract_tables(
         REF / "grainSynthesis.c", {"gaussian_sequence"}))
 
+    print("extracting superres upscale filters from EbSuperRes.h")
+    sr_text = (REF / "EbSuperRes.h").read_text()
+    m = re.search(r"av1_resize_filter_normative[^=]*=\s*\{(.*?)\n\};",
+                  sr_text, re.S)
+    body = re.sub(r"#[^\n]*", "", m.group(1))
+    nums = [int(v) for v in re.findall(r"-?\d+", body)]
+    assert len(nums) == 64 * 8, len(nums)
+    tables["av1_resize_filter_normative"] = \
+        np.array(nums, np.int16).reshape(64, 8)
+
     np.savez_compressed(OUT, **tables)
     total = sum(t.size for t in tables.values())
     print(f"wrote {len(tables)} tables, {total} values -> {OUT}")
