@@ -33,8 +33,9 @@ from ..entropy.mv import (MV_SUBPEL_LOW_PRECISION, decode_mv, encode_mv)
 from . import mv_pred
 from ..ops import inter as inter_ops
 
-# intra size groups (size_group_lookup) for the non-key y-mode cdf
-_SIZE_GROUP = {4: 0, 8: 1, 16: 2, 32: 3, 64: 3, 128: 3}
+# intra size groups (size_group_lookup, indexed by BlockSize enum)
+_SIZE_GROUP_BY_ENUM = (0, 0, 0, 1, 1, 1, 2, 2, 2, 3, 3, 3,
+                       3, 3, 3, 3, 1, 1, 2, 2, 3, 3)
 REF_PAD = 96
 
 MI = 4  # mode-info unit in pixels
@@ -42,13 +43,15 @@ MI = 4  # mode-info unit in pixels
 # intra mode -> kf ctx bucket (libaom intra_mode_context)
 INTRA_MODE_CONTEXT = [0, 1, 2, 3, 4, 4, 4, 4, 3, 0, 1, 2, 0]
 
-PARTITION_NONE, PARTITION_SPLIT = 0, 3
+PARTITION_NONE, PARTITION_HORZ, PARTITION_VERT, PARTITION_SPLIT = 0, 1, 2, 3
 
-# partition_context_lookup (EbDefinitions.h:1299): (above, left) per bsize
-_PARTITION_CTX_LOOKUP = {
-    4: (31, 31), 8: (30, 30), 16: (28, 28), 32: (24, 24),
-    64: (16, 16), 128: (0, 0),
-}
+
+def _part_ctx(bw: int, bh: int):
+    """partition_context_lookup (EbDefinitions.h:1299): the above code
+    clears log2(w4) low bits, the left code log2(h4)."""
+    above = (31 << ((bw // 4).bit_length() - 1)) & 31
+    left = (31 << ((bh // 4).bit_length() - 1)) & 31
+    return above, left
 
 # chroma tx type derivation for intra (EbCommonUtils.h:68)
 _INTRA_MODE_TO_TX_TYPE = [
@@ -192,7 +195,9 @@ class ModeDecider:
         return PARTITION_NONE
 
     def decide_inter(self, codec: "FrameCodec", x, y, bw, bh,
-                     mi_row, mi_col, bs_mi) -> BlockDecision:
+                     mi_row, mi_col, w4, h4=None) -> BlockDecision:
+        if h4 is None:
+            h4 = w4
         """Inter-frame decision: per candidate reference, try NEAREST/
         NEAR/GLOBAL/NEW against the best intra mode by prediction SAD
         (full RD in RdoDecider)."""
@@ -206,7 +211,7 @@ class ModeDecider:
         cands = []                         # (cost, mode, mv, drl_idx, ref)
         for ref in codec.search_refs():
             stack_res = mp.find_mv_stack(
-                codec.mi, mi_row, mi_col, bs_mi, bs_mi, ref,
+                codec.mi, mi_row, mi_col, w4, h4, ref,
                 codec.mi_rows, codec.mi_cols, sb_mi=codec.seq.sb_size // 4,
                 sign_bias=codec.sign_bias)
 
@@ -274,7 +279,7 @@ class ModeDecider:
                 bb = min(bwd, key=lambda c: c[0])
                 rf, rb = bf[4], bb[4]
                 stack = mp.find_mv_stack(
-                    codec.mi, mi_row, mi_col, bs_mi, bs_mi, rf,
+                    codec.mi, mi_row, mi_col, w4, h4, rf,
                     codec.mi_rows, codec.mi_cols,
                     sb_mi=codec.seq.sb_size // 4, sign_bias=codec.sign_bias,
                     ref_frame1=rb).stack
@@ -626,19 +631,29 @@ class FrameCodec:
         else:
             part = PARTITION_NONE
         if part == PARTITION_NONE:
-            self._block(bsize, mi_row, mi_col)
-            # update partition contexts (subsize == bsize for NONE)
-            pa, pl = _PARTITION_CTX_LOOKUP[bsize]
-            self.above_part[mi_col:mi_col + bs_mi] = pa
-            self.left_part[mi_row:mi_row + bs_mi] = pl
+            self._block(bsize, bsize, mi_row, mi_col)
+            pa, pl = _part_ctx(bsize, bsize)
         elif part == PARTITION_SPLIT:
             half = bsize // 2
             self._partition(half, mi_row, mi_col)
             self._partition(half, mi_row, mi_col + hbs)
             self._partition(half, mi_row + hbs, mi_col)
             self._partition(half, mi_row + hbs, mi_col + hbs)
+            return
+        elif part == PARTITION_HORZ:
+            self._block(bsize, bsize // 2, mi_row, mi_col)
+            if has_rows:
+                self._block(bsize, bsize // 2, mi_row + hbs, mi_col)
+            pa, pl = _part_ctx(bsize, bsize // 2)
+        elif part == PARTITION_VERT:
+            self._block(bsize // 2, bsize, mi_row, mi_col)
+            if has_cols:
+                self._block(bsize // 2, bsize, mi_row, mi_col + hbs)
+            pa, pl = _part_ctx(bsize // 2, bsize)
         else:
             raise NotImplementedError(f"partition {part}")
+        self.above_part[mi_col:mi_col + bs_mi] = pa
+        self.left_part[mi_row:mi_row + bs_mi] = pl
 
     def _code_partition(self, bsize, mi_row, mi_col, has_rows, has_cols) -> int:
         bsl = (bsize // 8).bit_length() - 1      # mi_size_wide_log2 - 1
@@ -693,13 +708,12 @@ class FrameCodec:
 
     # -- block level -------------------------------------------------------
 
-    def _block(self, bsize: int, mi_row: int, mi_col: int):
+    def _block(self, bw: int, bh: int, mi_row: int, mi_col: int):
         if self.fh.frame_type == FrameType.INTER_FRAME:
-            return self._block_inter(bsize, mi_row, mi_col)
+            return self._block_inter(bw, bh, mi_row, mi_col)
         io = self.io
-        bw = bh = bsize
         x, y = mi_col * MI, mi_row * MI
-        bs_mi = bsize // MI
+        w4, h4 = bw // MI, bh // MI
         up_avail = mi_row > 0
         left_avail = mi_col > 0
 
@@ -728,8 +742,9 @@ class FrameCodec:
             INTRA_MODE_CONTEXT[left_mode]]
         y_mode = io.symbol(None if decision is None else int(decision.y_mode),
                            kf_cdf, 13)
+        use_delta = _bsize_enum(bw, bh) >= 3      # av1_use_angle_delta
         angle_delta_y = 0
-        if bsize >= 8 and intra_ops.is_directional(PredictionMode(y_mode)):
+        if use_delta and intra_ops.is_directional(PredictionMode(y_mode)):
             sym = io.symbol(None if decision is None
                             else decision.angle_delta_y + 3,
                             self.fc.angle_delta[y_mode - 1], 7)
@@ -745,7 +760,7 @@ class FrameCodec:
                                 uv_cdf, 14 if cfl_allowed else 13)
             if uv_mode == 13:
                 cfl_signs, cfl_idx = self._code_cfl(decision)
-            elif bsize >= 8 and intra_ops.is_directional(PredictionMode(uv_mode)):
+            elif use_delta and intra_ops.is_directional(PredictionMode(uv_mode)):
                 sym = io.symbol(None if decision is None
                                 else decision.angle_delta_uv + 3,
                                 self.fc.angle_delta[uv_mode - 1], 7)
@@ -766,10 +781,10 @@ class FrameCodec:
                 cfl_idx=cfl_idx if uv_mode == 13 else 0)
 
         # record mode info
-        self.y_modes[mi_row:mi_row + bs_mi, mi_col:mi_col + bs_mi] = y_mode
-        self.skips[mi_row:mi_row + bs_mi, mi_col:mi_col + bs_mi] = int(skip)
+        self.y_modes[mi_row:mi_row + h4, mi_col:mi_col + w4] = y_mode
+        self.skips[mi_row:mi_row + h4, mi_col:mi_col + w4] = int(skip)
 
-        self._record_mi(mi_row, mi_col, bs_mi, decision, int(skip))
+        self._record_mi(mi_row, mi_col, w4, h4, decision, int(skip))
 
         # residual
         if io.is_decoder:
@@ -1171,10 +1186,10 @@ class FrameCodec:
 
     # -- inter frames ------------------------------------------------------
 
-    def _record_mi(self, mi_row, mi_col, bs_mi, decision, skip):
+    def _record_mi(self, mi_row, mi_col, w4, h4, decision, skip):
         g = self.mi
-        r0, r1 = mi_row, min(mi_row + bs_mi, self.mi_rows)
-        c0, c1 = mi_col, min(mi_col + bs_mi, self.mi_cols)
+        r0, r1 = mi_row, min(mi_row + h4, self.mi_rows)
+        c0, c1 = mi_col, min(mi_col + w4, self.mi_cols)
         if decision.is_inter:
             g.ref_frame[r0:r1, c0:c1] = decision.ref
             g.mv_row[r0:r1, c0:c1] = decision.mv[0]
@@ -1189,16 +1204,17 @@ class FrameCodec:
             g.mv_col[r0:r1, c0:c1] = 0
             g.mode[r0:r1, c0:c1] = int(decision.y_mode)
             g.ref_frame1[r0:r1, c0:c1] = 0
-        g.bw4[r0:r1, c0:c1] = bs_mi
-        g.bh4[r0:r1, c0:c1] = bs_mi
+        g.bw4[r0:r1, c0:c1] = w4
+        g.bh4[r0:r1, c0:c1] = h4
         # DLF skip grids (inter blocks only count as skip for edge rules)
         dlf_skip = bool(skip) and decision.is_inter
         for plane in range(self.num_planes):
             sh = 1 if plane else 0
             y4a = (mi_row * MI >> sh) >> 2
             x4a = (mi_col * MI >> sh) >> 2
-            h4 = max((bs_mi * MI >> sh) >> 2, 1)
-            self.skip_grid[plane][y4a:y4a + h4, x4a:x4a + h4] = dlf_skip
+            gh = max((h4 * MI >> sh) >> 2, 1)
+            gw = max((w4 * MI >> sh) >> 2, 1)
+            self.skip_grid[plane][y4a:y4a + gh, x4a:x4a + gw] = dlf_skip
 
     def _intra_inter_ctx(self, mi_row, mi_col):
         up = mi_row > 0
@@ -1528,11 +1544,10 @@ class FrameCodec:
                             px=px, py=py, pw=pw, ph=ph))
         return out
 
-    def _block_inter(self, bsize: int, mi_row: int, mi_col: int):
+    def _block_inter(self, bw: int, bh: int, mi_row: int, mi_col: int):
         io = self.io
-        bw = bh = bsize
         x, y = mi_col * MI, mi_row * MI
-        bs_mi = bsize // MI
+        w4, h4 = bw // MI, bh // MI
         up_avail = mi_row > 0
         left_avail = mi_col > 0
 
@@ -1540,7 +1555,7 @@ class FrameCodec:
         txbs = None
         if not io.is_decoder:
             decision = self.decider.decide_inter(self, x, y, bw, bh,
-                                                 mi_row, mi_col, bs_mi)
+                                                 mi_row, mi_col, w4, h4)
             txbs = self._compute_block_inter(decision, x, y, bw, bh)
             skip = all(t["eob"] == 0 for t in txbs)
         else:
@@ -1561,7 +1576,7 @@ class FrameCodec:
 
         if is_inter:
             comp = 0
-            if self.fh.reference_select and bsize >= 8:
+            if self.fh.reference_select and min(bw, bh) >= 8:
                 rm_ctx = self._reference_mode_ctx(mi_row, mi_col)
                 comp = io.symbol(
                     None if decision is None else int(decision.ref1 > 0),
@@ -1572,7 +1587,7 @@ class FrameCodec:
                     None if decision is None
                     else (decision.ref, decision.ref1))
                 decision2 = self._code_compound_mode(
-                    decision, ref, ref1, mi_row, mi_col, bs_mi)
+                    decision, ref, ref1, mi_row, mi_col, w4, h4)
                 if io.is_decoder:
                     decision = decision2
             else:
@@ -1580,7 +1595,7 @@ class FrameCodec:
                     mi_row, mi_col,
                     None if decision is None else decision.ref)
                 stack_res = mv_pred.find_mv_stack(
-                    self.mi, mi_row, mi_col, bs_mi, bs_mi, ref,
+                    self.mi, mi_row, mi_col, w4, h4, ref,
                     self.mi_rows, self.mi_cols,
                     sb_mi=self.seq.sb_size // MI, sign_bias=self.sign_bias)
                 mode = self._code_inter_mode(
@@ -1619,10 +1634,10 @@ class FrameCodec:
             if io.is_decoder:
                 decision = decision2
 
-        self.y_modes[mi_row:mi_row + bs_mi, mi_col:mi_col + bs_mi] = \
+        self.y_modes[mi_row:mi_row + h4, mi_col:mi_col + w4] = \
             0 if is_inter else int(decision.y_mode)
-        self.skips[mi_row:mi_row + bs_mi, mi_col:mi_col + bs_mi] = int(skip)
-        self._record_mi(mi_row, mi_col, bs_mi, decision, int(skip))
+        self.skips[mi_row:mi_row + h4, mi_col:mi_col + w4] = int(skip)
+        self._record_mi(mi_row, mi_col, w4, h4, decision, int(skip))
 
         if io.is_decoder:
             self._decode_residual_inter(decision, skip, x, y, bw, bh)
@@ -1630,12 +1645,12 @@ class FrameCodec:
             self._write_residual_inter(decision, txbs, skip, x, y, bw, bh)
 
     def _code_compound_mode(self, decision, ref, ref1, mi_row, mi_col,
-                            bs_mi):
+                            w4, h4):
         """Compound mode symbol + DRL + MVs (read path:
         inter_block_mode_info, EbDecParseInterBlock.c:2150+)."""
         io = self.io
         stack_res = mv_pred.find_mv_stack(
-            self.mi, mi_row, mi_col, bs_mi, bs_mi, ref,
+            self.mi, mi_row, mi_col, w4, h4, ref,
             self.mi_rows, self.mi_cols, sb_mi=self.seq.sb_size // MI,
             sign_bias=self.sign_bias, ref_frame1=ref1)
         ctx = mv_pred.compound_mode_ctx(stack_res.mode_context)
@@ -1707,11 +1722,12 @@ class FrameCodec:
         """Intra mode syntax inside an inter frame (y_mode_cdf by size
         group instead of the kf neighbor-context cdf)."""
         io = self.io
-        grp = _SIZE_GROUP[max(bw, bh)]
+        grp = _SIZE_GROUP_BY_ENUM[_bsize_enum(bw, bh)]
         y_mode = io.symbol(None if decision is None else int(decision.y_mode),
                            self.fc.y_mode[grp], 13)
+        use_delta = _bsize_enum(bw, bh) >= 3
         angle_delta_y = 0
-        if bw >= 8 and intra_ops.is_directional(PredictionMode(y_mode)):
+        if use_delta and intra_ops.is_directional(PredictionMode(y_mode)):
             sym = io.symbol(None if decision is None
                             else decision.angle_delta_y + 3,
                             self.fc.angle_delta[y_mode - 1], 7)
@@ -1725,7 +1741,7 @@ class FrameCodec:
                                 uv_cdf, 14 if cfl_allowed else 13)
             if uv_mode == 13:
                 cfl_signs, cfl_idx = self._code_cfl(decision)
-            elif bw >= 8 and intra_ops.is_directional(PredictionMode(uv_mode)):
+            elif use_delta and intra_ops.is_directional(PredictionMode(uv_mode)):
                 sym = io.symbol(None if decision is None
                                 else decision.angle_delta_uv + 3,
                                 self.fc.angle_delta[uv_mode - 1], 7)

@@ -381,8 +381,8 @@ def find_mv_stack(grid: MiGrid, mi_row: int, mi_col: int, bw4: int, bh4: int,
 
 def _has_top_right_mv(mi_row: int, mi_col: int, bw4: int, bh4: int,
                       sb_mi: int) -> bool:
-    """has_top_right for the MV scan (EbDecParseInterBlock.c:593; square
-    blocks, no AB partitions)."""
+    """has_top_right for the MV scan (EbDecParseInterBlock.c:593; no AB
+    partitions)."""
     bs = max(bw4, bh4)
     mask_row = mi_row & (sb_mi - 1)
     mask_col = mi_col & (sb_mi - 1)
@@ -398,6 +398,17 @@ def _has_top_right_mv(mi_row: int, mi_col: int, bw4: int, bh4: int,
         else:
             break
         b <<= 1
+    # rectangular adjustments: the first block of a VERT pair always has
+    # a top-right; the second block of a HORZ pair never does
+    is_sec_rect = False
+    if bw4 < bh4 and (mi_col & (bh4 - 1)):
+        is_sec_rect = True
+    if bw4 > bh4 and (mi_row & (bw4 - 1)):
+        is_sec_rect = True
+    if bw4 < bh4 and not is_sec_rect:
+        has_tr = True
+    if bw4 > bh4 and is_sec_rect:
+        has_tr = False
     return has_tr
 
 

@@ -351,11 +351,13 @@ class PartitionRdoDecider(RdoDecider):
             self._cache[key] = d
         return d
 
-    def decide_inter(self, codec, x, y, bw, bh, mi_row, mi_col, bs_mi):
+    def decide_inter(self, codec, x, y, bw, bh, mi_row, mi_col, w4,
+                     h4=None):
         key = ("inter", x, y, bw, bh)
         if self._cache is not None and key in self._cache:
             return self._cache[key]
-        d = super().decide_inter(codec, x, y, bw, bh, mi_row, mi_col, bs_mi)
+        d = super().decide_inter(codec, x, y, bw, bh, mi_row, mi_col,
+                                 w4, h4)
         if self._cache is not None:
             self._cache[key] = d
         return d
@@ -420,16 +422,26 @@ class PartitionRdoDecider(RdoDecider):
         # early exit: effectively lossless at this size -> never split
         if dist_none <= lam:
             return cost_none
-        state_none = _RegionState(codec, r, c, bs_mi)
+        best = (cost_none, PARTITION_NONE, _RegionState(codec, r, c, bs_mi))
         snap0.restore(codec)
+
+        # rectangular partitions (>=16 keeps sub-8x8 chroma out of play)
+        if bsize >= 16:
+            from .frame_codec import PARTITION_HORZ, PARTITION_VERT
+            for part in (PARTITION_HORZ, PARTITION_VERT):
+                self._plan[key] = part
+                cost = self._trial_cost(codec, bsize, r, c, lam)
+                if cost < best[0]:
+                    best = (cost, part, _RegionState(codec, r, c, bs_mi))
+                snap0.restore(codec)
 
         self._plan[key] = PARTITION_SPLIT
         cost_split = lam * split_bits + eval_children()
 
-        if cost_none <= cost_split:
-            self._plan[key] = PARTITION_NONE
-            state_none.restore(codec)
-            return cost_none
+        if best[0] <= cost_split:
+            self._plan[key] = best[1]
+            best[2].restore(codec)
+            return best[0]
         return cost_split
 
     def _trial_cost(self, codec, bsize, r, c, lam, with_dist=False):
