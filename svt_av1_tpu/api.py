@@ -187,9 +187,13 @@ class Encoder:
                          ).derive_signals(cfg)
         self.sig = sig
         self.pd = PictureDecision(cfg)
+        from .utils.levels import pick_seq_level_idx
         self.seq = SequenceHeader(
             max_frame_width=cfg.source_width,
             max_frame_height=cfg.source_height,
+            seq_level_idx=pick_seq_level_idx(
+                cfg.source_width, cfg.source_height,
+                float(cfg.frame_rate)),
             use_128x128_superblock=cfg.super_block_size == 128,
             bit_depth=cfg.encoder_bit_depth,
             enable_filter_intra=False,
