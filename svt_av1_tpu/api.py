@@ -199,7 +199,7 @@ class Encoder:
             enable_filter_intra=False,
             enable_intra_edge_filter=True,
             enable_order_hint=self.pd.gop > 1,
-            enable_superres=cfg.superres_mode > 0,
+            enable_superres=cfg.superres_mode > 0 and cfg.superres_denom > 8,
             enable_cdef=sig.cdef_level > 0 and cfg.qp > 0,
             enable_restoration=bool(sig.enable_restoration) and cfg.qp > 0,
             film_grain_params_present=cfg.film_grain_denoise_strength > 0,
@@ -374,13 +374,19 @@ class Encoder:
             fh.reference_select = any(
                 self._rel_dist(named[n], job.display) > 0
                 for n in range(1, 8))
-        if self.cfg.superres_mode and self.pd.key_interval == 1:
+        lr_source = None
+        if self.cfg.superres_mode and self.cfg.superres_denom > 8 \
+                and self.pd.key_interval == 1:
             # fixed-denominator superres (scaled-reference MC pending, so
-            # all-intra only); encode at the downscaled width
+            # all-intra only; validate_config rejects inter GOPs); encode
+            # at the downscaled width
             from .ops.superres import downscale_plane, scaled_dim
             fh.upscaled_width = fh.frame_width
             fh.superres_denom = int(np.clip(self.cfg.superres_denom, 9, 16))
             fh.frame_width = scaled_dim(fh.upscaled_width, fh.superres_denom)
+            # LR search compares in the upscaled domain: keep the
+            # original full-width planes around
+            lr_source = [np.asarray(p).astype(np.int32) for p in planes]
             planes = tuple(
                 downscale_plane(np.asarray(p),
                                 (fh.frame_width + (1 if i else 0))
@@ -392,6 +398,7 @@ class Encoder:
         decider.replay_store = {}    # per-frame; reused on LR re-encode
         codec = FrameCodec(self.seq, fh, source_planes=planes, refs=refs)
         codec.sign_bias = sign_bias
+        codec.lr_source = lr_source
         tile_data = codec.encode_tile(decider)
         codec.apply_loop_filter()
         codec.search_cdef()

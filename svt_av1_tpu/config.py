@@ -201,6 +201,18 @@ def validate_config(cfg: EncoderConfig) -> None:
         raise ConfigError("tile log2 counts out of range [0, 6]")
     if cfg.min_qp_allowed > cfg.max_qp_allowed:
         raise ConfigError("min_qp_allowed > max_qp_allowed")
+    if cfg.superres_mode:
+        # scaled-reference MC is not implemented, so super-resolution is
+        # only usable on all-intra configs (intra period -2/0); silently
+        # signaling-but-ignoring it would waste a per-frame bit and
+        # surprise the user (ADVICE r1)
+        if cfg.intra_period_length not in (-2, 0):
+            raise ConfigError("superres_mode>0 requires an all-intra "
+                              "config (intra_period_length -2 or 0); "
+                              "scaled-reference MC is not yet supported")
+        if not (8 <= cfg.superres_denom <= 16):
+            raise ConfigError("superres_denom out of range [8, 16] "
+                              "(8 = no scaling)")
 
 
 @dataclasses.dataclass(frozen=True)

@@ -196,11 +196,11 @@ class ModeDecider:
 
     def decide_inter(self, codec: "FrameCodec", x, y, bw, bh,
                      mi_row, mi_col, w4, h4=None) -> BlockDecision:
-        if h4 is None:
-            h4 = w4
         """Inter-frame decision: per candidate reference, try NEAREST/
         NEAR/GLOBAL/NEW against the best intra mode by prediction SAD
         (full RD in RdoDecider)."""
+        if h4 is None:
+            h4 = w4
         from . import mv_pred as mp
         from ..ops import me as me_ops
 
@@ -406,6 +406,7 @@ class FrameCodec:
         self.deblocked = None        # post-DLF pre-CDEF copy (for LR)
         self.lr_units = None
         self.lr_plan = None
+        self.lr_source = None        # upscaled-width source (superres)
 
     @staticmethod
     def _pad_ref(plane: np.ndarray) -> np.ndarray:
@@ -490,8 +491,17 @@ class FrameCodec:
             cols = lr.count_units(pw, size)
             r0 = (mi_row * (MI >> sub) + size - 1) // size
             r1 = min(rows, ((mi_row + sb_mi) * (MI >> sub) + size - 1) // size)
-            c0 = (mi_col * (MI >> sub) + size - 1) // size
-            c1 = min(cols, ((mi_col + sb_mi) * (MI >> sub) + size - 1) // size)
+            # column mapping scales mi positions (coded width) into the
+            # upscaled LR domain (spec 5.11.57 read_lr: numerator picks
+            # up SuperresDenom/SUPERRES_NUM when superres is in use)
+            up = self.fh.upscaled_width or self.fh.frame_width
+            if up != self.fh.frame_width:
+                num = (MI >> sub) * self.fh.superres_denom
+                den = size * 8                      # SUPERRES_NUM
+            else:
+                num, den = MI >> sub, size
+            c0 = (mi_col * num + den - 1) // den
+            c1 = min(cols, ((mi_col + sb_mi) * num + den - 1) // den)
             for ur in range(r0, r1):
                 for uc in range(c0, c1):
                     self._code_lr_unit(p, ur, uc, se, lr)
@@ -563,7 +573,8 @@ class FrameCodec:
                 continue
             sub = 1 if p else 0
             size = self.fh.lr_unit_size(p)
-            pw = (self.fh.frame_width + sub) >> sub
+            # LR operates on the superres-upscaled frame (spec 7.17)
+            pw = (self._lr_width() + sub) >> sub
             ph = (self.fh.frame_height + sub) >> sub
             vlims = lr.unit_limits_vert(ph, size, sub)
             hlims = lr.unit_limits(pw, size)
@@ -591,6 +602,11 @@ class FrameCodec:
 
         if self.deblocked is None:
             return False
+        # the search compares against the source in the LR (upscaled)
+        # domain; with superres active the caller provides the original
+        # full-width planes as lr_source
+        src_planes = self.lr_source if self.lr_source is not None \
+            else self.source
         self.lr_plan = []
         types = []
         any_used = False
@@ -606,7 +622,7 @@ class FrameCodec:
             for ur, (v0, v1) in enumerate(vlims):
                 for uc, (h0, h1) in enumerate(hlims):
                     tv, th, sse_f, sse_n = lr.pick_wiener_unit(
-                        self.source[p], self.recon[p], self.deblocked[p],
+                        src_planes[p], self.recon[p], self.deblocked[p],
                         v0, v1, h0, h1, sub, pw, ph, self.seq.bit_depth,
                         is_chroma=p > 0)
                     # ~30 bits of taps + flag; keep only clear wins

@@ -64,3 +64,39 @@ def test_superres_e2e_conformance(tmp_path, denom):
             for p in range(3):
                 np.testing.assert_array_equal(o[p], r[p],
                                               err_msg=f"ref f{i} p{p}")
+
+
+@needs_oracle
+@pytest.mark.parametrize("denom", [9, 13, 16])
+def test_superres_with_loop_restoration(tmp_path, denom):
+    """Superres + Wiener LR together: LR units live in the upscaled
+    domain and _code_lr must apply the spec's superres column mapping
+    (read_lr numerator/denominator, spec 5.11.57).  ADVICE r1 high."""
+    import svt_av1_tpu.pipeline.frame_codec as fc
+    from svt_av1_tpu.api import encode_ivf, decode_ivf
+    from svt_av1_tpu.config import EncoderConfig
+    from test_e2e import synthetic_clip, ref_decode, REF_DECAPP
+
+    w, h = 176, 144
+    frames = synthetic_clip(w, h, 2, seed=11)
+    cfg = EncoderConfig(source_width=w, source_height=h, qp=46, enc_mode=6,
+                        superres_mode=1, superres_denom=denom)
+    # force LR on (lambda 0) so the mapping is exercised even when the
+    # filter would not win at the regular lambda
+    orig = fc.FrameCodec.search_lr
+    fc.FrameCodec.search_lr = lambda self, lam=0.0: orig(self, 0.0)
+    try:
+        path = str(tmp_path / "srlr.ivf")
+        recons = encode_ivf(frames, cfg, path)
+    finally:
+        fc.FrameCodec.search_lr = orig
+    ours, _ = decode_ivf(path)
+    for i, (o, r) in enumerate(zip(ours, recons)):
+        for p in range(3):
+            np.testing.assert_array_equal(o[p], r[p], err_msg=f"f{i} p{p}")
+    if REF_DECAPP.exists():
+        refs = ref_decode(path, w, h)
+        for i, (o, r) in enumerate(zip(ours, refs)):
+            for p in range(3):
+                np.testing.assert_array_equal(o[p], r[p],
+                                              err_msg=f"ref f{i} p{p}")

@@ -69,8 +69,17 @@ def test_all_features_10bit(tmp_path):
                    env=env, check=True, capture_output=True, timeout=300)
     data = open(out, "rb").read()
     w, h = 176, 144
-    fsz = w * h * 3
+    fsz = w * h * 3                      # bytes: Y + U + V at 2 B/px
     for i in range(len(ours)):
-        ry = np.frombuffer(data[i * fsz:i * fsz + w * h * 2],
+        off = i * fsz
+        ry = np.frombuffer(data[off:off + w * h * 2],
                            np.uint16).reshape(h, w)
-        np.testing.assert_array_equal(ours[i][0], ry, err_msg=f"f{i}")
+        np.testing.assert_array_equal(ours[i][0], ry, err_msg=f"f{i} y")
+        off += w * h * 2
+        cw, chh = w // 2, h // 2
+        for p, name in ((1, "u"), (2, "v")):
+            rc = np.frombuffer(data[off:off + cw * chh * 2],
+                               np.uint16).reshape(chh, cw)
+            np.testing.assert_array_equal(ours[i][p], rc,
+                                          err_msg=f"f{i} {name}")
+            off += cw * chh * 2
