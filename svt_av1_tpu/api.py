@@ -238,7 +238,9 @@ class Encoder:
             from .pipeline.rdo import RdoDecider
             return RdoDecider(n_full_rd=sig.md_stage_nics[2],
                               try_angle_delta=False)
-        return ModeDecider()
+        # fast presets: frame-batched open-loop decisions on the device
+        from .pipeline.batched_md import BatchedIntraDecider
+        return BatchedIntraDecider()
 
     # -- public surface --------------------------------------------------
 

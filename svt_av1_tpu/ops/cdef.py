@@ -408,3 +408,444 @@ def cdef_search(source, recon, skips, mi_rows: int, mi_cols: int,
     if len(recon) > 1:
         uv_str = best_strength(source[1:3], recon[1:3], 4, 4, False)
     return y_str, uv_str
+
+
+# --------------------------------------------------------------------------
+# Full-plane device formulation (xp = jnp on TPU, np for the reference)
+#
+# The unit-window form above gathers [N, h+4, w+4] tensors; on TPU,
+# gathers lose to static slices, so this form works on whole padded
+# planes: every neighbor tap is a static slice, per-unit directions
+# become 8 masked selects, and the normative int64 direction cost runs
+# in exact base-2^9 digit arithmetic (TPU has no int64).
+# --------------------------------------------------------------------------
+
+def _msb_int(x, nbits: int, xp):
+    """floor(log2(x)) for x >= 1 (0 for x < 1), exact via comparisons."""
+    m = xp.zeros(xp.asarray(x).shape, xp.int32)
+    for k in range(1, nbits):
+        m = m + (x >= (1 << k)).astype(xp.int32)
+    return m
+
+
+def _constrain_xp(diff, strength, damping, xp):
+    """Exact constrain() for array strengths without float log2."""
+    s = xp.asarray(strength).astype(xp.int32)
+    adiff = xp.abs(diff)
+    shift = xp.maximum(0, damping - _msb_int(s, 8, xp))
+    mag = xp.minimum(adiff, xp.maximum(0, s - (adiff >> shift)))
+    return (xp.where(s > 0, xp.sign(diff) * mag, 0)).astype(xp.int32)
+
+
+def _ceil_to(v: int, m: int) -> int:
+    return -(-v // m) * m
+
+
+def find_dir_grid(luma_units, coeff_shift: int, xp=np):
+    """Normative direction search over [uh, uw, 8, 8] unit blocks.
+
+    Bit-exact equivalent of find_dir (svt_cdef_find_dir_c) without
+    int64: partial sums p (|p| < 2^18) are squared via the 9-bit split
+    p = p1*2^9 + p0, costs accumulate as base-2^9 digits, and the
+    argmax/variance run on carry-normalized digits.
+    Returns (dirs [uh, uw] int32, var [uh, uw] int32).
+    """
+    M, W = _dir_matrices()
+    Mf = M.astype(np.float32)                    # [8, 15, 64] one-hot sums
+    Wi = W.astype(np.int32)                      # [8, 15] weights (<= 840)
+    uh, uw = luma_units.shape[:2]
+    x = (luma_units.reshape(uh, uw, 64).astype(xp.int32) >> coeff_shift) \
+        - 128
+    # partial[d, b] per unit: |x| <= 16256, 8 samples -> |p| < 2^18.
+    # The one-hot contraction runs as a matmul (exact in f32: values
+    # far below 2^24).
+    xf = x.astype(xp.float32)
+    Mt = xp.asarray(Mf.reshape(8 * 15, 64).T)    # [64, 120]
+    p = (xf @ Mt).astype(xp.int32).reshape(uh, uw, 8, 15)
+    p1 = p >> 9
+    p0 = p - (p1 << 9)                           # [0, 512)
+    w = xp.asarray(Wi)[None, None]               # [1, 1, 8, 15]
+    hi = (w * (p1 * p1)).sum(-1)                 # cost = hi*2^18 +
+    mid = (w * (2 * p1 * p0)).sum(-1)            #        mid*2^9 + lo
+    lo = (w * (p0 * p0)).sum(-1)
+    # carry-normalize to digits (H, M9, L9) with M9, L9 in [0, 512)
+    m2 = mid + (lo >> 9)
+    l9 = lo & 511
+    h2 = hi + (m2 >> 9)
+    m9 = m2 & 511
+    # lexicographic argmax over the 8 directions (first max wins, like
+    # np.argmax over the int64 cost)
+    NEG = xp.int32(-1)
+    mh = h2.max(-1, keepdims=True)
+    s2 = h2 == mh
+    mm = xp.where(s2, m9, NEG).max(-1, keepdims=True)
+    s1 = s2 & (m9 == mm)
+    ml = xp.where(s1, l9, NEG).max(-1, keepdims=True)
+    s0 = s1 & (l9 == ml)
+    best = xp.argmax(s0.astype(xp.int32), axis=-1).astype(xp.int32)
+    # var = (cost[best] - cost[(best+4)&7]) >> 10, exact in digits
+
+    def pick(arr, idx):
+        sel = (xp.asarray(np.arange(8))[None, None] == idx[..., None])
+        return xp.where(sel, arr, 0).sum(-1)
+
+    alt = (best + 4) & 7
+    A = pick(h2, best) - pick(h2, alt)
+    B = pick(m9, best) - pick(m9, alt)
+    C = pick(l9, best) - pick(l9, alt)
+    e = B + (C >> 9)
+    c0 = C & 511
+    f = A + (e >> 9)
+    e0 = e & 511
+    var = (f << 8) + (((e0 << 9) + c0) >> 10)
+    return best, var.astype(xp.int32)
+
+
+def _units_of(plane_padded, fw: int, fh: int, bs: int, xp):
+    """[uh, uw, bs, bs] unit blocks of the VERY_LARGE-padded plane."""
+    uh, uw = _ceil_to(fh, 8) // 8, _ceil_to(fw, 8) // 8
+    if bs == 4:
+        uhp, uwp = uh * 4, uw * 4
+    else:
+        uhp, uwp = uh * 8, uw * 8
+    inner = plane_padded[2:2 + uhp, 2:2 + uwp]
+    return inner.reshape(uh, bs, uw, bs).swapaxes(1, 2)
+
+
+def pad_very_large(plane, fw: int, fh: int, bs: int, xp=np):
+    """[H+4, W+4] plane with CDEF_VERY_LARGE outside the visible frame,
+    H/W ceil-rounded so bs-sized units tile it exactly (the unit grid
+    is the luma 8x8 grid; chroma units are 4x4 at the same indices)."""
+    H = _ceil_to(fh, bs)
+    Wd = _ceil_to(fw, bs)
+    out = xp.full((H + 4, Wd + 4), CDEF_VERY_LARGE, xp.int32)
+    src = plane[:fh, :fw].astype(xp.int32)
+    if xp is np:
+        out[2:2 + fh, 2:2 + fw] = src
+    else:
+        out = out.at[2:2 + fh, 2:2 + fw].set(src)
+    return out
+
+
+class _PlaneCtx:
+    """Neighbor diffs / clamp bounds for one padded plane under a
+    per-unit direction map: every tap is a static slice + 8-way masked
+    select (no gathers).  Mirrors _SearchCtx on whole planes."""
+
+    def __init__(self, padded, dirs, bs: int, xp):
+        H, Wd = padded.shape[0] - 4, padded.shape[1] - 4
+        self.xp = xp
+        x = padded[2:2 + H, 2:2 + Wd]
+        self.x = x
+        dmap = xp.repeat(xp.repeat(dirs, bs, axis=0), bs, axis=1)
+        masks = [(dmap == d) for d in range(8)]
+
+        def tap(off_table, rot, k, sign):
+            p = xp.zeros(x.shape, xp.int32)
+            for d in range(8):
+                dy, dx = (int(v) for v in off_table[(d + rot) & 7, k])
+                dy, dx = sign * dy, sign * dx
+                sl = padded[2 + dy:2 + dy + H, 2 + dx:2 + dx + Wd]
+                p = xp.where(masks[d], sl, p)
+            return p
+
+        self.dp, self.ds = [], []
+        mx, mn = x, x
+        for k in range(2):
+            for sign in (1, -1):
+                p = tap(DIRECTIONS, 0, k, sign)
+                mx = xp.maximum(mx, xp.where(p == CDEF_VERY_LARGE, mx, p))
+                mn = xp.minimum(mn, p)
+                self.dp.append(p - x)
+            for rot in (2, 6):
+                for sign in (1, -1):
+                    s = tap(DIRECTIONS, rot, k, sign)
+                    mx = xp.maximum(mx,
+                                    xp.where(s == CDEF_VERY_LARGE, mx, s))
+                    mn = xp.minimum(mn, s)
+                    self.ds.append(s - x)
+        self.mx, self.mn = mx, mn
+
+    def run(self, pri_map, sec_strength: int, damping: int,
+            coeff_shift: int):
+        """Filter with per-pixel primary strengths; returns the filtered
+        plane (call sites mask by eligibility)."""
+        xp = self.xp
+        tap_idx = (pri_map >> coeff_shift) & 1
+        pt0 = xp.where(tap_idx == 1, 3, 4)
+        pt1 = xp.where(tap_idx == 1, 3, 2)
+        st0, st1 = 2, 1
+        sum_ = xp.zeros(self.x.shape, xp.int32)
+        for k, ptap in ((0, pt0), (1, pt1)):
+            for sgn in range(2):
+                sum_ = sum_ + ptap * _constrain_xp(
+                    self.dp[2 * k + sgn], pri_map, damping, xp)
+        # sec_strength may be a traced scalar; strength 0 contributes 0
+        # (constrain masks s <= 0), so unconditional evaluation is exact
+        if not isinstance(sec_strength, int) or sec_strength:
+            for k, stap in ((0, st0), (1, st1)):
+                for j in range(4):
+                    sum_ = sum_ + stap * _constrain_xp(
+                        self.ds[4 * k + j], sec_strength, damping, xp)
+        y = self.x + ((8 + sum_ - (sum_ < 0)) >> 4)
+        return xp.clip(y, self.mn, self.mx)
+
+
+def _adjust_strength_xp(strength: int, var, xp):
+    v6 = var >> 6
+    msb = xp.minimum(_msb_int(v6, 26, xp), 12)
+    out = (strength * (4 + msb) + 8) >> 4
+    return xp.where(var > 0, out, 0).astype(xp.int32)
+
+
+def cdef_plane_full(planes, dirs, var, nonskip, fw: int, fh: int,
+                    y_strength: int, uv_strength: int, damping: int,
+                    bit_depth: int = 8, xp=np):
+    """Full-plane CDEF apply given precomputed (dirs, var) unit maps.
+    Semantics match cdef_frame (spec 7.15); returns new plane list."""
+    cs = max(bit_depth - 8, 0)
+    y_pri = (y_strength // CDEF_SEC_STRENGTHS) << cs
+    y_sec = y_strength % CDEF_SEC_STRENGTHS
+    y_sec = (y_sec + (y_sec == 3)) << cs
+    uv_pri = (uv_strength // CDEF_SEC_STRENGTHS) << cs
+    uv_sec = uv_strength % CDEF_SEC_STRENGTHS
+    uv_sec = (uv_sec + (uv_sec == 3)) << cs
+
+    out = []
+    for pli, plane in enumerate(planes):
+        bs = 8 if pli == 0 else 4
+        sub = 0 if pli == 0 else 1
+        pw, ph = fw >> sub, fh >> sub
+        pri, sec = (y_pri, y_sec) if pli == 0 else (uv_pri, uv_sec)
+        if not (pri or sec):
+            out.append(plane)
+            continue
+        padded = pad_very_large(plane, pw, ph, bs, xp)
+        d = dirs if pri > 0 else xp.zeros_like(xp.asarray(dirs))
+        ctx = _PlaneCtx(padded, d, bs, xp)
+        if pli == 0:
+            pri_map = xp.repeat(xp.repeat(
+                _adjust_strength_xp(pri, var, xp), bs, 0), bs, 1)
+        else:
+            pri_map = xp.full(ctx.x.shape, pri, xp.int32)
+        filt = ctx.run(pri_map, sec, damping + cs - (0 if pli == 0 else 1),
+                       cs)
+        keep = xp.repeat(xp.repeat(nonskip, bs, 0), bs, 1)
+        merged = xp.where(keep, filt, ctx.x)[:ph, :pw]
+        if xp is np:
+            o = plane.copy()
+            o[:ph, :pw] = merged
+        else:
+            o = plane.at[:ph, :pw].set(merged) if hasattr(plane, "at") \
+                else merged
+        out.append(o)
+    return out
+
+
+def cdef_search_errs(source, recon, dirs, var, nonskip, fw: int, fh: int,
+                     damping: int, bit_depth: int = 8,
+                     pri_set=(0, 1, 2, 4, 6, 8, 12, 15),
+                     sec_set=(0, 1, 2, 3), xp=np):
+    """SSE of every (pri, sec) strength combo, full-plane batched.
+
+    Returns (err_y, err_uv): [len(pri_set), len(sec_set)] arrays of
+    in-frame SSE over non-skip units (float32; exact for < 2^24-scale
+    sums is not required — errors only rank strengths)."""
+    cs = max(bit_depth - 8, 0)
+    errs = []
+    for group in ((0,), (1, 2)):
+        acc = None
+        for pli in group:
+            if pli >= len(recon):
+                continue
+            bs = 8 if pli == 0 else 4
+            sub = 0 if pli == 0 else 1
+            pw, ph = fw >> sub, fh >> sub
+            padded = pad_very_large(recon[pli], pw, ph, bs, xp)
+            keep = xp.repeat(xp.repeat(nonskip, bs, 0), bs, 1)
+            # in-frame & nonskip weighting
+            H, Wd = padded.shape[0] - 4, padded.shape[1] - 4
+            inframe = np.zeros((H, Wd), bool)
+            inframe[:ph, :pw] = True
+            wmask = (keep & xp.asarray(inframe)).astype(xp.float32)
+            src = xp.zeros((H, Wd), xp.int32)
+            s = source[pli][:ph, :pw].astype(xp.int32)
+            if xp is np:
+                src[:ph, :pw] = s
+            else:
+                src = src.at[:ph, :pw].set(s)
+            ctx = {True: _PlaneCtx(padded, dirs, bs, xp),
+                   False: _PlaneCtx(padded, xp.zeros_like(xp.asarray(dirs)),
+                                    bs, xp)}
+            dmp = damping + cs - (0 if pli == 0 else 1)
+            e = []
+            for pri in pri_set:
+                row = []
+                p = pri << cs
+                if pli == 0:
+                    pri_map = xp.repeat(xp.repeat(
+                        _adjust_strength_xp(p, var, xp), bs, 0), bs, 1)
+                else:
+                    pri_map = xp.full((H, Wd), p, xp.int32)
+                c = ctx[bool(p)]
+                for sec in sec_set:
+                    s_ = (sec + (sec == 3)) << cs
+                    if p == 0 and s_ == 0:
+                        filt = c.x
+                    else:
+                        filt = c.run(pri_map, s_, dmp, cs)
+                    d = (filt - src).astype(xp.float32)
+                    row.append((d * d * wmask).sum())
+                e.append(xp.stack(row))
+            plane_err = xp.stack(e)
+            acc = plane_err if acc is None else acc + plane_err
+        errs.append(acc)
+    return errs[0], errs[1]
+
+
+# --------------------------------------------------------------------------
+# Jitted encoder entries (search + apply as two device calls per frame)
+# --------------------------------------------------------------------------
+
+def nonskip_grid(skips, mi_rows: int, mi_cols: int) -> np.ndarray:
+    """[uh, uw] bool map of 8x8-luma units with any non-skip 4x4."""
+    r1 = (mi_rows + 1) // 2
+    c1 = (mi_cols + 1) // 2
+    s = np.ones((r1 * 2, c1 * 2), bool)
+    s[:mi_rows, :mi_cols] = skips[:mi_rows, :mi_cols] != 0
+    unit_skip = s.reshape(r1, 2, c1, 2).all(axis=(1, 3))
+    uh, uw = -(-mi_rows * 4 // 8), -(-mi_cols * 4 // 8)
+    return ~unit_skip[:uh, :uw]
+
+
+def _cdef_apply_traced(planes, nonskip, y_strength, uv_strength,
+                       damping: int, fw: int, fh: int, bd: int, xp):
+    """cdef_plane_full with traced strength scalars (always filters;
+    zero strengths reduce to the identity)."""
+    cs = max(bd - 8, 0)
+    pris = [(y_strength // CDEF_SEC_STRENGTHS) << cs]
+    secs_ = y_strength % CDEF_SEC_STRENGTHS
+    secs = [(secs_ + (secs_ == 3)) << cs]
+    up = (uv_strength // CDEF_SEC_STRENGTHS) << cs
+    us_ = uv_strength % CDEF_SEC_STRENGTHS
+    us = (us_ + (us_ == 3)) << cs
+
+    padded_y = pad_very_large(planes[0], fw, fh, 8, xp)
+    dirs, var = find_dir_grid(_units_of(padded_y, fw, fh, 8, xp), cs, xp)
+    out = []
+    for pli, plane in enumerate(planes):
+        bs = 8 if pli == 0 else 4
+        sub = 0 if pli == 0 else 1
+        pw, ph = fw >> sub, fh >> sub
+        pri = pris[0] if pli == 0 else up
+        sec = secs[0] if pli == 0 else us
+        padded = padded_y if pli == 0 \
+            else pad_very_large(plane, pw, ph, bs, xp)
+        d = xp.where(pri > 0, dirs, 0)
+        ctx = _PlaneCtx(padded, d, bs, xp)
+        if pli == 0:
+            pri_map = xp.repeat(xp.repeat(
+                _adjust_strength_xp(pri, var, xp), bs, 0), bs, 1)
+        else:
+            pri_map = xp.full(ctx.x.shape, 0, xp.int32) + pri
+        filt = ctx.run(pri_map, sec, damping + cs - (0 if pli == 0 else 1),
+                       cs)
+        active = (pri > 0) | (sec > 0)
+        keep = xp.repeat(xp.repeat(nonskip, bs, 0), bs, 1) & active
+        out.append(xp.where(keep, filt, ctx.x)[:ph, :pw])
+    return out
+
+
+def _np_dtype(bd):
+    return np.uint8 if bd == 8 else np.uint16
+
+
+@functools.lru_cache(maxsize=8)
+def _jit_apply(fw: int, fh: int, bd: int, nplanes: int):
+    import jax
+    import jax.numpy as jnp
+
+    def run(nonskip, ystr, uvstr, damping, *planes):
+        ps = [p.astype(jnp.int32) for p in planes]
+        out = _cdef_apply_traced(ps, nonskip, ystr, uvstr, damping,
+                                 fw, fh, bd, jnp)
+        return jnp.concatenate([o.astype(jnp.uint16).ravel() for o in out])
+
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=8)
+def _jit_search(fw: int, fh: int, bd: int, nplanes: int):
+    import jax
+    import jax.numpy as jnp
+
+    def run(nonskip, damping, *planes):
+        rec = [p.astype(jnp.int32) for p in planes[:nplanes]]
+        src = [p.astype(jnp.int32) for p in planes[nplanes:]]
+        cs = max(bd - 8, 0)
+        padded_y = pad_very_large(rec[0], fw, fh, 8, jnp)
+        dirs, var = find_dir_grid(_units_of(padded_y, fw, fh, 8, jnp),
+                                  cs, jnp)
+        err_y, err_uv = cdef_search_errs(src, rec, dirs, var, nonskip,
+                                         fw, fh, damping, bd, xp=jnp)
+        if err_uv is None:
+            err_uv = jnp.zeros_like(err_y)
+        return jnp.concatenate([err_y.ravel(), err_uv.ravel()])
+
+    return jax.jit(run)
+
+
+def cdef_search_device(source, recon, skips, mi_rows, mi_cols,
+                       damping, bit_depth=8,
+                       pri_set=(0, 1, 2, 4, 6, 8, 12, 15),
+                       sec_set=(0, 1, 2, 3)):
+    """Device strength search: full (pri x sec) grid argmin.
+    Returns (y_strength, uv_strength)."""
+    fw, fh = mi_cols * 4, mi_rows * 4
+    ns = nonskip_grid(skips, mi_rows, mi_cols)
+    if not ns.any():
+        return 0, 0
+    n = len(recon)
+    dt = _np_dtype(bit_depth)
+    fn = _jit_search(fw, fh, bit_depth, n)
+    args = [np.ascontiguousarray(p[:(fh >> (1 if i else 0)),
+                                   :(fw >> (1 if i else 0))]).astype(dt)
+            for i, p in enumerate(recon)]
+    args += [np.ascontiguousarray(p[:(fh >> (1 if i else 0)),
+                                    :(fw >> (1 if i else 0))]).astype(dt)
+             for i, p in enumerate(source[:n])]
+    flat = np.asarray(fn(ns, np.int32(damping), *args))
+    k = len(pri_set) * len(sec_set)
+    err_y = flat[:k].reshape(len(pri_set), len(sec_set))
+    err_uv = flat[k:2 * k].reshape(len(pri_set), len(sec_set))
+
+    def pick(err):
+        i = int(np.argmin(err))
+        return pri_set[i // len(sec_set)] * CDEF_SEC_STRENGTHS \
+            + sec_set[i % len(sec_set)]
+
+    return pick(err_y), (pick(err_uv) if n > 1 else 0)
+
+
+def cdef_frame_device(planes, skips, mi_rows, mi_cols, y_strength,
+                      uv_strength, damping, bit_depth=8):
+    """Device CDEF apply; bit-exact with cdef_frame (tested via the
+    full-plane equivalence suite + e2e conformance)."""
+    fw, fh = mi_cols * 4, mi_rows * 4
+    ns = nonskip_grid(skips, mi_rows, mi_cols)
+    if not ns.any():
+        return [p.copy() for p in planes]
+    dt = _np_dtype(bit_depth)
+    fn = _jit_apply(fw, fh, bit_depth, len(planes))
+    args = [np.ascontiguousarray(p[:(fh >> (1 if i else 0)),
+                                   :(fw >> (1 if i else 0))]).astype(dt)
+            for i, p in enumerate(planes)]
+    flat = np.asarray(fn(ns, np.int32(y_strength), np.int32(uv_strength),
+                         np.int32(damping), *args))
+    out = [p.copy() for p in planes]
+    off = 0
+    for i, p in enumerate(out):
+        ph, pw = fh >> (1 if i else 0), fw >> (1 if i else 0)
+        p[:ph, :pw] = flat[off:off + ph * pw].reshape(ph, pw)
+        off += ph * pw
+    return out

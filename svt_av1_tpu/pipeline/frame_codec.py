@@ -46,6 +46,28 @@ INTRA_MODE_CONTEXT = [0, 1, 2, 3, 4, 4, 4, 4, 3, 0, 1, 2, 0]
 PARTITION_NONE, PARTITION_HORZ, PARTITION_VERT, PARTITION_SPLIT = 0, 1, 2, 3
 
 
+def _device_filters() -> bool:
+    """Whether jitted device programs should run (jax usable and not
+    disabled).  SVT_TPU_DEVICE=0 forces the host path — used by the test
+    suite, where per-geometry XLA compiles on the CPU backend would
+    dominate; the device and host implementations are asserted
+    bit-identical by dedicated equivalence tests (tests/test_cdef_full,
+    tests/test_omd)."""
+    import os
+    if os.environ.get("SVT_TPU_DEVICE", "1") == "0":
+        return False
+    return _jax_available()
+
+
+@functools.cache
+def _jax_available() -> bool:
+    try:
+        import jax  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
 def _part_ctx(bw: int, bh: int):
     """partition_context_lookup (EbDefinitions.h:1299): the above code
     clears log2(w4) low bits, the left code log2(h4)."""
@@ -1178,10 +1200,18 @@ class FrameCodec:
         uv_str = fh.cdef_uv_strengths[0]
         if y_str == 0 and uv_str == 0:
             return
-        out = cdef_ops.cdef_frame(
-            self.recon[:self.num_planes], self.skips,
-            self.mi_rows, self.mi_cols, y_str, uv_str,
-            fh.cdef_damping, self.seq.bit_depth)
+        if self.source is not None and _device_filters():
+            # encoder: one jitted full-plane device program (bit-exact
+            # with cdef_frame, tests/test_cdef_full.py)
+            out = cdef_ops.cdef_frame_device(
+                self.recon[:self.num_planes], self.skips,
+                self.mi_rows, self.mi_cols, y_str, uv_str,
+                fh.cdef_damping, self.seq.bit_depth)
+        else:
+            out = cdef_ops.cdef_frame(
+                self.recon[:self.num_planes], self.skips,
+                self.mi_rows, self.mi_cols, y_str, uv_str,
+                fh.cdef_damping, self.seq.bit_depth)
         for p in range(self.num_planes):
             self.recon[p] = out[p]
 
@@ -1193,7 +1223,9 @@ class FrameCodec:
         if (not self.seq.enable_cdef or fh.coded_lossless
                 or fh.allow_intrabc):
             return
-        y_str, uv_str = cdef_ops.cdef_search(
+        search = cdef_ops.cdef_search_device if _device_filters() \
+            else cdef_ops.cdef_search
+        y_str, uv_str = search(
             self.source[:self.num_planes], self.recon[:self.num_planes],
             self.skips, self.mi_rows, self.mi_cols, fh.cdef_damping,
             self.seq.bit_depth)

@@ -8,6 +8,10 @@ The env vars must be set before jax is first imported.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# host paths in the suite: device programs recompile per geometry on the
+# CPU backend and would dominate runtime; device/host equivalence is
+# asserted by dedicated tests (test_cdef_full, test_omd)
+os.environ.setdefault("SVT_TPU_DEVICE", "0")
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
