@@ -16,5 +16,10 @@ setup(
             sources=["svt_av1_tpu/native/tx_native.c"],
             extra_compile_args=["-O3", "-std=c11"],
         ),
+        Extension(
+            "svt_av1_tpu.native.block_native",
+            sources=["svt_av1_tpu/native/block_native.c"],
+            extra_compile_args=["-O3", "-std=c11"],
+        ),
     ],
 )

@@ -4,8 +4,9 @@
  * Executes the same ops/data/txfm_stages.npz statement tables as the
  * numpy/jnp interpreter in svt_av1_tpu/ops/transforms.py (single source
  * of truth for the networks); used for the host-side sequential coding
- * loop where per-stage numpy dispatch dominates.  Equivalence enforced
- * by tests/test_native_tx.py.
+ * loop where per-stage numpy dispatch dominates.  Exercised against the
+ * C oracle by tests/test_transforms.py (it is the default xp=np path)
+ * and against the Python interpreter by tests/test_native_block.py.
  *
  * apply_network(x int32[batch, n], stmts int32[k, 5], offsets int32[s+1],
  *               clamp uint8[k], cospi int32[64], cos_bit, clamp_bit)

@@ -913,24 +913,40 @@ class FrameCodec:
             else:
                 pred = self.predict_chroma(plane, decision, px, py, pw, ph, ts)
             src = self.source[plane][py:py + ph, px:px + pw]
-            resid = src.astype(np.int32) - pred
-            coeffs = np.asarray(tf.fwd_txfm2d(resid, tt, ts, self.seq.bit_depth))
-            qc, dqc = qz.quantize_b(coeffs, self.fh.base_q_idx,
-                                    self._plane_quant(plane), ts)
-            qc, dqc = np.asarray(qc), np.asarray(dqc)
+            qc, eob, recon = self._tx_quant_recon(plane, src, pred, ts, tt)
             ch = min(TX_HEIGHT[ts], 32)
             cw = min(TX_WIDTH[ts], 32)
-            eob = cf.compute_eob(qc[:ch, :cw], ts, tt)
-            if eob == 0:
-                dqc = np.zeros_like(dqc)
-            recon = np.asarray(tf.inv_txfm2d_add(dqc, pred, tt, ts,
-                                                 self.seq.bit_depth))
             self.recon[plane][py:py + ph, px:px + pw] = recon
             self._record_tx_geometry(plane, px, py, pw, ph, ts)
             out.append(dict(plane=plane, tx_size=ts, tx_type=tt,
                             qcoeff=qc[:ch, :cw], eob=eob,
                             px=px, py=py, pw=pw, ph=ph))
         return out
+
+    def _tx_quant_recon(self, plane, src, pred, ts, tt):
+        """Forward TX + quantize + eob + recon for one block; the fused
+        native kernel when available, the batched Python path otherwise
+        (bit-identical — tests/test_native_block.py)."""
+        resid = src.astype(np.int32) - pred
+        from ..native import block_plan
+        got = block_plan.code_block(self._plane_quant(plane),
+                                    self.fh.base_q_idx, ts, tt,
+                                    self.seq.bit_depth, resid, pred) \
+            if block_plan.available() else None
+        if got is not None:
+            return got
+        coeffs = np.asarray(tf.fwd_txfm2d(resid, tt, ts, self.seq.bit_depth))
+        qc, dqc = qz.quantize_b(coeffs, self.fh.base_q_idx,
+                                self._plane_quant(plane), ts)
+        qc, dqc = np.asarray(qc), np.asarray(dqc)
+        ch = min(TX_HEIGHT[ts], 32)
+        cw = min(TX_WIDTH[ts], 32)
+        eob = cf.compute_eob(qc[:ch, :cw], ts, tt)
+        if eob == 0:
+            dqc = np.zeros_like(dqc)
+        recon = np.asarray(tf.inv_txfm2d_add(dqc, pred, tt, ts,
+                                             self.seq.bit_depth))
+        return qc, eob, recon
 
     # -- prediction --------------------------------------------------------
 
@@ -1573,18 +1589,9 @@ class FrameCodec:
                     pred = self.predict_chroma(plane, decision,
                                                px, py, pw, ph, ts)
             src = self.source[plane][py:py + ph, px:px + pw]
-            resid = src.astype(np.int32) - pred
-            coeffs = np.asarray(tf.fwd_txfm2d(resid, tt, ts, self.seq.bit_depth))
-            qc, dqc = qz.quantize_b(coeffs, self.fh.base_q_idx,
-                                    self._plane_quant(plane), ts)
-            qc, dqc = np.asarray(qc), np.asarray(dqc)
+            qc, eob, recon = self._tx_quant_recon(plane, src, pred, ts, tt)
             ch = min(TX_HEIGHT[ts], 32)
             cw = min(TX_WIDTH[ts], 32)
-            eob = cf.compute_eob(qc[:ch, :cw], ts, tt)
-            if eob == 0:
-                dqc = np.zeros_like(dqc)
-            recon = np.asarray(tf.inv_txfm2d_add(dqc, pred, tt, ts,
-                                                 self.seq.bit_depth))
             self.recon[plane][py:py + ph, px:px + pw] = recon
             self._record_tx_geometry(plane, px, py, pw, ph, ts)
             out.append(dict(plane=plane, tx_size=ts, tx_type=tt,
