@@ -31,6 +31,20 @@ from .pipeline.frame_codec import FrameCodec, ModeDecider
 LAST, LAST2, LAST3, GOLDEN, BWDREF, ALTREF2, ALTREF = range(1, 8)
 
 
+def _assemble_tile_group(blobs: list, fh: FrameHeader) -> bytes:
+    """Tile-group payload: with one tile, the raw blob; with more, the
+    tile_start_and_end_present_flag(0) + alignment byte, then each tile
+    except the last prefixed with tile_size_minus_1 (le tile_size_bytes)
+    (spec 5.11.1; EbEntropyCodingProcess.c per-tile sizes)."""
+    if len(blobs) == 1:
+        return blobs[0]
+    out = bytearray(b"\x00")
+    for b in blobs[:-1]:
+        out += (len(b) - 1).to_bytes(fh.tile_size_bytes, "little") + b
+    out += blobs[-1]
+    return bytes(out)
+
+
 # --------------------------------------------------------------------------
 # Prediction structure (picture decision)
 # --------------------------------------------------------------------------
@@ -294,6 +308,21 @@ class Encoder:
         qindex = self._qindex_for(job)
         lvl = 0 if self.cfg.disable_dlf else filter_levels_from_qindex(
             qindex, self.cfg.encoder_bit_depth)
+        fh = self._make_frame_header(job, refs_idx, qindex, lvl)
+        self._set_tile_info(fh)
+        return fh
+
+    def _set_tile_info(self, fh: FrameHeader) -> None:
+        """Honor cfg.tile_columns/tile_rows (log2 counts, clamped to the
+        spec limits — set_tile_info, EbPictureManagerProcess.c:126)."""
+        from .bitstream.headers import tile_limits
+        (_, _, min_lc, max_lc, max_lr, min_lt) = tile_limits(self.seq, fh)
+        tcl = int(np.clip(self.cfg.tile_columns, min_lc, max_lc))
+        trl = int(np.clip(self.cfg.tile_rows, max(min_lt - tcl, 0), max_lr))
+        fh.tile_cols_log2 = tcl
+        fh.tile_rows_log2 = trl
+
+    def _make_frame_header(self, job, refs_idx, qindex, lvl) -> FrameHeader:
         return FrameHeader(
             frame_type=FrameType.KEY_FRAME if job.is_key
             else FrameType.INTER_FRAME,
@@ -401,7 +430,7 @@ class Encoder:
         codec = FrameCodec(self.seq, fh, source_planes=planes, refs=refs)
         codec.sign_bias = sign_bias
         codec.lr_source = lr_source
-        tile_data = codec.encode_tile(decider)
+        tile_data = _assemble_tile_group(codec.encode_tiles(decider), fh)
         codec.apply_loop_filter()
         codec.search_cdef()
         codec.apply_cdef()
@@ -417,7 +446,8 @@ class Encoder:
                                     refs=refs)
                 codec2.sign_bias = sign_bias
                 codec2.lr_plan = codec.lr_plan
-                tile_data = codec2.encode_tile(decider)
+                tile_data = _assemble_tile_group(
+                    codec2.encode_tiles(decider), fh)
                 codec2.apply_loop_filter()
                 codec2.apply_cdef()
                 codec2.apply_superres()
@@ -560,7 +590,23 @@ class Decoder:
             for n in range(1, 8):
                 ref_oh = self.dpb.slots[fh.ref_frame_idx[n - 1]]["order_hint"]
                 codec.sign_bias[n] = int(rel(ref_oh, fh.order_hint) > 0)
-        codec.decode_tile(tile_data)
+        rects = codec.tile_rects()
+        if len(rects) > 1:
+            # tile group header: tile_start_and_end_present_flag (0)
+            # + byte alignment = one zero byte, then sized tiles
+            assert tile_data[0] == 0, "tile_start_and_end must be 0"
+            off = 1
+            blobs = []
+            for _ in range(len(rects) - 1):
+                sz = int.from_bytes(
+                    tile_data[off:off + fh.tile_size_bytes], "little") + 1
+                off += fh.tile_size_bytes
+                blobs.append(tile_data[off:off + sz])
+                off += sz
+            blobs.append(tile_data[off:])
+            codec.decode_tiles(blobs)
+        else:
+            codec.decode_tile(tile_data)
         codec.apply_loop_filter()
         codec.apply_cdef()
         codec.apply_superres()

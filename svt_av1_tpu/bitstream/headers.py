@@ -80,6 +80,8 @@ class FrameHeader:
     sharpness: int = 0
     tile_cols_log2: int = 0
     tile_rows_log2: int = 0
+    context_update_tile_id: int = 0
+    tile_size_bytes: int = 4
     primary_ref_frame: int = PRIMARY_REF_NONE
     refresh_frame_flags: int = 0xFF
     disable_frame_end_update_cdf: bool = False
@@ -416,15 +418,24 @@ def _write_render_size(w: BitWriter) -> None:
 
 def _write_tile_info(w: BitWriter, seq: SequenceHeader, fh: FrameHeader) -> None:
     (sb_cols, sb_rows, min_lc, max_lc, max_lr, min_lt) = tile_limits(seq, fh)
-    assert fh.tile_cols_log2 == 0 and fh.tile_rows_log2 == 0, "multi-tile TBD"
-    assert min_lc == 0 and min_lt == 0, "frame too large for single tile"
+    tcl, trl = fh.tile_cols_log2, fh.tile_rows_log2
+    assert min_lc <= tcl <= max_lc, (min_lc, tcl, max_lc)
     w.flag(True)                         # uniform_tile_spacing
-    if max_lc > 0:
-        w.flag(False)                    # stop at tile_cols_log2 = 0
-    min_log2_tile_rows = max(min_lt - fh.tile_cols_log2, 0)
-    if max_lr > min_log2_tile_rows:
-        w.flag(False)                    # stop at tile_rows_log2 = 0
-    # single tile: no context_update_tile_id / tile_size_bytes
+    for i in range(min_lc, max_lc):      # increment_tile_cols_log2
+        more = tcl > i
+        w.flag(more)
+        if not more:
+            break
+    min_log2_tile_rows = max(min_lt - tcl, 0)
+    assert min_log2_tile_rows <= trl <= max_lr
+    for i in range(min_log2_tile_rows, max_lr):
+        more = trl > i
+        w.flag(more)
+        if not more:
+            break
+    if tcl > 0 or trl > 0:
+        w.f(fh.context_update_tile_id, tcl + trl)
+        w.f(fh.tile_size_bytes - 1, 2)   # tile_size_bytes_minus_1
 
 
 def _write_quantization_params(w: BitWriter, seq: SequenceHeader, fh: FrameHeader) -> None:
@@ -565,7 +576,9 @@ def parse_frame_header(r: BitReader, seq: SequenceHeader,
             break
         trl += 1
     fh.tile_rows_log2 = trl
-    assert tcl == 0 and trl == 0, "multi-tile parse TBD"
+    if tcl > 0 or trl > 0:
+        fh.context_update_tile_id = r.f(tcl + trl)
+        fh.tile_size_bytes = r.f(2) + 1
     # quantization
     fh.base_q_idx = r.f(8)
     assert not r.flag()                  # delta_q_y_dc

@@ -235,7 +235,7 @@ class ModeDecider:
             stack_res = mp.find_mv_stack(
                 codec.mi, mi_row, mi_col, w4, h4, ref,
                 codec.mi_rows, codec.mi_cols, sb_mi=codec.seq.sb_size // 4,
-                sign_bias=codec.sign_bias)
+                sign_bias=codec.sign_bias, tile=codec.tile)
 
             def mc_sad(mv, ref=ref):
                 pred = codec.predict_inter(0, mv, x, y, bw, bh, ref)
@@ -304,7 +304,7 @@ class ModeDecider:
                     codec.mi, mi_row, mi_col, w4, h4, rf,
                     codec.mi_rows, codec.mi_cols,
                     sb_mi=codec.seq.sb_size // 4, sign_bias=codec.sign_bias,
-                    ref_frame1=rb).stack
+                    ref_frame1=rb, tile=codec.tile).stack
                 lower = lambda mv: mp.lower_mv_precision(mv, False, False)
                 trials = [(mp.NEW_NEWMV, bf[2], bb[2], 96)]
                 if stack:
@@ -423,6 +423,9 @@ class FrameCodec:
         # RefFrameSignBias per named ref (spec: ref order hint after the
         # current frame); filled by the caller from DPB order hints
         self.sign_bias = [0] * 8
+        # current tile rect (mi units): (r0, c0, r1, c1); contexts and
+        # candidate availability are tile-bounded (spec is_inside)
+        self.tile = (0, 0, self.mi_rows, self.mi_cols)
         self.io = None
         self.decider = None
         self.deblocked = None        # post-DLF pre-CDEF copy (for LR)
@@ -449,16 +452,79 @@ class FrameCodec:
     # -- public entries ----------------------------------------------------
 
     def encode_tile(self, decider: ModeDecider) -> bytes:
+        blobs = self.encode_tiles(decider)
+        assert len(blobs) == 1, "multi-tile frames use encode_tiles"
+        return blobs[0]
+
+    def encode_tiles(self, decider: ModeDecider) -> list:
+        """Encode every tile; returns per-tile byte blobs in tile order.
+        Each tile resets its symbol contexts (fresh CDFs, cleared
+        neighbor state — EbEntropyCodingProcess.c:357 per-tile reset)."""
         self.decider = decider
-        self.io = SymbolWriter()
-        self._walk_superblocks()
-        return self.io.ec.done()
+        self._init_lr_state()
+        blobs = []
+        for rect in self.tile_rects():
+            self.tile = rect
+            self._reset_tile_contexts()
+            self.io = SymbolWriter()
+            self._walk_superblocks()
+            blobs.append(self.io.ec.done())
+        return blobs
 
     def decode_tile(self, data: bytes) -> None:
-        self.io = SymbolReader(data)
-        self._walk_superblocks()
+        self.decode_tiles([data])
+
+    def decode_tiles(self, blobs: list) -> None:
+        self._init_lr_state()
+        rects = self.tile_rects()
+        assert len(blobs) == len(rects), (len(blobs), len(rects))
+        for rect, data in zip(rects, blobs):
+            self.tile = rect
+            self._reset_tile_contexts()
+            self.io = SymbolReader(data)
+            self._walk_superblocks()
 
     # -- structure ---------------------------------------------------------
+
+    def tile_rects(self) -> list:
+        """Uniform-spacing tile mi rects (r0, c0, r1, c1) in tile order
+        (spec 5.9.15 tile_info uniform path)."""
+        sb_mi = self.seq.sb_size // MI
+        sb_cols = -(-self.mi_cols // sb_mi)
+        sb_rows = -(-self.mi_rows // sb_mi)
+
+        def starts(total, log2):
+            tw = (total + (1 << log2) - 1) >> log2
+            return list(range(0, total, tw)), tw
+
+        col_starts, tw = starts(sb_cols, self.fh.tile_cols_log2)
+        row_starts, th = starts(sb_rows, self.fh.tile_rows_log2)
+        rects = []
+        for r in row_starts:
+            r0 = r * sb_mi
+            r1 = min((r + th) * sb_mi, self.mi_rows)
+            for c in col_starts:
+                c0 = c * sb_mi
+                c1 = min((c + tw) * sb_mi, self.mi_cols)
+                rects.append((r0, c0, r1, c1))
+        return rects
+
+    def _reset_tile_contexts(self):
+        from ..ops import restoration as lr
+
+        r0, c0, r1, c1 = self.tile
+        self.fc = FrameCdfs(self.fh.base_q_idx)
+        self.above_part[c0:c1 + 32] = 0
+        self.left_part[r0:r1 + 32] = 0
+        for p in range(self.num_planes):
+            sub = 1 if p else 0
+            x0, x1 = (c0 * MI >> sub) >> 2, (c1 * MI >> sub) >> 2
+            y0, y1 = (r0 * MI >> sub) >> 2, (r1 * MI >> sub) >> 2
+            self.txb_above[p][x0:x1] = 0
+            self.txb_left[p][y0:y1] = 0
+        if self.lr_units is not None:
+            self.lr_ref = [lr.default_wiener_taps() * 2
+                           for _ in range(self.num_planes)]
 
     def _walk_superblocks(self):
         sb = self.seq.sb_size
@@ -466,9 +532,9 @@ class FrameCodec:
         plan = None
         if not self.io.is_decoder:
             plan = getattr(self.decider, "plan_superblock", None)
-        self._init_lr_state()
-        for mi_row in range(0, self.mi_rows, sb_mi):
-            for mi_col in range(0, self.mi_cols, sb_mi):
+        r0, c0, r1, c1 = self.tile
+        for mi_row in range(r0, r1, sb_mi):
+            for mi_col in range(c0, c1, sb_mi):
                 self._code_lr(mi_row, mi_col)
                 if plan is not None:
                     plan(self, mi_row, mi_col)
@@ -752,8 +818,8 @@ class FrameCodec:
         io = self.io
         x, y = mi_col * MI, mi_row * MI
         w4, h4 = bw // MI, bh // MI
-        up_avail = mi_row > 0
-        left_avail = mi_col > 0
+        up_avail = mi_row > self.tile[0]
+        left_avail = mi_col > self.tile[1]
 
         decision = None
         txbs = None
@@ -959,17 +1025,17 @@ class FrameCodec:
         plane_w = self.aligned_w >> (self.sub_x if plane else 0)
         plane_h = self.aligned_h >> (self.sub_y if plane else 0)
         txw, txh = TX_WIDTH[tx_size], TX_HEIGHT[tx_size]
-        have_top = py > 0
-        have_left = px > 0
+        t_r0, t_c0, t_r1, t_c1 = self.tile
+        sub = (self.sub_x, self.sub_y) if plane else (0, 0)
+        have_top = py > (t_r0 * MI) >> sub[1]
+        have_left = px > (t_c0 * MI) >> sub[0]
         xr = plane_w - (px + txw)
         yd = plane_h - (py + txh)
         mi_row, mi_col = (py << (self.sub_y if plane else 0)) // MI, \
             (px << (self.sub_x if plane else 0)) // MI
-        sub = (self.sub_x, self.sub_y) if plane else (0, 0)
-        right_available = mi_col * MI // MI + ((txw << sub[0]) >> 2) < self.mi_cols \
-            if False else (mi_col + ((txw >> 2) << sub[0])) < self.mi_cols
+        right_available = (mi_col + ((txw >> 2) << sub[0])) < t_c1
         bottom_available = yd > 0 and \
-            (mi_row + ((txh >> 2) << sub[1])) < self.mi_rows
+            (mi_row + ((txh >> 2) << sub[1])) < t_r1
         have_top_right = _has_top_right(
             self.seq.sb_size, pw, ph, mi_row, mi_col, have_top,
             right_available, tx_size, 0, 0, sub[0], sub[1])
@@ -1001,7 +1067,7 @@ class FrameCodec:
         mi_row = (py << (self.sub_y if plane else 0)) // MI
         mi_col = (px << (self.sub_x if plane else 0)) // MI
         def smooth(r, c):
-            if r < 0 or c < 0:
+            if r < self.tile[0] or c < self.tile[1]:
                 return False
             m = int(self.y_modes[r, c])
             return m in (9, 10, 11)
@@ -1281,8 +1347,8 @@ class FrameCodec:
             self.skip_grid[plane][y4a:y4a + gh, x4a:x4a + gw] = dlf_skip
 
     def _intra_inter_ctx(self, mi_row, mi_col):
-        up = mi_row > 0
-        left = mi_col > 0
+        up = mi_row > self.tile[0]
+        left = mi_col > self.tile[1]
         above_intra = up and self.mi.ref_frame[mi_row - 1, mi_col] == 0
         left_intra = left and self.mi.ref_frame[mi_row, mi_col - 1] == 0
         if up and left:
@@ -1294,7 +1360,7 @@ class FrameCodec:
     def _neighbor_ref_counts(self, mi_row, mi_col):
         counts = np.zeros(8, np.int32)
         for r, c in ((mi_row - 1, mi_col), (mi_row, mi_col - 1)):
-            if r < 0 or c < 0:
+            if r < self.tile[0] or c < self.tile[1]:
                 continue
             if self.mi.ref_frame[r, c] > 0:
                 counts[int(self.mi.ref_frame[r, c])] += 1
@@ -1314,7 +1380,7 @@ class FrameCodec:
         above and left neighbors."""
         out = []
         for r, c in ((mi_row - 1, mi_col), (mi_row, mi_col - 1)):
-            if r < 0 or c < 0:
+            if r < self.tile[0] or c < self.tile[1]:
                 out.append(None)
                 continue
             rf0 = int(self.mi.ref_frame[r, c])
@@ -1603,8 +1669,8 @@ class FrameCodec:
         io = self.io
         x, y = mi_col * MI, mi_row * MI
         w4, h4 = bw // MI, bh // MI
-        up_avail = mi_row > 0
-        left_avail = mi_col > 0
+        up_avail = mi_row > self.tile[0]
+        left_avail = mi_col > self.tile[1]
 
         decision = None
         txbs = None
@@ -1652,7 +1718,8 @@ class FrameCodec:
                 stack_res = mv_pred.find_mv_stack(
                     self.mi, mi_row, mi_col, w4, h4, ref,
                     self.mi_rows, self.mi_cols,
-                    sb_mi=self.seq.sb_size // MI, sign_bias=self.sign_bias)
+                    sb_mi=self.seq.sb_size // MI, sign_bias=self.sign_bias,
+                    tile=self.tile)
                 mode = self._code_inter_mode(
                     stack_res.mode_context,
                     None if decision is None else decision.inter_mode)
@@ -1707,7 +1774,7 @@ class FrameCodec:
         stack_res = mv_pred.find_mv_stack(
             self.mi, mi_row, mi_col, w4, h4, ref,
             self.mi_rows, self.mi_cols, sb_mi=self.seq.sb_size // MI,
-            sign_bias=self.sign_bias, ref_frame1=ref1)
+            sign_bias=self.sign_bias, ref_frame1=ref1, tile=self.tile)
         ctx = mv_pred.compound_mode_ctx(stack_res.mode_context)
         sym = io.symbol(
             None if decision is None

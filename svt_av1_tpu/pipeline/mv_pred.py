@@ -81,10 +81,19 @@ def find_mv_stack(grid: MiGrid, mi_row: int, mi_col: int, bw4: int, bh4: int,
                   ref_frame: int, mi_rows: int, mi_cols: int,
                   sb_mi: int = 16, gm_mv=(0, 0), allow_hp: bool = False,
                   force_int: bool = False, sign_bias=None,
-                  ref_frame1: int = 0) -> MvStackResult:
+                  ref_frame1: int = 0, tile=None) -> MvStackResult:
     """ref_frame1 > 0 selects the compound path: stack entries become
-    (mv0, mv1, weight) pairs (dec_setup_ref_mv_list compound branches)."""
+    (mv0, mv1, weight) pairs (dec_setup_ref_mv_list compound branches).
+
+    ``tile`` = (mi_r0, mi_c0, mi_r1, mi_c1): candidate availability is
+    tile-bounded (spec is_inside, 5.11.53) while the mb_to_* clamp
+    ranges stay frame-based, like the reference."""
     compound = ref_frame1 > 0
+    t_r0, t_c0, t_r1, t_c1 = tile if tile is not None \
+        else (0, 0, mi_rows, mi_cols)
+
+    def inside(r, c):
+        return t_c0 <= c < t_c1 and t_r0 <= r < t_r1
     stack: list[list] = []     # single: [r, c, w]; comp: [r0, c0, r1, c1, w]
     found_above = 0
     found_left = 0
@@ -133,8 +142,8 @@ def find_mv_stack(grid: MiGrid, mi_row: int, mi_col: int, bw4: int, bh4: int,
 
     row_adj = (bh4 < 2) and (mi_row & 1)
     col_adj = (bw4 < 2) and (mi_col & 1)
-    up_avail = mi_row > 0
-    left_avail = mi_col > 0
+    up_avail = mi_row > t_r0
+    left_avail = mi_col > t_c0
 
     max_row_offset = 0
     max_col_offset = 0
@@ -142,12 +151,14 @@ def find_mv_stack(grid: MiGrid, mi_row: int, mi_col: int, bw4: int, bh4: int,
         max_row_offset = -(MVREF_ROW_COLS << 1) + row_adj
         if bh4 < 2:
             max_row_offset = -(2 << 1) + row_adj
-        max_row_offset = int(np.clip(max_row_offset, -mi_row, mi_rows - mi_row - 1))
+        max_row_offset = int(np.clip(max_row_offset, t_r0 - mi_row,
+                                     t_r1 - mi_row - 1))
     if left_avail:
         max_col_offset = -(MVREF_ROW_COLS << 1) + col_adj
         if bw4 < 2:
             max_col_offset = -(2 << 1) + col_adj
-        max_col_offset = int(np.clip(max_col_offset, -mi_col, mi_cols - mi_col - 1))
+        max_col_offset = int(np.clip(max_col_offset, t_c0 - mi_col,
+                                     t_c1 - mi_col - 1))
 
     processed_rows = 0
     processed_cols = 0
@@ -165,7 +176,7 @@ def find_mv_stack(grid: MiGrid, mi_row: int, mi_col: int, bw4: int, bh4: int,
         while i < end4:
             mv_row = mi_row + delta_row
             mv_col = mi_col + delta_col + i
-            if not (0 <= mv_col < mi_cols and 0 <= mv_row < mi_rows):
+            if not inside(mv_row, mv_col):
                 break
             cand_bw4 = int(grid.bw4[mv_row, mv_col])
             cand_bh4 = int(grid.bh4[mv_row, mv_col])
@@ -195,7 +206,7 @@ def find_mv_stack(grid: MiGrid, mi_row: int, mi_col: int, bw4: int, bh4: int,
         while i < end4:
             mv_row = mi_row + delta_row + i
             mv_col = mi_col + delta_col
-            if not (0 <= mv_col < mi_cols and 0 <= mv_row < mi_rows):
+            if not inside(mv_row, mv_col):
                 break
             cand_bw4 = int(grid.bw4[mv_row, mv_col])
             cand_bh4 = int(grid.bh4[mv_row, mv_col])
@@ -215,7 +226,7 @@ def find_mv_stack(grid: MiGrid, mi_row: int, mi_col: int, bw4: int, bh4: int,
     def scan_blk(delta_row, delta_col):
         nonlocal found_above
         mv_row, mv_col = mi_row + delta_row, mi_col + delta_col
-        if 0 <= mv_col < mi_cols and 0 <= mv_row < mi_rows:
+        if inside(mv_row, mv_col):
             found_above_inc = add_ref_mv((mv_row, mv_col), 4, False)
             found_above += found_above_inc
 
@@ -276,7 +287,7 @@ def find_mv_stack(grid: MiGrid, mi_row: int, mi_col: int, bw4: int, bh4: int,
                     mv_row, mv_col = mi_row - 1, mi_col + idx
                 else:
                     mv_row, mv_col = mi_row + idx, mi_col - 1
-                if not (0 <= mv_col < mi_cols and 0 <= mv_row < mi_rows):
+                if not inside(mv_row, mv_col):
                     break
                 for rf, mr, mc in (
                         (grid.ref_frame, grid.mv_row, grid.mv_col),
