@@ -252,9 +252,15 @@ class Encoder:
             from .pipeline.rdo import RdoDecider
             return RdoDecider(n_full_rd=sig.md_stage_nics[2],
                               try_angle_delta=False)
-        # fast presets: frame-batched open-loop decisions on the device
-        from .pipeline.batched_md import BatchedIntraDecider
-        return BatchedIntraDecider()
+        if cfg.enc_mode == 7:
+            # batched intra plan + per-block inter search (slower inter
+            # frames, better RD)
+            from .pipeline.batched_md import BatchedIntraDecider
+            return BatchedIntraDecider()
+        # fastest preset: frame-batched open-loop decisions on the
+        # device (intra plan on key frames, ME + intra/inter on inter)
+        from .pipeline.batched_inter import BatchedDecider
+        return BatchedDecider()
 
     # -- public surface --------------------------------------------------
 

@@ -1,0 +1,247 @@
+"""Batched frame-level motion estimation (the TPU HME/ME path).
+
+The reference runs 3-level HME + integer search per superblock inside a
+thread pool (EbMotionEstimation.c hme_level_0:852, integer_search_sb:
+1868, 8x8 SAD pyramid).  Here the whole frame searches at once:
+
+  1. SB-level coarse search on the /8 decimated pair as full-plane
+     shifted absolute differences (one elementwise op per offset, box
+     summed per SB) — no gathers, pure VPU work.
+  2. One window gather per SB around its coarse winner, then the 8x8
+     SAD pyramid over the refinement window via static slice sums.
+  3. Aggregation of the 8x8 surfaces into every decision shape
+     (integer_search_sb's pyramid trick) and per-shape argmin.
+
+Everything runs under numpy or jax.numpy (xp); MVs are full-pel.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+SB = 64
+COARSE_R = 8            # +-8 at /8 => +-64 full-pel
+REFINE_R = 8            # +-8 full-pel around the coarse winner
+MARGIN = 8              # keep MC windows (incl. chroma taps) in-frame
+
+
+def _decimate8(plane, xp):
+    """/8 box decimation (means keep SAD comparable)."""
+    H, W = plane.shape
+    h8, w8 = H // 8, W // 8
+    p = plane[:h8 * 8, :w8 * 8].reshape(h8, 8, w8, 8)
+    return (p.sum((1, 3)) >> 6).astype(xp.int32)
+
+
+def coarse_sb_search(src, ref, xp=np):
+    """SB-level full search on /8 planes: returns mv [n_sby, n_sbx, 2]
+    (full-pel, (row, col)) minimizing the /8-domain SAD."""
+    s8 = _decimate8(src, xp)
+    r8 = _decimate8(ref, xp)
+    h8, w8 = s8.shape
+    n_sby, n_sbx = h8 // 8, w8 // 8
+    pad = xp.pad(r8, COARSE_R, mode="edge")
+    best = None
+    bdy = None
+    bdx = None
+    for dy in range(-COARSE_R, COARSE_R + 1):
+        for dx in range(-COARSE_R, COARSE_R + 1):
+            sh = pad[COARSE_R + dy:COARSE_R + dy + h8,
+                     COARSE_R + dx:COARSE_R + dx + w8]
+            d = xp.abs(s8 - sh)
+            cost = d[:n_sby * 8, :n_sbx * 8] \
+                .reshape(n_sby, 8, n_sbx, 8).sum((1, 3))
+            # slight center bias keeps flat areas at zero motion
+            cost = cost + (abs(dy) + abs(dx))
+            if best is None:
+                best, bdy, bdx = cost, xp.full(cost.shape, dy, xp.int32), \
+                    xp.full(cost.shape, dx, xp.int32)
+            else:
+                take = cost < best
+                best = xp.where(take, cost, best)
+                bdy = xp.where(take, dy, bdy)
+                bdx = xp.where(take, dx, bdx)
+    return xp.stack([bdy * 8, bdx * 8], axis=-1)
+
+
+def sb_windows(ref, origins, win: int, xp=np):
+    """Gather [N, win, win] reference windows at per-SB origins
+    (one gather per frame+ref — the only gather in the ME path)."""
+    r = origins[:, 0][:, None, None] + np.arange(win)[None, :, None]
+    c = origins[:, 1][:, None, None] + np.arange(win)[None, None, :]
+    if xp is np:
+        return ref[r, c]
+    return xp.asarray(ref)[xp.asarray(r), xp.asarray(c)]
+
+
+def sad8_surfaces(src_sbs, windows, xp=np):
+    """8x8 SAD pyramid base over the refinement window.
+
+    src_sbs: [N, 64, 64] source superblocks; windows: [N, W, W] with
+    W = 64 + 2*REFINE_R.  Returns [N, 8, 8, ny, nx] int32 where
+    (ny, nx) = (2R+1, 2R+1) spans candidate offsets."""
+    n = src_sbs.shape[0]
+    R = REFINE_R
+    npos = 2 * R + 1
+    # diff for every offset via static slices of the window
+    s = src_sbs.astype(xp.int32)
+    w = windows.astype(xp.int32)
+    out = []
+    for dy in range(npos):
+        row = []
+        for dx in range(npos):
+            d = xp.abs(s - w[:, dy:dy + SB, dx:dx + SB])
+            sad8 = d.reshape(n, 8, 8, 8, 8).transpose(0, 1, 3, 2, 4) \
+                .sum((-1, -2))               # [N, 8, 8]
+            row.append(sad8)
+        out.append(xp.stack(row, axis=-1))
+    return xp.stack(out, axis=-2)            # [N, 8, 8, ny, nx]
+
+
+def aggregate(sad8, fy: int, fx: int, xp=np):
+    """Sum the 8x8 grid into (8*fy)x(8*fx) block SADs:
+    [N, 8//fy, 8//fx, ny, nx]."""
+    n, gy, gx, ny, nx = sad8.shape
+    oy, ox = gy // fy, gx // fx
+    return sad8.reshape(n, oy, fy, ox, fx, ny, nx).sum((2, 4))
+
+
+def best_offsets(sads, xp=np):
+    """argmin over the offset plane: returns (mv_dy, mv_dx, sad) each
+    [...] shaped like sads without the last two axes; offsets are
+    full-pel relative to the window center (REFINE_R)."""
+    shp = sads.shape[:-2]
+    ny, nx = sads.shape[-2:]
+    flat = sads.reshape(shp + (ny * nx,))
+    idx = xp.argmin(flat, axis=-1)
+    sad = xp.min(flat, axis=-1)
+    dy = (idx // nx).astype(xp.int32) - REFINE_R
+    dx = (idx % nx).astype(xp.int32) - REFINE_R
+    return dy, dx, sad
+
+
+ME_SHAPES = ((8, 8), (16, 16), (32, 32), (16, 8), (8, 16),
+             (32, 16), (16, 32), (64, 64))
+
+
+def frame_me(src, ref, xp=np):
+    """Full-frame single-reference ME.
+
+    Refines around TWO candidate origins per SB — the coarse /8 winner
+    and the zero MV (the reference similarly carries the HME candidate
+    alongside (0,0); on low-structure content the decimated search is
+    unreliable) — and merges by per-block SAD.
+
+    Returns dict {(w, h): (mv_rows, mv_cols, sad)} per SB-nested grids,
+    plus "origins" (list of [N, 2] per candidate), "windows" (list of
+    [N, win, win]), "win16" ([N, 4, 4] winning candidate per 16x16),
+    and "grid".  MVs are full-pel pixel units relative to each block's
+    own position; every proposed MC window stays MARGIN px in-frame.
+    """
+    H, W = src.shape
+    n_sby, n_sbx = H // SB, W // SB
+    coarse = coarse_sb_search(src, ref, xp)      # [n_sby, n_sbx, 2]
+    win = SB + 2 * REFINE_R
+
+    sy = np.arange(n_sby) * SB
+    sx = np.arange(n_sbx) * SB
+    gy, gx = np.meshgrid(sy, sx, indexing="ij")
+    pos = np.stack([gy.ravel(), gx.ravel()], axis=-1)      # [N, 2]
+    posv = xp.asarray(pos)
+    # windows may start up to REFINE_R before the frame (edge-replicated
+    # reference pad): edge superblocks must reach small negative MVs —
+    # without this the whole first SB row/column loses its motion.  The
+    # conformant replay rejects the rare proposals whose tap windows
+    # would cross the frame edge.
+    PR = REFINE_R
+    ref_pad = xp.pad(ref, PR, mode="edge")
+    lo = -PR
+    hi_y = H - win + PR
+    hi_x = W - win + PR
+
+    def origins_for(cvec):
+        return xp.stack([
+            xp.clip(posv[:, 0] + cvec[:, 0] - REFINE_R, lo, hi_y),
+            xp.clip(posv[:, 1] + cvec[:, 1] - REFINE_R, lo, hi_x),
+        ], axis=-1)
+
+    src_sbs = src.reshape(n_sby, SB, n_sbx, SB).transpose(0, 2, 1, 3) \
+        .reshape(-1, SB, SB)
+    if xp is not np:
+        src_sbs = xp.asarray(src_sbs)
+
+    cands = [coarse.reshape(-1, 2),
+             xp.zeros((n_sby * n_sbx, 2), xp.int32)]
+    origins_l, windows_l, sad8_l = [], [], []
+    for cvec in cands:
+        origins = origins_for(cvec)
+        windows = sb_windows(ref_pad, origins + PR, win, xp)
+        origins_l.append(origins)
+        windows_l.append(windows)
+        sad8_l.append(sad8_surfaces(src_sbs, windows, xp))
+
+    out = {}
+    # per-candidate SB-level winners: sub-block argmins are biased
+    # toward them so the MV field stays coherent (larger merged blocks,
+    # cheaper MVDs — the reference gets this via its MVP-centered search)
+    sb_best = []
+    for k in range(len(cands)):
+        agg64 = aggregate(sad8_l[k], 8, 8, xp)
+        d64y, d64x, _ = best_offsets(agg64, xp)
+        sb_best.append((d64y, d64x))
+    ramp = xp.asarray(np.arange(-REFINE_R, REFINE_R + 1))
+
+    for (w, h) in ME_SHAPES:
+        fy, fx = h // 8, w // 8
+        area = (8 * fy) * (8 * fx)
+        best = None
+        for k in range(len(cands)):
+            agg = aggregate(sad8_l[k], fy, fx, xp)
+            d64y, d64x = sb_best[k]
+            bias_y = xp.abs(ramp[None, :, None] - d64y[..., None, None])
+            bias_x = xp.abs(ramp[None, None, :] - d64x[..., None, None])
+            agg = agg + area * (bias_y + bias_x)
+            dy, dx, sad = best_offsets(agg, xp)
+            # report the raw SAD (selection used the biased surface)
+            sad = sad - area * (xp.abs(dy - d64y) + xp.abs(dx - d64x))
+            oy = dy.shape[1]
+            mv_r = origins_l[k][:, 0][:, None, None] + REFINE_R + dy \
+                - posv[:, 0][:, None, None]
+            mv_c = origins_l[k][:, 1][:, None, None] + REFINE_R + dx \
+                - posv[:, 1][:, None, None]
+            if best is None:
+                best = [mv_r, mv_c, sad,
+                        xp.zeros(sad.shape, xp.int32)]
+            else:
+                take = sad < best[2]
+                best = [xp.where(take, mv_r, best[0]),
+                        xp.where(take, mv_c, best[1]),
+                        xp.where(take, sad, best[2]),
+                        xp.where(take, k, best[3])]
+        out[(w, h)] = tuple(best[:3])
+        if (w, h) == (16, 16):
+            out["win16"] = best[3]
+    out["origins"] = origins_l
+    out["windows"] = windows_l
+    out["grid"] = (n_sby, n_sbx)
+    return out
+
+
+def to_block_maps(me_out, buf_w: int, buf_h: int):
+    """Reorder frame_me's per-SB-nested results into frame block grids:
+    {(w, h): (mv_r [nr, nc], mv_c, sad)} as numpy arrays."""
+    n_sby, n_sbx = me_out["grid"]
+    maps = {}
+    for key, val in me_out.items():
+        if not isinstance(key, tuple):
+            continue
+        w, h = key
+        mv_r, mv_c, sad = (np.asarray(v) for v in val)
+        n, oy, ox = mv_r.shape
+        nr, nc = n_sby * oy, n_sbx * ox
+
+        def expand(a):
+            return a.reshape(n_sby, n_sbx, oy, ox) \
+                .transpose(0, 2, 1, 3).reshape(nr, nc)
+
+        maps[(w, h)] = (expand(mv_r), expand(mv_c), expand(sad))
+    return maps

@@ -74,7 +74,7 @@ def convolve_2d_sr(src, src_x: int, src_y: int, w: int, h: int,
 
     if has_x and has_y:
         xf = interp_kernel(filter_x, subpel_x_q4, w)
-        yf = interp_kernel(filter_y, subpel_y_q4, w)
+        yf = interp_kernel(filter_y, subpel_y_q4, h)
         im_h = h + 7
         rows = src[..., src_y - 3:src_y - 3 + im_h, src_x - 3:src_x + w + 4]
         rows = rows.astype(xp.int32)
@@ -103,7 +103,7 @@ def convolve_2d_sr(src, src_x: int, src_y: int, w: int, h: int,
         out = (acc + (1 << (bits - 1))) >> bits
         return xp.clip(out, 0, (1 << bd) - 1)
 
-    yf = interp_kernel(filter_y, subpel_y_q4, w)
+    yf = interp_kernel(filter_y, subpel_y_q4, h)
     cols = src[..., src_y - 3:src_y + h + 4, src_x:src_x + w].astype(xp.int32)
     acc = xp.zeros(cols.shape[:-2] + (h, w), dtype=xp.int32)
     for k in range(8):
@@ -147,7 +147,7 @@ def jnt_convolve(src, src_x: int, src_y: int, w: int, h: int,
 
     if has_x and has_y:
         xf = interp_kernel(filter_x, subpel_x_q4, w)
-        yf = interp_kernel(filter_y, subpel_y_q4, w)
+        yf = interp_kernel(filter_y, subpel_y_q4, h)
         im_h = h + 7
         rows = src[..., src_y - 3:src_y - 3 + im_h,
                    src_x - 3:src_x + w + 4].astype(xp.int32)
@@ -173,7 +173,7 @@ def jnt_convolve(src, src_x: int, src_y: int, w: int, h: int,
         return (_rpot(acc, round_0, xp) << bits) + round_offset
 
     bits = FILTER_BITS - round_0
-    yf = interp_kernel(filter_y, subpel_y_q4, w)
+    yf = interp_kernel(filter_y, subpel_y_q4, h)
     cols = src[..., src_y - 3:src_y + h + 4, src_x:src_x + w].astype(xp.int32)
     acc = xp.zeros(cols.shape[:-2] + (h, w), dtype=xp.int32)
     for k in range(8):

@@ -42,9 +42,9 @@ ALL_SHAPES = SQUARE_SHAPES + RECT_SHAPES
 
 # coefficient-rate proxy weights (bits ~ A*nnz + B*sum(log2(1+|q|)) + C)
 # calibrated against the native trial packer (tools/calibrate_omd.py)
-RATE_NNZ = 1.9
-RATE_MAG = 1.15
-RATE_TXB = 2.0
+RATE_NNZ = 2.724
+RATE_MAG = 1.061
+RATE_TXB = 36.242
 
 
 def txsize_for(w: int, h: int) -> TxSize:

@@ -1,0 +1,375 @@
+"""Frame-batched inter mode decision: device ME + open-loop RD maps.
+
+Extends the batched intra decider to inter frames: one device pass runs
+full-frame motion estimation against LAST (ops/bme.py — coarse /8
+search + 8x8 SAD pyramid refinement, the reference's HME/
+integer_search_sb shape), builds a 16x16-granular motion-compensated
+prediction, scores every block shape on the residual through the same
+DCT/quantizer cost model as the intra pass, and the partition DP picks
+per-block intra-vs-inter and the partition tree.  Motion granularity is
+16x16: larger inter blocks are allowed when their children's MVs agree
+(the common coherent-motion case), smaller blocks inherit the parent MV
+— so every coded block's residual model matches the MV it will code.
+
+The serial conformant pass replays the plan; NEAREST/NEAR/GLOBAL/NEW
+selection happens there against the true (tile-bounded) MV stack.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..constants import FrameType, PredictionMode
+from ..ops import bme, omd
+from ..ops import quant as qz
+from . import mv_pred as mp
+from .batched_md import BatchedIntraDecider, default_mode_bits
+from .frame_codec import BlockDecision
+
+INTER_MODE_BITS = 3.0        # is_inter + mode ladder proxy
+# intra blocks inside inter frames pay is_inter + the full y/uv mode
+# syntax (y_mode_cdf by size group, EbEntropyCoding.c write_modes_b);
+# without this the near-zero-residual ties break toward intra
+INTRA_IN_INTER_BITS = 6.0
+MV_BIT_SCALE = 2.0
+
+
+def _mc_cost_maps(resid_padded, buf_w, buf_h, qindex, lam, bd, xp):
+    """Per-shape RD cost of coding the (motion-compensated) residual:
+    same unit-DCT/quantizer model as the intra pass, pred = MC."""
+    out = {}
+    for (w, h) in omd.ALL_SHAPES:
+        blocks = omd.grid_blocks(resid_padded, w, h, buf_w, buf_h, xp)
+        zbin, rnd, step = omd._quant_maps(w, h, qindex,
+                                          qz.build_quantizer(bd)[0], xp)
+        dh = xp.asarray(omd._dct_mat(h))
+        dwt = xp.asarray(omd._dct_mat(w).T)
+        cf = dh @ blocks.astype(xp.float32) @ dwt
+        ac = xp.abs(cf)
+        q = xp.floor((ac + rnd) / step)
+        q = xp.where(ac >= zbin, xp.maximum(q, 0.0), 0.0)
+        err = ac - q * step
+        sse = (err * err).sum(axis=(-1, -2))
+        nnz = (q > 0).sum(axis=(-1, -2)).astype(xp.float32)
+        mag = xp.log2(1.0 + q).sum(axis=(-1, -2))
+        bits = omd.RATE_NNZ * nnz + omd.RATE_MAG * mag \
+            + omd.RATE_TXB * (nnz > 0).astype(xp.float32) + INTER_MODE_BITS
+        out[(w, h)] = sse + lam * bits
+    return out
+
+
+def inter_frame_maps(src_plane, ref_plane, buf_w, buf_h, qindex, lam,
+                     mode_bits, bd=8, xp=np):
+    """(intra_maps, inter_cost_maps, mv16, mvbits16): the full open-loop
+    decision state for one inter frame against one reference."""
+    src = xp.asarray(src_plane).astype(xp.int32)
+    ref = xp.asarray(ref_plane).astype(xp.int32)
+    me = bme.frame_me(src, ref, xp)
+    n_sby, n_sbx = me["grid"]
+
+    # 16x16-granular MC prediction, built offset-by-offset per refine
+    # candidate (static slices + masked accumulate; no gathers)
+    mv16_dy, mv16_dx, _ = me[(16, 16)]           # [N, 4, 4] pixel MVs
+    win16 = me["win16"]                          # winning candidate
+    src_sbs = src.reshape(n_sby, bme.SB, n_sbx, bme.SB) \
+        .transpose(0, 2, 1, 3).reshape(-1, bme.SB, bme.SB)
+    if xp is not np:
+        src_sbs = xp.asarray(src_sbs)
+    pos_y = xp.asarray((np.arange(n_sby) * bme.SB).repeat(n_sbx)
+                       .reshape(-1))
+    pos_x = xp.asarray(np.tile(np.arange(n_sbx) * bme.SB, n_sby))
+    R2 = 2 * bme.REFINE_R
+    pred = xp.zeros(src_sbs.shape, xp.int32)
+    for k, (origins, windows) in enumerate(zip(me["origins"],
+                                               me["windows"])):
+        oy16 = mv16_dy + (pos_y[:, None, None]
+                          - origins[:, 0][:, None, None])
+        ox16 = mv16_dx + (pos_x[:, None, None]
+                          - origins[:, 1][:, None, None])
+        for dy in range(R2 + 1):
+            for dx in range(R2 + 1):
+                sel = (win16 == k) & (oy16 == dy) & (ox16 == dx)
+                m = xp.repeat(xp.repeat(sel, 16, axis=1), 16, axis=2)
+                pred = xp.where(m, windows[:, dy:dy + bme.SB,
+                                           dx:dx + bme.SB]
+                                .astype(xp.int32), pred)
+    resid_sbs = src_sbs - pred
+
+    # back to a frame-shaped residual plane, padded for grid_blocks
+    resid = resid_sbs.reshape(n_sby, n_sbx, bme.SB, bme.SB) \
+        .transpose(0, 2, 1, 3).reshape(buf_h, buf_w)
+    resid_padded = xp.pad(resid, omd.PAD, mode="edge")
+    inter_cost = _mc_cost_maps(resid_padded, buf_w, buf_h, qindex, lam,
+                               bd, xp)
+
+    # mv signaling proxy: distance from the SB-level coarse predictor
+    sbmv = me[(64, 64)]
+    d_r = xp.abs(mv16_dy - sbmv[0])
+    d_c = xp.abs(mv16_dx - sbmv[1])
+    mvbits16 = MV_BIT_SCALE * (xp.log2(1.0 + d_r.astype(xp.float32))
+                               + xp.log2(1.0 + d_c.astype(xp.float32)))
+
+    padded_src = omd.pad_plane(src, xp)
+    intra = omd.intra_decision_arrays(padded_src, buf_w, buf_h, qindex,
+                                      lam, mode_bits, bd, xp)
+    return intra, inter_cost, (mv16_dy, mv16_dx), mvbits16
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _jitted_inter(buf_w: int, buf_h: int, bd: int, mode_bits: tuple):
+    import jax
+    import jax.numpy as jnp
+
+    def run(src_u8, ref_u8, qindex, lam):
+        intra, inter_cost, (mvdy, mvdx), mvb = inter_frame_maps(
+            src_u8.astype(jnp.int32), ref_u8.astype(jnp.int32),
+            buf_w, buf_h, qindex, lam, mode_bits, bd, jnp)
+        parts = []
+        for s in omd.ALL_SHAPES:
+            m, c = intra[s]
+            parts.append(m.astype(jnp.float32).ravel())
+            parts.append(c.ravel())
+        for s in omd.ALL_SHAPES:
+            parts.append(inter_cost[s].ravel())
+        parts += [mvdy.astype(jnp.float32).ravel(),
+                  mvdx.astype(jnp.float32).ravel(), mvb.ravel()]
+        return jnp.concatenate(parts)
+
+    return jax.jit(run)
+
+
+def inter_maps_dispatch(src, ref, buf_w, buf_h, qindex, lam, mode_bits,
+                        bd, use_jax):
+    """Run inter_frame_maps as ONE jitted device program (or the numpy
+    reference), returning numpy results."""
+    if use_jax:
+        try:
+            fn = _jitted_inter(buf_w, buf_h, bd, tuple(mode_bits))
+            dt = np.uint8 if bd == 8 else np.uint16
+            flat = np.asarray(fn(np.asarray(src).astype(dt),
+                                 np.asarray(ref).astype(dt),
+                                 np.int32(qindex), float(lam)))
+            intra, inter_cost = {}, {}
+            off = 0
+            for s in omd.ALL_SHAPES:
+                w, h = s
+                nr, nc = buf_h // h, buf_w // w
+                n = nr * nc
+                m = flat[off:off + n].reshape(nr, nc).astype(np.int32)
+                c = flat[off + n:off + 2 * n].reshape(nr, nc)
+                intra[s] = (m, c)
+                off += 2 * n
+            for s in omd.ALL_SHAPES:
+                w, h = s
+                nr, nc = buf_h // h, buf_w // w
+                inter_cost[s] = flat[off:off + nr * nc].reshape(nr, nc)
+                off += nr * nc
+            N = (buf_h // bme.SB) * (buf_w // bme.SB)
+            mvdy = flat[off:off + N * 16].reshape(N, 4, 4).astype(np.int32)
+            off += N * 16
+            mvdx = flat[off:off + N * 16].reshape(N, 4, 4).astype(np.int32)
+            off += N * 16
+            mvb = flat[off:off + N * 16].reshape(N, 4, 4)
+            return intra, inter_cost, (mvdy, mvdx), mvb
+        except ImportError:
+            pass
+    return inter_frame_maps(src, ref, buf_w, buf_h, qindex, lam,
+                            mode_bits, bd, np)
+
+
+def _expand_sb(a, n_sby, n_sbx):
+    """[N, oy, ox] (per-SB nested) -> frame grid [n_sby*oy, n_sbx*ox]."""
+    a = np.asarray(a)
+    n, oy, ox = a.shape
+    return a.reshape(n_sby, n_sbx, oy, ox).transpose(0, 2, 1, 3) \
+        .reshape(n_sby * oy, n_sbx * ox)
+
+
+class BatchedDecider(BatchedIntraDecider):
+    """Key frames: batched intra plan; inter frames: batched intra+ME
+    plan with per-block intra/inter choice."""
+
+    def __init__(self, use_jax=None):
+        super().__init__(use_jax)
+        self._inter = None          # {(w,h): is_inter bool map}
+        self._mv16 = None           # [nr16, nc16, 2] full-pel
+
+    def plan_superblock(self, codec, mi_row, mi_col):
+        if codec.fh.frame_type == FrameType.KEY_FRAME:
+            self._inter = None
+            return super().plan_superblock(codec, mi_row, mi_col)
+        if self._planned_for is codec:
+            return
+        self._planned_for = codec
+        if codec.refs is None or codec.buf_h < bme.SB + 2 * (
+                bme.REFINE_R + bme.MARGIN):
+            self._plan = None
+            self._modes = None
+            self._inter = None
+            return
+        self._plan_inter(codec)
+
+    def _plan_inter(self, codec):
+        from .rdo import rd_lambda
+
+        lam = rd_lambda(codec.fh.base_q_idx, codec.seq.bit_depth)
+        mode_bits = default_mode_bits(codec.fc)
+        ref_planes = codec.refs[1][0]       # LAST, padded by REF_PAD
+        from .frame_codec import REF_PAD
+        ref_y = np.asarray(ref_planes)[REF_PAD:REF_PAD + codec.buf_h,
+                                       REF_PAD:REF_PAD + codec.buf_w]
+        if ref_y.shape != (codec.buf_h, codec.buf_w):
+            # 128px superblock buffers can outrun the REF_PAD margin:
+            # edge-extend to the buf-aligned dims
+            full = np.empty((codec.buf_h, codec.buf_w), ref_y.dtype)
+            h0, w0 = ref_y.shape
+            full[:h0, :w0] = ref_y
+            full[:h0, w0:] = ref_y[:, w0 - 1:w0]
+            full[h0:, :] = full[h0 - 1:h0, :]
+            ref_y = full
+        intra, inter_cost, (mvdy, mvdx), mvbits16 = inter_maps_dispatch(
+            codec.source[0], ref_y, codec.buf_w, codec.buf_h,
+            codec.fh.base_q_idx, lam, mode_bits, codec.seq.bit_depth,
+            self.use_jax)
+        n_sby, n_sbx = codec.buf_h // bme.SB, codec.buf_w // bme.SB
+        mv_r = _expand_sb(mvdy, n_sby, n_sbx)
+        mv_c = _expand_sb(mvdx, n_sby, n_sbx)
+        mvb = _expand_sb(mvbits16, n_sby, n_sbx)
+        self._mv16 = np.stack([mv_r, mv_c], axis=-1)
+
+        # per-shape combined cost + choice (vectorized over the grids):
+        # a shape is inter-eligible when every 16x16 MV it covers agrees
+        # (one coded MV per block); sub-16 shapes inherit the parent MV
+        self._modes = {s: np.asarray(m) for s, (m, _) in intra.items()}
+        self._inter = {}
+        cost = {}
+        for (w, h) in omd.ALL_SHAPES:
+            ic = np.asarray(intra[(w, h)][1]) + lam * INTRA_IN_INTER_BITS
+            nc = np.asarray(inter_cost[(w, h)])
+            nr, ncol = ic.shape
+            fy, fx = max(h // 16, 1), max(w // 16, 1)
+            pr = np.arange(nr) * h // 16
+            pc = np.arange(ncol) * w // 16
+            base_r = mv_r[np.ix_(pr, pc)]
+            base_c = mv_c[np.ix_(pr, pc)]
+            ok = np.ones(ic.shape, bool)
+            for dy in range(fy):
+                for dx in range(fx):
+                    ok &= (mv_r[np.ix_(pr + dy, pc + dx)] == base_r)                         & (mv_c[np.ix_(pr + dy, pc + dx)] == base_c)
+            mvcost = mvb[np.ix_(pr, pc)]
+            total_inter = np.where(ok, nc + lam * mvcost, np.inf)
+            use_inter = total_inter < ic
+            self._inter[(w, h)] = use_inter
+            cost[(w, h)] = np.where(use_inter, total_inter, ic)
+        self._build_plan(codec, cost, lam)
+
+    def _build_plan(self, codec, cost, lam):
+        """Partition DP over the combined cost maps (same recursion as
+        the intra plan)."""
+        from .batched_md import _partition_bits, PARTITION_NONE, \
+            PARTITION_HORZ, PARTITION_VERT, PARTITION_SPLIT
+
+        pbits = {b: _partition_bits(codec.fc, b) for b in (8, 16, 32)}
+        self._plan = {}
+        mi_rows, mi_cols = codec.mi_rows, codec.mi_cols
+
+        def eval_node(bsize, r, c):
+            if r >= mi_rows or c >= mi_cols:
+                return 0.0
+            if bsize == 8:
+                return float(cost[(8, 8)][r // 2, c // 2])
+            bs_mi = bsize // 4
+            hbs = bs_mi // 2
+            half = bsize // 2
+            boundary = not (r + hbs < mi_rows and c + hbs < mi_cols)
+            pb = pbits[bsize]
+
+            def split_cost():
+                return sum(eval_node(half, rr, cc) for rr, cc in
+                           ((r, c), (r, c + hbs), (r + hbs, c),
+                            (r + hbs, c + hbs)))
+
+            if boundary:
+                self._plan[(bsize, r, c)] = PARTITION_SPLIT
+                return split_cost()
+            bi, bj = r // bs_mi, c // bs_mi
+            none_c = float(cost[(bsize, bsize)][bi, bj]) \
+                + lam * pb[PARTITION_NONE]
+            horz = cost[(bsize, half)]
+            horz_c = float(horz[2 * bi, bj] + horz[2 * bi + 1, bj]) \
+                + lam * pb[PARTITION_HORZ]
+            vert = cost[(half, bsize)]
+            vert_c = float(vert[bi, 2 * bj] + vert[bi, 2 * bj + 1]) \
+                + lam * pb[PARTITION_VERT]
+            split_c = split_cost() + lam * pb[PARTITION_SPLIT]
+            best = min((none_c, PARTITION_NONE), (horz_c, PARTITION_HORZ),
+                       (vert_c, PARTITION_VERT), (split_c, PARTITION_SPLIT))
+            self._plan[(bsize, r, c)] = best[1]
+            return best[0]
+
+        # evaluate every 32-aligned root node (8 mi apart) — the walk
+        # splits 64/128 superblocks down to them
+        for r in range(0, mi_rows, 8):
+            for c in range(0, mi_cols, 8):
+                eval_node(32, r, c)
+
+    # -- replay ---------------------------------------------------------
+
+    def decide_inter(self, codec, x, y, bw, bh, mi_row, mi_col, w4,
+                     h4=None):
+        if h4 is None:
+            h4 = w4
+        if self._inter is None or (bw, bh) not in self._inter:
+            return super().decide_inter(codec, x, y, bw, bh, mi_row,
+                                        mi_col, w4, h4)
+        bi, bj = y // bh, x // bw
+        if not self._inter[(bw, bh)][bi, bj]:
+            return self.decide(codec, x, y, bw, bh)
+        mv16 = self._mv16[y // 16, x // 16]
+        mv = (int(mv16[0]) * 8, int(mv16[1]) * 8)
+        ref = 1                                  # LAST
+        stack_res = mp.find_mv_stack(
+            codec.mi, mi_row, mi_col, w4, h4, ref,
+            codec.mi_rows, codec.mi_cols, sb_mi=codec.seq.sb_size // 4,
+            sign_bias=codec.sign_bias, tile=codec.tile)
+        nearest = tuple(stack_res.ref_mv_list[0])
+        near = tuple(stack_res.ref_mv_list[1])
+        # mini candidate refinement against the true MVP stack: the
+        # device plan supplies NEWMV; NEAREST/NEAR/GLOBAL often code
+        # almost for free (the reference's candidate classes)
+        src_blk = codec.source[0][y:y + bh, x:x + bw].astype(np.int32)
+        cands = []
+        if codec.mv_window_in_frame(mv, x, y, bw, bh):
+            cands.append((mv, mp.NEWMV, 96))
+        if codec.mv_window_in_frame(nearest, x, y, bw, bh):
+            cands.append((nearest, mp.NEARESTMV, 0))
+        if len(stack_res.stack) >= 2 and near != nearest \
+                and codec.mv_window_in_frame(near, x, y, bw, bh):
+            cands.append((near, mp.NEARMV, 16))
+        if codec.mv_window_in_frame((0, 0), x, y, bw, bh):
+            cands.append(((0, 0), mp.GLOBALMV, 32))
+        if not cands:
+            return self.decide(codec, x, y, bw, bh)
+        best = None
+        for cmv, cmode, pen in cands:
+            pred = codec.predict_inter(0, cmv, x, y, bw, bh, ref)
+            sad = int(np.abs(src_blk - pred).sum()) + pen
+            if best is None or sad < best[0]:
+                best = (sad, cmv, cmode)
+        _, mv, mode = best
+        if mode == mp.NEWMV and mv == nearest:
+            mode = mp.NEARESTMV
+        return BlockDecision(is_inter=True, inter_mode=mode,
+                             mv=(int(mv[0]), int(mv[1])),
+                             ref_mv_idx=0, ref=ref)
+
+    def decide(self, codec, x, y, bw, bh) -> BlockDecision:
+        if self._modes is not None and (bw, bh) in self._modes:
+            m = int(self._modes[(bw, bh)][y // bh, x // bw])
+            mode = PredictionMode(m)
+            d = BlockDecision(y_mode=mode)
+            d.uv_mode = m if mode <= PredictionMode.PAETH_PRED else 0
+            return d
+        return super().decide(codec, x, y, bw, bh)

@@ -133,15 +133,11 @@ class BatchedIntraDecider(ModeDecider):
             self._plan[(bsize, r, c)] = best[1]
             return best[0]
 
-        sb_mi = codec.seq.sb_size // 4
-        for r in range(0, mi_rows, sb_mi):
-            for c in range(0, mi_cols, sb_mi):
-                if codec.seq.sb_size > 32:
-                    for rr in (r, r + 4):
-                        for cc in (c, c + 4):
-                            eval_node(32, rr, cc)
-                else:
-                    eval_node(32, r, c)
+        # evaluate every 32-aligned root node (8 mi apart) — the walk
+        # splits 64/128 superblocks down to them
+        for r in range(0, mi_rows, 8):
+            for c in range(0, mi_cols, 8):
+                eval_node(32, r, c)
 
     # -- replay interface ----------------------------------------------
 
