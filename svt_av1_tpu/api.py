@@ -438,8 +438,7 @@ class Encoder:
         codec.lr_source = lr_source
         tile_data = _assemble_tile_group(codec.encode_tiles(decider), fh)
         codec.apply_loop_filter()
-        codec.search_cdef()
-        codec.apply_cdef()
+        codec.search_and_apply_cdef()
         codec.apply_superres()
         if self.seq.enable_restoration:
             from .pipeline.rdo import rd_lambda

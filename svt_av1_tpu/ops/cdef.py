@@ -849,3 +849,74 @@ def cdef_frame_device(planes, skips, mi_rows, mi_cols, y_strength,
         p[:ph, :pw] = flat[off:off + ph * pw].reshape(ph, pw)
         off += ph * pw
     return out
+
+
+@functools.lru_cache(maxsize=8)
+def _jit_search_apply(fw: int, fh: int, bd: int, nplanes: int,
+                      pri_set: tuple, sec_set: tuple):
+    import jax
+    import jax.numpy as jnp
+
+    def run(nonskip, damping, *planes):
+        rec = [p.astype(jnp.int32) for p in planes[:nplanes]]
+        src = [p.astype(jnp.int32) for p in planes[nplanes:]]
+        cs = max(bd - 8, 0)
+        padded_y = pad_very_large(rec[0], fw, fh, 8, jnp)
+        dirs, var = find_dir_grid(_units_of(padded_y, fw, fh, 8, jnp),
+                                  cs, jnp)
+        err_y, err_uv = cdef_search_errs(src, rec, dirs, var, nonskip,
+                                         fw, fh, damping, bd,
+                                         pri_set, sec_set, jnp)
+        if err_uv is None:
+            err_uv = jnp.zeros_like(err_y)
+        pris = jnp.asarray(np.array(pri_set, np.int32))
+        secs = jnp.asarray(np.array(sec_set, np.int32))
+
+        def pick(err):
+            i = jnp.argmin(err.ravel())
+            return pris[i // len(sec_set)] * CDEF_SEC_STRENGTHS \
+                + secs[i % len(sec_set)]
+
+        ystr = pick(err_y)
+        uvstr = pick(err_uv) if nplanes > 1 else jnp.int32(0)
+        out = _cdef_apply_traced(rec, nonskip, ystr, uvstr, damping,
+                                 fw, fh, bd, jnp)
+        flat = jnp.concatenate(
+            [o.astype(jnp.uint16).ravel() for o in out]
+            + [ystr.astype(jnp.uint16)[None],
+               uvstr.astype(jnp.uint16)[None]])
+        return flat
+
+    return jax.jit(run)
+
+
+def cdef_search_apply_device(source, recon, skips, mi_rows, mi_cols,
+                             damping, bit_depth=8,
+                             pri_set=(0, 1, 2, 4, 6, 8, 12, 15),
+                             sec_set=(0, 1, 2, 3)):
+    """One device call: strength search (full grid argmin) + normative
+    apply.  Returns (planes, y_strength, uv_strength); None when there
+    is nothing to filter."""
+    fw, fh = mi_cols * 4, mi_rows * 4
+    ns = nonskip_grid(skips, mi_rows, mi_cols)
+    if not ns.any():
+        return None
+    n = len(recon)
+    dt = _np_dtype(bit_depth)
+    fn = _jit_search_apply(fw, fh, bit_depth, n, tuple(pri_set),
+                           tuple(sec_set))
+    args = [np.ascontiguousarray(p[:(fh >> (1 if i else 0)),
+                                   :(fw >> (1 if i else 0))]).astype(dt)
+            for i, p in enumerate(recon)]
+    args += [np.ascontiguousarray(p[:(fh >> (1 if i else 0)),
+                                    :(fw >> (1 if i else 0))]).astype(dt)
+             for i, p in enumerate(source[:n])]
+    flat = np.asarray(fn(ns, np.int32(damping), *args))
+    out = [p.copy() for p in recon]
+    off = 0
+    for i, p in enumerate(out):
+        ph, pw = fh >> (1 if i else 0), fw >> (1 if i else 0)
+        p[:ph, :pw] = flat[off:off + ph * pw].reshape(ph, pw)
+        off += ph * pw
+    y_str, uv_str = int(flat[off]), int(flat[off + 1])
+    return out, y_str, uv_str

@@ -1297,6 +1297,35 @@ class FrameCodec:
         for p in range(self.num_planes):
             self.recon[p] = out[p]
 
+    def search_and_apply_cdef(self):
+        """Encoder: one fused device program searches the strength grid
+        and applies the winner (single recon upload / download)."""
+        from ..ops import cdef as cdef_ops
+
+        fh = self.fh
+        if (not self.seq.enable_cdef or fh.coded_lossless
+                or fh.allow_intrabc):
+            return
+        if not (self.source is not None and _device_filters()):
+            self.search_cdef()
+            self.apply_cdef()
+            return
+        got = cdef_ops.cdef_search_apply_device(
+            self.source[:self.num_planes], self.recon[:self.num_planes],
+            self.skips, self.mi_rows, self.mi_cols, fh.cdef_damping,
+            self.seq.bit_depth)
+        if got is None:
+            fh.cdef_y_strengths = (0,)
+            fh.cdef_uv_strengths = (0,)
+            return
+        out, y_str, uv_str = got
+        fh.cdef_y_strengths = (y_str,)
+        fh.cdef_uv_strengths = (uv_str,)
+        if y_str == 0 and uv_str == 0:
+            return                    # strengths 0: recon unchanged
+        for p in range(self.num_planes):
+            self.recon[p] = out[p]
+
     def search_cdef(self):
         """Encoder-side strength search; fills the frame-header fields."""
         from ..ops import cdef as cdef_ops
