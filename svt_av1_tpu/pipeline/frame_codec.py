@@ -523,7 +523,8 @@ class FrameCodec:
             self.txb_above[p][x0:x1] = 0
             self.txb_left[p][y0:y1] = 0
         if self.lr_units is not None:
-            self.lr_ref = [lr.default_wiener_taps() * 2
+            self.lr_ref = [{"wiener": lr.default_wiener_taps() * 2,
+                            "sgr": lr.default_sgr_xqd()}
                            for _ in range(self.num_planes)]
 
     def _walk_superblocks(self):
@@ -558,7 +559,8 @@ class FrameCodec:
             rows = lr.count_units(ph, size)
             cols = lr.count_units(pw, size)
             self.lr_units.append([[None] * cols for _ in range(rows)])
-            self.lr_ref.append(lr.default_wiener_taps() * 2)  # v+h taps
+            self.lr_ref.append({"wiener": lr.default_wiener_taps() * 2,
+                                "sgr": lr.default_sgr_xqd()})
 
     def _code_lr(self, mi_row, mi_col):
         from ..entropy import subexp as se
@@ -570,7 +572,6 @@ class FrameCodec:
         for p in range(self.num_planes):
             if self.fh.lr_type[p] == lr.RESTORE_NONE:
                 continue
-            assert self.fh.lr_type[p] == lr.RESTORE_WIENER, "SGR/switchable TBD"
             sub = 1 if p else 0
             size = self.fh.lr_unit_size(p)
             pw = (self._lr_width() + sub) >> sub
@@ -595,31 +596,83 @@ class FrameCodec:
                     self._code_lr_unit(p, ur, uc, se, lr)
 
     def _code_lr_unit(self, plane, ur, uc, se, lr):
+        """Per-unit restoration syntax: wiener / sgrproj flags or the
+        switchable 3-way symbol, then the chosen filter's params
+        (read_lr_unit, EbDecParseBlock.c:2790).  Plan/unit entries are
+        tagged: ("wiener", taps_v, taps_h) | ("sgr", ep, xqd)."""
         io = self.io
+        frame_type = self.fh.lr_type[plane]
         plan = None
         if not io.is_decoder:
             plan = self.lr_plan[plane][ur][uc] \
                 if getattr(self, "lr_plan", None) else None
-        use = io.symbol(None if io.is_decoder else int(plan is not None),
-                        self.fc.wiener_restore, 2)
-        if not use:
+        if frame_type == lr.RESTORE_WIENER:
+            use = io.symbol(None if io.is_decoder else int(plan is not None),
+                            self.fc.wiener_restore, 2)
+            kind = lr.RESTORE_WIENER if use else lr.RESTORE_NONE
+        elif frame_type == lr.RESTORE_SGRPROJ:
+            use = io.symbol(None if io.is_decoder else int(plan is not None),
+                            self.fc.sgrproj_restore, 2)
+            kind = lr.RESTORE_SGRPROJ if use else lr.RESTORE_NONE
+        else:                               # RESTORE_SWITCHABLE
+            want = None
+            if not io.is_decoder:
+                want = 0 if plan is None else (
+                    1 if plan[0] == "wiener" else 2)
+            sym = io.symbol(want, self.fc.switchable_restore, 3)
+            kind = (lr.RESTORE_NONE, lr.RESTORE_WIENER,
+                    lr.RESTORE_SGRPROJ)[sym]
+        if kind == lr.RESTORE_NONE:
             self.lr_units[plane][ur][uc] = None
             return
-        ref = self.lr_ref[plane]
-        taps_v, taps_h = [0, 0, 0], [0, 0, 0]
         enc = None if io.is_decoder else plan
-        for d, taps in ((0, taps_v), (1, taps_h)):
-            for k in range(3):
-                if plane > 0 and k == 0:
-                    taps[k] = 0          # 5-tap chroma window
-                    continue
-                want = None if enc is None else enc[d][k]
-                taps[k] = se.code_signed_subexp_ref(
-                    io, want, lr.WIENER_TAPS_MIN[k],
-                    lr.WIENER_TAPS_MAX[k] + 1, lr.WIENER_SUBEXP_K[k],
-                    ref[3 * d + k])
-        self.lr_ref[plane] = taps_v + taps_h
-        self.lr_units[plane][ur][uc] = (list(taps_v), list(taps_h))
+        if kind == lr.RESTORE_WIENER:
+            ref = self.lr_ref[plane]["wiener"]
+            taps_v, taps_h = [0, 0, 0], [0, 0, 0]
+            for d, taps in ((0, taps_v), (1, taps_h)):
+                for k in range(3):
+                    if plane > 0 and k == 0:
+                        taps[k] = 0      # 5-tap chroma window
+                        continue
+                    want = None if enc is None else enc[1 + d][k]
+                    taps[k] = se.code_signed_subexp_ref(
+                        io, want, lr.WIENER_TAPS_MIN[k],
+                        lr.WIENER_TAPS_MAX[k] + 1, lr.WIENER_SUBEXP_K[k],
+                        ref[3 * d + k])
+            self.lr_ref[plane]["wiener"] = taps_v + taps_h
+            self.lr_units[plane][ur][uc] = ("wiener", list(taps_v),
+                                            list(taps_h))
+            return
+        # RESTORE_SGRPROJ (read_sgrproj_filter, EbDecParseBlock.c:2754)
+        ref = self.lr_ref[plane]["sgr"]
+        ep = io.literal(None if enc is None else enc[1],
+                        lr.SGRPROJ_PARAMS_BITS)
+        params, _, _ = lr._sgr_tables()
+        r0, r1 = int(params[ep][0]), int(params[ep][1])
+        xqd = [0, 0]
+        if r0 == 0:
+            xqd[1] = se.code_signed_subexp_ref(
+                io, None if enc is None else enc[2][1],
+                lr.SGRPROJ_PRJ_MIN1, lr.SGRPROJ_PRJ_MAX1 + 1,
+                lr.SGRPROJ_PRJ_SUBEXP_K, ref[1])
+        elif r1 == 0:
+            xqd[0] = se.code_signed_subexp_ref(
+                io, None if enc is None else enc[2][0],
+                lr.SGRPROJ_PRJ_MIN0, lr.SGRPROJ_PRJ_MAX0 + 1,
+                lr.SGRPROJ_PRJ_SUBEXP_K, ref[0])
+            xqd[1] = int(np.clip((1 << lr.SGRPROJ_PRJ_BITS) - xqd[0],
+                                 lr.SGRPROJ_PRJ_MIN1, lr.SGRPROJ_PRJ_MAX1))
+        else:
+            xqd[0] = se.code_signed_subexp_ref(
+                io, None if enc is None else enc[2][0],
+                lr.SGRPROJ_PRJ_MIN0, lr.SGRPROJ_PRJ_MAX0 + 1,
+                lr.SGRPROJ_PRJ_SUBEXP_K, ref[0])
+            xqd[1] = se.code_signed_subexp_ref(
+                io, None if enc is None else enc[2][1],
+                lr.SGRPROJ_PRJ_MIN1, lr.SGRPROJ_PRJ_MAX1 + 1,
+                lr.SGRPROJ_PRJ_SUBEXP_K, ref[1])
+        self.lr_ref[plane]["sgr"] = list(xqd)
+        self.lr_units[plane][ur][uc] = ("sgr", ep, list(xqd))
 
     def _lr_width(self) -> int:
         """LR operates on the superres-upscaled frame (spec 7.17)."""
@@ -677,10 +730,16 @@ class FrameCodec:
                     unit = self.lr_units[p][ur][uc]
                     if unit is None:
                         continue
-                    taps_v, taps_h = unit
-                    out[v0:v1, h0:h1] = lr.apply_wiener_unit(
-                        cdef_out, self.deblocked[p], v0, v1, h0, h1,
-                        taps_v, taps_h, sub, pw, ph, self.seq.bit_depth)
+                    if unit[0] == "wiener":
+                        out[v0:v1, h0:h1] = lr.apply_wiener_unit(
+                            cdef_out, self.deblocked[p], v0, v1, h0, h1,
+                            unit[1], unit[2], sub, pw, ph,
+                            self.seq.bit_depth)
+                    else:
+                        out[v0:v1, h0:h1] = lr.apply_sgr_unit(
+                            cdef_out, self.deblocked[p], v0, v1, h0, h1,
+                            unit[1], unit[2], sub, pw, ph,
+                            self.seq.bit_depth)
             self.recon[p] = out
 
     def search_lr(self, lam: float = 1000.0):
@@ -706,19 +765,35 @@ class FrameCodec:
             vlims = lr.unit_limits_vert(ph, size, sub)
             hlims = lr.unit_limits(pw, size)
             plane_plan = [[None] * len(hlims) for _ in range(len(vlims))]
-            used = False
+            kinds = set()
             for ur, (v0, v1) in enumerate(vlims):
                 for uc, (h0, h1) in enumerate(hlims):
-                    tv, th, sse_f, sse_n = lr.pick_wiener_unit(
+                    tv, th, w_sse, sse_n = lr.pick_wiener_unit(
                         src_planes[p], self.recon[p], self.deblocked[p],
                         v0, v1, h0, h1, sub, pw, ph, self.seq.bit_depth,
                         is_chroma=p > 0)
-                    # ~30 bits of taps + flag; keep only clear wins
-                    if tv is not None and sse_f + lam * 32 < sse_n:
-                        plane_plan[ur][uc] = (tv, th)
-                        used = True
-            types.append(lr.RESTORE_WIENER if used else lr.RESTORE_NONE)
-            any_used |= used
+                    ep, xqd, s_sse, _ = lr.pick_sgr_unit(
+                        src_planes[p], self.recon[p], self.deblocked[p],
+                        v0, v1, h0, h1, sub, pw, ph, self.seq.bit_depth)
+                    # filter flag + ~30 (wiener) / ~20 (sgr) param bits
+                    cand = [(sse_n + lam * 1, None)]
+                    if tv is not None:
+                        cand.append((w_sse + lam * 32,
+                                     ("wiener", tv, th)))
+                    cand.append((s_sse + lam * 22, ("sgr", ep, xqd)))
+                    best = min(cand, key=lambda c: c[0])[1]
+                    plane_plan[ur][uc] = best
+                    if best is not None:
+                        kinds.add(best[0])
+            if not kinds:
+                types.append(lr.RESTORE_NONE)
+            elif kinds == {"wiener"}:
+                types.append(lr.RESTORE_WIENER)
+            elif kinds == {"sgr"}:
+                types.append(lr.RESTORE_SGRPROJ)
+            else:
+                types.append(lr.RESTORE_SWITCHABLE)
+            any_used |= bool(kinds)
             self.lr_plan.append(plane_plan)
         self.fh.lr_type = tuple(types) + (0,) * (3 - len(types))
         return any_used

@@ -223,6 +223,16 @@ def main():
     tables["av1_resize_filter_normative"] = \
         np.array(nums, np.int16).reshape(64, 8)
 
+    print("extracting self-guided restoration tables from EbRestoration.c")
+    tables.update(extract_tables(
+        REF / "EbRestoration.c", {"eb_x_by_xplus1", "eb_one_by_x"}))
+    sgr_text = _strip_comments((REF / "EbRestoration.c").read_text())
+    m = re.search(r"eb_sgr_params\[SGRPROJ_PARAMS\]\s*=\s*\{(.*?)\n\};",
+                  sgr_text, re.S)
+    nums = [int(v) for v in re.findall(r"-?\d+", m.group(1))]
+    assert len(nums) == 16 * 4, len(nums)
+    tables["eb_sgr_params"] = np.array(nums, np.int32).reshape(16, 4)
+
     np.savez_compressed(OUT, **tables)
     total = sum(t.size for t in tables.values())
     print(f"wrote {len(tables)} tables, {total} values -> {OUT}")
