@@ -83,7 +83,7 @@ class EncoderConfig:
     rate_control_mode: RateControlMode = RateControlMode.CQP
     target_bit_rate: int = 7_000_000
     look_ahead_distance: int = -1               # -1 auto
-    enable_tpl_la: bool = True
+    enable_tpl_la: bool = False      # TPL not implemented yet
     max_qp_allowed: int = 63
     min_qp_allowed: int = 1
     vbv_bufsize: int = 0
@@ -201,6 +201,24 @@ def validate_config(cfg: EncoderConfig) -> None:
         raise ConfigError("tile log2 counts out of range [0, 6]")
     if cfg.min_qp_allowed > cfg.max_qp_allowed:
         raise ConfigError("min_qp_allowed > max_qp_allowed")
+    # Unimplemented tools: accepting a knob and silently ignoring it is
+    # worse than rejecting it (verify_settings parity: unsupported
+    # combinations error out).  -1 = auto resolves to "off" today; any
+    # explicit enable is refused until the tool lands.
+    for field, label in (("obmc_level", "OBMC"),
+                         ("enable_tpl_la", "TPL lookahead"),
+                         ("palette_level", "palette"),
+                         ("intrabc_mode", "intra block copy"),
+                         ("enable_warped_motion", "warped motion"),
+                         ("screen_content_mode", "screen content tools"),
+                         ("enable_adaptive_quantization", "adaptive "
+                          "quantization / segmentation"),
+                         ("pic_based_rate_est", "picture-based rate "
+                          "estimation")):
+        v = getattr(cfg, field)
+        if v not in (-1, 0):
+            raise ConfigError(f"{field}={v}: {label} is not implemented "
+                              "yet (use -1 or 0)")
     if cfg.superres_mode:
         # scaled-reference MC is not implemented, so super-resolution is
         # only usable on all-intra configs (intra period -2/0); silently
@@ -268,8 +286,10 @@ def derive_signals(cfg: EncoderConfig) -> DerivedSignals:
         intra_angle_delta=auto(cfg.intra_angle_delta, m <= 5),
         cdef_level=cfg.cdef_level if cfg.cdef_level != -1 else (4 if m <= 5 else 2),
         enable_restoration=auto(cfg.enable_restoration, m <= 6),
-        enable_warped_motion=auto(cfg.enable_warped_motion, m <= 5),
-        obmc_level=cfg.obmc_level if cfg.obmc_level != -1 else (2 if m <= 3 else 0),
+        # warp/OBMC are not implemented: auto resolves to off so the
+        # derived signal surface stays honest
+        enable_warped_motion=False,
+        obmc_level=0,
         compound_level=cfg.compound_level if cfg.compound_level != -1 else (1 if m <= 5 else 0),
         rdoq_level=cfg.rdoq_level if cfg.rdoq_level != -1 else (1 if m <= 7 else 0),
         tf_level=cfg.tf_level if cfg.tf_level != -1 else (1 if m <= 7 else 0),
