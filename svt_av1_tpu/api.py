@@ -290,10 +290,45 @@ class Encoder:
             if jobs is None:
                 break
             for job in jobs:
+                self._maybe_prefetch(job)
                 packets.append(self._run_job(job))
             self._buffer = self._buffer[consumed:]
             self._next_display += consumed
         return packets
+
+    def _maybe_prefetch(self, job: CodeJob) -> None:
+        """Pipeline overlap (the SRM analog's first slice): while the
+        host packs this key frame, the device computes the NEXT frame's
+        decision maps on a worker thread (all-intra runs only — inter
+        decisions need the previous reconstruction)."""
+        if self.pd.key_interval != 1 or job.kind != "code":
+            return
+        dec = self._decider_cached()
+        if not hasattr(dec, "prefetch"):
+            return
+        nxt = job.display + 1 - self._next_display
+        if nxt >= len(self._buffer):
+            return
+        qindex = self.rc.peek_qindex(True, 0, job.display + 1)             if hasattr(self.rc, "peek_qindex") else None
+        if qindex is None:
+            return
+        cfg = self.cfg
+        mi_c = 2 * ((cfg.source_width + 7) >> 3)
+        mi_r = 2 * ((cfg.source_height + 7) >> 3)
+        sb = self.seq.sb_size
+        buf_w = -(-(mi_c * 4) // sb) * sb
+        buf_h = -(-(mi_r * 4) // sb) * sb
+        dec.prefetch(job.display + 1,
+                     np.asarray(self._buffer[nxt][0]),
+                     buf_w, buf_h, qindex, cfg.encoder_bit_depth)
+
+    def _decider_cached(self):
+        """One decider instance per encoder (state is per-frame keyed on
+        the codec object, so reuse across frames is safe and lets the
+        prefetch pipeline hand results forward)."""
+        if not hasattr(self, "_decider_obj"):
+            self._decider_obj = self._decider()
+        return self._decider_obj
 
     def _run_job(self, job: CodeJob) -> bytes:
         if job.kind == "show_existing":
@@ -431,7 +466,7 @@ class Encoder:
                 for i, p in enumerate(planes))
         if self.seq.film_grain_params_present:
             fh.film_grain = self._estimate_film_grain(job, planes)
-        decider = self._decider()
+        decider = self._decider_cached()
         decider.replay_store = {}    # per-frame; reused on LR re-encode
         codec = FrameCodec(self.seq, fh, source_planes=planes, refs=refs)
         codec.sign_bias = sign_bias

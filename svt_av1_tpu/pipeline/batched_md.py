@@ -65,6 +65,43 @@ class BatchedIntraDecider(ModeDecider):
 
     # -- planning -----------------------------------------------------
 
+    # -- pipeline overlap (the SRM analog's first slice): the device
+    # decision pass for frame N+1 runs on a worker thread while the host
+    # packs frame N; jax releases the GIL during device execution -------
+
+    _executor = None
+    _prefetch: dict | None = None
+
+    def prefetch(self, display: int, source_plane, buf_w: int, buf_h: int,
+                 qindex: int, bd: int):
+        import concurrent.futures as cf
+
+        from ..entropy.tables import FrameCdfs
+        from .rdo import rd_lambda
+
+        if BatchedIntraDecider._executor is None:
+            BatchedIntraDecider._executor =                 cf.ThreadPoolExecutor(max_workers=1)
+        if self._prefetch is None:
+            self._prefetch = {}
+        lam = rd_lambda(qindex, bd)
+        mode_bits = default_mode_bits(FrameCdfs(qindex))
+        fut = BatchedIntraDecider._executor.submit(
+            omd.intra_decision_frame, source_plane, buf_w, buf_h,
+            qindex, lam, mode_bits, bd, self.use_jax)
+        self._prefetch[display] = (qindex, fut)
+
+    def _take_prefetched(self, codec):
+        if not self._prefetch:
+            return None
+        got = self._prefetch.pop(codec.fh.order_hint, None)
+        if got is None:
+            return None
+        qindex, fut = got
+        if qindex != codec.fh.base_q_idx:
+            fut.cancel()
+            return None
+        return fut.result()
+
     def plan_superblock(self, codec, mi_row, mi_col):
         if codec.fh.frame_type != FrameType.KEY_FRAME:
             self._planned_for = None
@@ -81,10 +118,12 @@ class BatchedIntraDecider(ModeDecider):
 
         lam = rd_lambda(codec.fh.base_q_idx, codec.seq.bit_depth)
         mode_bits = default_mode_bits(codec.fc)
-        maps = omd.intra_decision_frame(
-            codec.source[0], codec.buf_w, codec.buf_h,
-            codec.fh.base_q_idx, lam, mode_bits,
-            bd=codec.seq.bit_depth, use_jax=self.use_jax)
+        maps = self._take_prefetched(codec)
+        if maps is None:
+            maps = omd.intra_decision_frame(
+                codec.source[0], codec.buf_w, codec.buf_h,
+                codec.fh.base_q_idx, lam, mode_bits,
+                bd=codec.seq.bit_depth, use_jax=self.use_jax)
         self._modes = {s: m for s, (m, _) in maps.items()}
         cost = {s: c for s, (_, c) in maps.items()}
         pbits = {b: _partition_bits(codec.fc, b) for b in (8, 16, 32)}

@@ -68,6 +68,14 @@ class RateControl:
 
     # -- qindex selection ---------------------------------------------------
 
+    def peek_qindex(self, is_key: bool, layer: int,
+                    display: int | None = None):
+        """Side-effect-free qindex prediction for pipeline prefetch;
+        None when the mode's qindex depends on yet-unknown feedback."""
+        if self.mode == RateControlMode.CQP:
+            return self.pick_qindex(is_key, layer, display)
+        return None
+
     def pick_qindex(self, is_key: bool, layer: int,
                     display: int | None = None) -> int:
         if self.mode == RateControlMode.CQP:
