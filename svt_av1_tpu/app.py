@@ -51,7 +51,9 @@ def _enc(args) -> int:
                         intra_period_length=args.keyint,
                         enc_mode=args.preset,
                         rate_control_mode=RateControlMode(args.rc),
-                        target_bit_rate=args.tbr)
+                        target_bit_rate=args.tbr,
+                        tile_columns=args.tile_columns,
+                        tile_rows=args.tile_rows)
     if args.enc_pass == 1:
         # first pass: open-loop analysis only (firstpass.c analog)
         from .pipeline.first_pass import analyze_frame, write_stats
@@ -168,6 +170,10 @@ def main(argv=None) -> int:
                    help="stats file for --pass 1/2")
     e.add_argument("--tbr", type=int, default=7_000_000,
                    help="target bitrate (bits/s) for --rc 1/2")
+    e.add_argument("--tile-columns", type=int, default=0,
+                   help="log2 tile columns")
+    e.add_argument("--tile-rows", type=int, default=0,
+                   help="log2 tile rows")
     e.add_argument("--preset", type=int, default=8,
                    help="enc-mode 0..13 (lower = slower/better)")
     e.set_defaults(fn=_enc)
