@@ -289,12 +289,49 @@ class Encoder:
                 self._next_display, len(self._buffer), eos)
             if jobs is None:
                 break
+            self._maybe_tpl(jobs, consumed)
             for job in jobs:
                 self._maybe_prefetch(job)
                 packets.append(self._run_job(job))
+            if consumed > 0:
+                self._tpl_seed = self._buffer[consumed - 1]
             self._buffer = self._buffer[consumed:]
             self._next_display += consumed
         return packets
+
+    def _maybe_tpl(self, jobs, consumed: int) -> None:
+        """TPL lookahead over the scheduled mini-GOP: per-frame qindex
+        boosts from the propagated dependency model (tpl_mc_flow
+        analog; device ME stats, host propagation)."""
+        from .config import RateControlMode
+        if (not self.cfg.enable_tpl_la
+                or self.cfg.rate_control_mode != RateControlMode.CQP
+                or self.pd.gop <= 1 or consumed < 2
+                or jobs[0].is_key):
+            return
+        from .pipeline import tpl as tpl_mod
+        from .pipeline.frame_codec import _device_filters
+        seed = getattr(self, "_tpl_seed", None)
+        window = ([seed] if seed is not None else [])             + self._buffer[:consumed]
+        displays = list(range(self._next_display - (seed is not None),
+                              self._next_display + consumed))
+        cfg = self.cfg
+        mi_c = 2 * ((cfg.source_width + 7) >> 3)
+        mi_r = 2 * ((cfg.source_height + 7) >> 3)
+        sb = self.seq.sb_size
+        buf_w = -(-(mi_c * 4) // sb) * sb
+        buf_h = -(-(mi_r * 4) // sb) * sb
+        offs = tpl_mod.tpl_gop_offsets(
+            [np.asarray(f[0]) for f in window], displays, buf_w, buf_h,
+            cfg.encoder_bit_depth, use_jax=_device_filters())
+        # leaves are never referenced: the boost only applies to frames
+        # other frames depend on (the display-chain beta over-credits
+        # them otherwise)
+        layer_of = {j.display: j.layer for j in jobs if j.kind == "code"}
+        max_layer = max(layer_of.values()) if layer_of else 0
+        offs = {d: v for d, v in offs.items()
+                if layer_of.get(d, max_layer) < max_layer}
+        self.rc.tpl_offsets.update(offs)
 
     def _maybe_prefetch(self, job: CodeJob) -> None:
         """Pipeline overlap (the SRM analog's first slice): while the

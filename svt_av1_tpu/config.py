@@ -83,7 +83,7 @@ class EncoderConfig:
     rate_control_mode: RateControlMode = RateControlMode.CQP
     target_bit_rate: int = 7_000_000
     look_ahead_distance: int = -1               # -1 auto
-    enable_tpl_la: bool = False      # TPL not implemented yet
+    enable_tpl_la: bool = True
     max_qp_allowed: int = 63
     min_qp_allowed: int = 1
     vbv_bufsize: int = 0
@@ -206,7 +206,6 @@ def validate_config(cfg: EncoderConfig) -> None:
     # combinations error out).  -1 = auto resolves to "off" today; any
     # explicit enable is refused until the tool lands.
     for field, label in (("obmc_level", "OBMC"),
-                         ("enable_tpl_la", "TPL lookahead"),
                          ("palette_level", "palette"),
                          ("intrabc_mode", "intra block copy"),
                          ("enable_warped_motion", "warped motion"),

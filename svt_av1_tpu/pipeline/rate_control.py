@@ -46,6 +46,7 @@ class RateControl:
 
     def __init__(self, cfg: EncoderConfig, fps: float,
                  all_intra: bool = False):
+        self.tpl_offsets = {}
         self.cfg = cfg
         self.mode = cfg.rate_control_mode
         self.all_intra = all_intra
@@ -68,6 +69,8 @@ class RateControl:
 
     # -- qindex selection ---------------------------------------------------
 
+    tpl_offsets: dict
+
     def peek_qindex(self, is_key: bool, layer: int,
                     display: int | None = None):
         """Side-effect-free qindex prediction for pipeline prefetch;
@@ -82,7 +85,14 @@ class RateControl:
             base = QUANTIZER_TO_QINDEX[self.cfg.qp]
             if base == 0 or self.all_intra:
                 return base
-            off = KEY_OFFSET if is_key else LAYER_OFFSETS[min(layer, 5)]
+            if is_key:
+                off = KEY_OFFSET
+            else:
+                off = LAYER_OFFSETS[min(layer, 5)]
+                # TPL modulation (cqp_qindex_calc_tpl_la analog): the
+                # propagated dependency boost deepens the ladder for
+                # heavily-referenced frames; leaves stay put
+                off += self.tpl_offsets.get(display, 0)
             return int(np.clip(base + off, 1, 255))
         # VBR/CVBR: operating qp adjusted by buffer fullness
         qp = self.state.qp

@@ -1,0 +1,151 @@
+"""Temporal-dependency model (TPL) -> CRF-style per-frame qindex.
+
+The reference propagates per-16x16 dependency statistics backward over
+the lookahead (tpl_mc_flow, EbRateControlProcess.c:1119: open-loop
+intra/inter costs per block, mc_dep flow through the MV field, r0/beta
+-> qindex scaling in cqp_qindex_calc_tpl_la:5589).
+
+TPU-native shape: per consecutive display pair, one small jitted device
+program computes the 16x16 SAD/MV field (ops/bme.py) and per-block
+spatial (intra-proxy) cost; the backward propagation runs on the host
+over the tiny [nr16, nc16] grids; the output is a per-frame qindex
+offset replacing the static per-layer ladder.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from ..ops import bme
+
+# qindex steps removed per doubling of the dependency multiplier beta
+# (applied ON TOP of the per-layer ladder, so leaves stay unboosted)
+QSTEP_PER_OCTAVE = 4.0
+MAX_BOOST = 16          # cap (reference: kf/arf boost limits)
+
+
+def _block16_stats(src, ref, xp=np):
+    """(sad16, mv_r, mv_c, var16) over the 16x16 grid of one frame pair
+    (open-loop, source-referenced like the reference's TPL ME)."""
+    me = bme.frame_me(src.astype(xp.int32), ref.astype(xp.int32), xp)
+    mv_r, mv_c, sad = me[(16, 16)]
+    n_sby, n_sbx = me["grid"]
+    blocks = src.astype(xp.int32).reshape(
+        src.shape[0] // 16, 16, src.shape[1] // 16, 16).transpose(0, 2, 1, 3)
+    mean = blocks.mean(axis=(-1, -2), keepdims=True)
+    var = ((blocks - mean) ** 2).sum(axis=(-1, -2))
+    # match the per-SB nested layout of the ME maps: [N_sb, 4, 4]
+    var = var.reshape(n_sby, 4, n_sbx, 4).transpose(0, 2, 1, 3)         .reshape(-1, 4, 4)
+    return sad, mv_r, mv_c, var, (n_sby, n_sbx)
+
+
+@functools.lru_cache(maxsize=8)
+def _jitted_stats(buf_w: int, buf_h: int, bd: int):
+    import jax
+    import jax.numpy as jnp
+
+    def run(src, ref):
+        sad, mv_r, mv_c, var, _ = _block16_stats(
+            src.astype(jnp.int32), ref.astype(jnp.int32), jnp)
+        return jnp.concatenate([
+            sad.astype(jnp.float32).ravel(),
+            mv_r.astype(jnp.float32).ravel(),
+            mv_c.astype(jnp.float32).ravel(), var.astype(jnp.float32)
+            .ravel()])
+
+    return jax.jit(run)
+
+
+def _expand(a, grid):
+    n_sby, n_sbx = grid
+    a = np.asarray(a)
+    n, oy, ox = a.shape
+    return a.reshape(n_sby, n_sbx, oy, ox).transpose(0, 2, 1, 3) \
+        .reshape(n_sby * oy, n_sbx * ox)
+
+
+def _pair_stats(src, ref, buf_w, buf_h, bd, use_jax):
+    if use_jax:
+        try:
+            fn = _jitted_stats(buf_w, buf_h, bd)
+            dt = np.uint8 if bd == 8 else np.uint16
+            flat = np.asarray(fn(src.astype(dt), ref.astype(dt)))
+            n_sby, n_sbx = buf_h // bme.SB, buf_w // bme.SB
+            n16 = (buf_h // 16) * (buf_w // 16)
+            grid = (n_sby, n_sbx)
+            parts = [flat[i * n16:(i + 1) * n16]
+                     .reshape(n_sby * n_sbx, 4, 4) for i in range(4)]
+            return tuple(_expand(p, grid) for p in parts)
+        except ImportError:
+            pass
+    sad, mv_r, mv_c, var, grid = _block16_stats(src, ref, np)
+    return tuple(_expand(np.asarray(v), grid)
+                 for v in (sad, mv_r, mv_c, var))
+
+
+def tpl_gop_offsets(frames_y, displays, buf_w: int, buf_h: int,
+                    bd: int = 8, use_jax: bool = True) -> dict:
+    """Per-display qindex offsets for one mini-GOP window.
+
+    frames_y: luma planes in DISPLAY order (the anchor's predecessor
+    first, so pairs are (frames_y[i-1] -> frames_y[i])); displays: the
+    display index of each entry.  Returns {display: qindex_offset}
+    (non-positive: referenced frames get boosted).
+    """
+    n = len(frames_y)
+    if n < 2 or buf_h < bme.SB + 2 * (bme.REFINE_R + bme.MARGIN):
+        return {}
+
+    def bufal(p):
+        a = np.zeros((buf_h, buf_w), np.int32)
+        h0, w0 = p.shape
+        a[:h0, :w0] = p
+        a[:h0, w0:] = p[:, w0 - 1:w0]
+        a[h0:, :] = a[h0 - 1:h0, :]
+        return a
+
+    planes = [bufal(np.asarray(f)) for f in frames_y]
+    stats = [None]                       # index 0 (the seed) has no pair
+    for i in range(1, n):
+        sad, mv_r, mv_c, var = _pair_stats(planes[i], planes[i - 1],
+                                           buf_w, buf_h, bd, use_jax)
+        # SATD-ish costs: intra proxy = spatial variance; inter = SAD^2/n
+        intra = var.astype(np.float64) + 1.0
+        inter = (sad.astype(np.float64) ** 2) / 256.0 + 1.0
+        stats.append(dict(intra=intra, inter=np.minimum(inter, intra),
+                          mv_r=mv_r, mv_c=mv_c))
+
+    nr, nc = stats[1]["intra"].shape
+    mc_dep = [np.zeros((nr, nc)) for _ in range(n)]
+    # backward flow: later frames deposit their dependency onto the
+    # blocks of their reference (display predecessor) via the MV field
+    # with bilinear area weights (mc_flow_dispenser's grid scatter)
+    for i in range(n - 1, 0, -1):
+        st = stats[i]
+        ratio = np.clip((st["intra"] - st["inter"]) / st["intra"], 0, 1)
+        prop = (st["intra"] + mc_dep[i]) * ratio
+        ys = (np.arange(nr)[:, None] * 16 + st["mv_r"]).astype(np.float64)
+        xs = (np.arange(nc)[None, :] * 16 + st["mv_c"]).astype(np.float64)
+        y0 = np.floor(ys / 16).astype(int)
+        x0 = np.floor(xs / 16).astype(int)
+        fy = ys / 16 - y0
+        fx = xs / 16 - x0
+        tgt = mc_dep[i - 1]
+        for dy in (0, 1):
+            wy = np.where(dy == 0, 1 - fy, fy)
+            yy = np.clip(y0 + dy, 0, nr - 1)
+            for dx in (0, 1):
+                wx = np.where(dx == 0, 1 - fx, fx)
+                xx = np.clip(x0 + dx, 0, nc - 1)
+                np.add.at(tgt, (yy, xx), prop * wy * wx)
+
+    out = {}
+    for i, d in enumerate(displays):
+        if i == 0:
+            continue                      # the seed frame is context only
+        intra_sum = float(stats[i]["intra"].sum()) if stats[i] else 1.0
+        beta = (intra_sum + float(mc_dep[i].sum())) / intra_sum
+        boost = min(QSTEP_PER_OCTAVE * np.log2(beta), MAX_BOOST)
+        out[d] = -int(round(boost))
+    return out

@@ -1,0 +1,69 @@
+"""TPL lookahead -> per-frame qindex boosts (tpl_mc_flow analog)."""
+import numpy as np
+
+from svt_av1_tpu.api import Encoder, encode_ivf
+from svt_av1_tpu.config import EncoderConfig
+from svt_av1_tpu.pipeline import tpl
+
+
+def _pan_clip(w, h, n):
+    yy, xx = np.mgrid[0:h, 0:w]
+    out = []
+    for i in range(n):
+        u0, v0 = 2.3 * i, 1.7 * i
+        y = (120 + 50 * np.sin((xx - u0) / 9) + 40 * np.cos((yy - v0) / 13)
+             + 20 * np.sin((xx - u0) * (yy - v0) / 900)
+             ).clip(0, 255).astype(np.uint8)
+        u = (128 + 30 * np.sin(yy[:h // 2, :w // 2] / 7)
+             ).clip(0, 255).astype(np.uint8)
+        v = (128 - 25 * np.cos(xx[:h // 2, :w // 2] / 11)
+             ).clip(0, 255).astype(np.uint8)
+        out.append((y, u, v))
+    return out
+
+
+def test_offsets_shape_and_sign():
+    frames = [f[0] for f in _pan_clip(192, 128, 5)]
+    offs = tpl.tpl_gop_offsets(frames, list(range(5)), 192, 128,
+                               use_jax=False)
+    assert set(offs) == {1, 2, 3, 4}
+    assert all(v <= 0 for v in offs.values())
+    # earlier displays carry more dependency on a smooth pan
+    assert offs[1] <= offs[4]
+
+
+def test_tpl_improves_pyramid_quality(tmp_path):
+    """Same qp, 5-layer pyramid: TPL must gain PSNR without blowing up
+    the rate (the VERDICT's measurable-BD-gain criterion)."""
+    frames = _pan_clip(352, 288, 17)
+
+    def run(tpl_on):
+        cfg = EncoderConfig(source_width=352, source_height=288, qp=40,
+                            intra_period_length=31, hierarchical_levels=4,
+                            enable_tpl_la=tpl_on)
+        path = str(tmp_path / f"t{int(tpl_on)}.ivf")
+        recons = encode_ivf(frames, cfg, path)
+        import os
+        bits = os.path.getsize(path)
+        mse = np.mean([np.mean((frames[i][0].astype(np.float64)
+                                - recons[i][0]) ** 2)
+                       for i in range(len(frames))])
+        return bits, 10 * np.log10(255 ** 2 / mse)
+
+    bits_off, psnr_off = run(False)
+    bits_on, psnr_on = run(True)
+    assert psnr_on > psnr_off + 0.2, (psnr_off, psnr_on)
+    assert bits_on < bits_off * 1.10, (bits_off, bits_on)
+
+
+def test_tpl_boosts_flow_into_qindex():
+    frames = _pan_clip(352, 288, 9)
+    cfg = EncoderConfig(source_width=352, source_height=288, qp=40,
+                        intra_period_length=31, hierarchical_levels=3)
+    enc = Encoder(cfg)
+    for f in frames:
+        enc.send_picture(f)
+    enc.flush()
+    assert enc.rc.tpl_offsets, "TPL produced no offsets"
+    # leaves excluded: offsets only on referenced displays
+    assert all(v <= 0 for v in enc.rc.tpl_offsets.values())
