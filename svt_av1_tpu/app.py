@@ -20,7 +20,7 @@ from .api import Decoder, Encoder
 from .config import EncoderConfig, RateControlMode
 from .io import IvfReader, IvfWriter, Y4MReader
 from .io.y4m import VideoInfo, read_planar_frame
-from .utils.metrics import frame_psnr
+from .utils.metrics import frame_psnr, frame_ssim
 
 
 def _enc(args) -> int:
@@ -100,12 +100,16 @@ def _enc(args) -> int:
             emit(enc.send_picture(planes))
             n += 1
         emit(enc.flush())
+    ssims = []
     if args.stat_report:
         for d in sorted(enc.recon_by_display):
             p = frame_psnr(sources[d], enc.recon_by_display[d],
                            peak=(1 << info.bit_depth) - 1)
+            s = frame_ssim(sources[d], enc.recon_by_display[d])
             psnrs.append(p)
-            print(f"frame {d}: psnr Y {p[0]:.2f} U {p[1]:.2f} V {p[2]:.2f}")
+            ssims.append(s)
+            print(f"frame {d}: psnr Y {p[0]:.2f} U {p[1]:.2f} "
+                  f"V {p[2]:.2f}  ssim {s:.4f}")
     dt = time.time() - t0
     fps = n / dt if dt else 0.0
     kbps = total_bytes * 8 * float(info.frame_rate) / max(n, 1) / 1000
@@ -114,7 +118,7 @@ def _enc(args) -> int:
     if psnrs:
         avg = np.mean(np.array(psnrs), axis=0)
         print(f"Average PSNR Y {avg[0]:.3f}  U {avg[1]:.3f}  V {avg[2]:.3f}  "
-              f"combined {avg[3]:.3f}")
+              f"combined {avg[3]:.3f}  SSIM {np.mean(ssims):.4f}")
     return 0
 
 

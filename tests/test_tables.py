@@ -70,3 +70,15 @@ def test_frame_cdfs_copy_independent():
     fc.skip[0, 0] = 123
     assert cp.skip[0, 0] != 123 or fc.skip[0, 0] == cp.skip[0, 0] - 0  # deep copy
     assert cp.skip[0, 0] != 123
+
+
+def test_ssim_vectorized_matches_window_loop():
+    import numpy as np
+    from svt_av1_tpu.utils import metrics
+    rng = np.random.default_rng(5)
+    a = rng.integers(0, 256, (40, 56)).astype(np.uint8)
+    b = np.clip(a.astype(int) + rng.integers(-6, 7, a.shape), 0, 255)
+    fast = metrics.ssim(a, b)
+    slow = metrics._ssim_8x8(a, b)
+    assert abs(fast - slow) < 1e-9
+    assert metrics.ssim(a, a) == 1.0
