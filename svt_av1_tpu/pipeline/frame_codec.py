@@ -1318,6 +1318,31 @@ class FrameCodec:
         if fh.coded_lossless or fh.allow_intrabc:
             self._save_deblocked()
             return
+        import os
+        if (self.source is not None and _device_filters()
+                and os.environ.get("SVT_TPU_DLF_DEVICE", "0") == "1"
+                and not getattr(fh, "dlf_level_searched", False)
+                and max(fh.filter_level) > 0 and self.num_planes == 3):
+            # encoder: fused level search + apply on the device
+            # (EbDlfProcess.c level search analog; levels land in the
+            # header, the decoder applies them with the host path)
+            grids = [(self.tx_w_grid[p], self.tx_h_grid[p],
+                      self.skip_grid[p], self.bedge_x[p], self.bedge_y[p])
+                     for p in range(3)]
+            vis = [((fh.frame_width + (1 if p else 0)) >> (1 if p else 0),
+                    (fh.frame_height + (1 if p else 0)) >> (1 if p else 0))
+                   for p in range(3)]
+            out, level = dlf.dlf_search_apply_device(
+                self.recon[:3], self.source[0], grids, vis,
+                max(fh.filter_level), fh.sharpness, self.seq.bit_depth)
+            fh.filter_level = (level, level)
+            fh.filter_level_uv = (level, level)
+            fh.dlf_level_searched = True
+            if level > 0:
+                for p in range(3):
+                    self.recon[p] = out[p]
+            self._save_deblocked()
+            return
         lv, lh = fh.filter_level
         lu, lvv = fh.filter_level_uv
         # all-intra: intra blocks never count as skip for DLF edge rules
