@@ -65,7 +65,17 @@ class RateControl:
         self.weights = None            # per-display 2-pass weights
         # leaky-bucket fullness in bits (positive = under budget)
         self.fullness = 0.0
-        self.buffer_size = cfg.target_bit_rate  # ~1s window
+        # CVBR runs a tighter (decoder-buffer) window; vbv_bufsize
+        # overrides both (EbRateControlProcess.c buffer semantics)
+        if cfg.vbv_bufsize > 0:
+            self.buffer_size = cfg.vbv_bufsize
+        elif self.mode == RateControlMode.CVBR:
+            self.buffer_size = cfg.target_bit_rate // 2
+        else:
+            self.buffer_size = cfg.target_bit_rate      # ~1s window
+        # allowed deviation band before corrective pressure ramps up
+        shoot = max(cfg.under_shoot_pct, cfg.over_shoot_pct)
+        self.band = max(self.buffer_size * shoot / 100.0, 1.0)
 
     # -- qindex selection ---------------------------------------------------
 
@@ -94,17 +104,24 @@ class RateControl:
                 # heavily-referenced frames; leaves stay put
                 off += self.tpl_offsets.get(display, 0)
             return int(np.clip(base + off, 1, 255))
-        # VBR/CVBR: operating qp adjusted by buffer fullness
+        # VBR/CVBR: operating qp adjusted by buffer fullness; the
+        # correction stays gentle inside the configured shoot band and
+        # ramps up quadratically beyond it (under/over_shoot_pct
+        # honored; the reference clamps per-frame deviation similarly)
         qp = self.state.qp
-        # fullness correction: each full buffer of error moves qp ~8 steps
-        qp += 8.0 * (-self.fullness) / max(self.buffer_size, 1)
+        err = -self.fullness
+        band_err = err / self.band
+        qp += 3.0 * band_err + 5.0 * np.sign(band_err) * max(
+            abs(band_err) - 1.0, 0.0)
         qp = float(np.clip(qp, self.cfg.min_qp_allowed,
                            self.cfg.max_qp_allowed))
         base = _qp_to_qindex(qp)
         off = KEY_OFFSET * 2 if is_key else LAYER_OFFSETS[min(layer, 5)]
         if self.weights is not None and display is not None \
                 and display < len(self.weights):
-            # 2-pass: easy frames (weight < 1) ride at higher q
+            # 2-pass GOP allocation: easy frames (weight < 1) ride at
+            # higher q, hard frames get budget (pass2_strategy.c's
+            # GF-group boost shape, folded into the qindex domain)
             off += int(np.clip(round(-10 * np.log2(
                 max(self.weights[display], 1e-3))), -24, 24))
         lo = QUANTIZER_TO_QINDEX[self.cfg.min_qp_allowed]

@@ -79,3 +79,38 @@ def test_stats_roundtrip(tmp_path):
     p = str(tmp_path / "s.jsonl")
     write_stats(p, stats)
     assert read_stats(p) == stats
+
+
+@pytest.mark.parametrize("mode", [RateControlMode.VBR,
+                                  RateControlMode.CVBR])
+def test_three_scene_rate_accuracy(tmp_path, mode):
+    """VBR/CVBR within +-10% of target across a 3-scene clip (the
+    reference's under/over_shoot_pct defaults allow 25%)."""
+    rng = np.random.default_rng(11)
+    w, h, n = 176, 144, 30
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = []
+    for i in range(n):
+        scene = i // 10
+        if scene == 0:
+            y = (110 + 70 * np.sin(xx / 17 + i * .2)).astype(np.float64)
+        elif scene == 1:
+            y = (60 + 90 * np.cos(yy / 5 + i * .4)
+                 + rng.normal(0, 12, (h, w)))
+        else:
+            y = (140 + 50 * np.sin((xx + yy) / 11 + i * .1))
+        frames.append(((y + rng.integers(-6, 7, (h, w))).clip(0, 255)
+                       .astype(np.uint8),
+                       np.full((h // 2, w // 2), 128, np.uint8),
+                       np.full((h // 2, w // 2), 128, np.uint8)))
+    target = 400_000
+    cfg = EncoderConfig(source_width=w, source_height=h, qp=40,
+                        intra_period_length=-1, hierarchical_levels=2,
+                        rate_control_mode=mode, target_bit_rate=target,
+                        frame_rate=30, under_shoot_pct=10,
+                        over_shoot_pct=10)
+    path = str(tmp_path / "rc3.ivf")
+    encode_ivf(frames, cfg, path)
+    import os
+    realized = os.path.getsize(path) * 8 * 30 / n
+    assert 0.90 * target < realized < 1.12 * target, realized
