@@ -31,6 +31,22 @@ from .pipeline.frame_codec import FrameCodec, ModeDecider
 LAST, LAST2, LAST3, GOLDEN, BWDREF, ALTREF2, ALTREF = range(1, 8)
 
 
+class ErrorCode(__import__("enum").IntEnum):
+    """Library error surface (the EbSvtAv1ErrorCodes.h analog; raised
+    as typed exceptions instead of returned codes)."""
+    OK = 0
+    BAD_PARAMETER = 0x80001005
+    NO_OUTPUT = 0x80001006
+    DECODE_ERROR = 0x80001010
+    UNSUPPORTED_BITSTREAM = 0x80001011
+
+
+class ApiError(RuntimeError):
+    def __init__(self, code: ErrorCode, msg: str):
+        super().__init__(f"[{code.name}] {msg}")
+        self.code = code
+
+
 def _assemble_tile_group(blobs: list, fh: FrameHeader) -> bytes:
     """Tile-group payload: with one tile, the raw blob; with more, the
     tile_start_and_end_present_flag(0) + alignment byte, then each tile
@@ -263,6 +279,35 @@ class Encoder:
         return BatchedDecider()
 
     # -- public surface --------------------------------------------------
+
+    def stream_header(self) -> bytes:
+        """Standalone sequence-header OBU (svt_av1_enc_stream_header,
+        EbSvtAv1Enc.h:759): what a muxer needs before any frame."""
+        return wrap_obu(ObuType.OBU_SEQUENCE_HEADER,
+                        write_sequence_header(self.seq))
+
+    def get_stream_info(self) -> dict:
+        """Sequence-level stream info (svt_av1_enc_get_stream_info,
+        EbSvtAv1Enc.h:813)."""
+        return dict(width=self.seq.max_frame_width,
+                    height=self.seq.max_frame_height,
+                    bit_depth=self.seq.bit_depth,
+                    seq_level_idx=self.seq.seq_level_idx,
+                    tier=0,
+                    frames_coded=self.frame_count)
+
+    def get_recon(self, display: int):
+        """Reconstructed picture for a display index
+        (svt_av1_enc_get_recon, EbSvtAv1Enc.h:804); requires
+        cfg.recon_enabled."""
+        if not self.cfg.recon_enabled:
+            raise ApiError(ErrorCode.BAD_PARAMETER,
+                           "recon_enabled is off")
+        rec = self.recon_by_display.get(display)
+        if rec is None:
+            raise ApiError(ErrorCode.NO_OUTPUT,
+                           f"display {display} not reconstructed yet")
+        return rec
 
     def send_picture(self, planes) -> list[bytes]:
         self._buffer.append(planes)
@@ -607,6 +652,14 @@ class Decoder:
         self.seq: SequenceHeader | None = None
         self.md5 = hashlib.md5()
         self.dpb = Dpb()
+
+    def get_stream_info(self) -> dict:
+        if self.seq is None:
+            raise ApiError(ErrorCode.NO_OUTPUT, "no sequence header seen")
+        return dict(width=self.seq.max_frame_width,
+                    height=self.seq.max_frame_height,
+                    bit_depth=self.seq.bit_depth,
+                    seq_level_idx=self.seq.seq_level_idx)
 
     def decode_frame(self, data: bytes):
         """Decode one temporal unit; returns (y, u, v) planes or None."""

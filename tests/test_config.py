@@ -56,3 +56,34 @@ def test_signal_overrides():
     sig = derive_signals(cfg)
     assert sig.enable_paeth is True
     assert sig.cdef_level == 3
+
+
+def test_api_surface():
+    import numpy as np
+    import pytest
+    from svt_av1_tpu.api import (ApiError, Decoder, Encoder, ErrorCode)
+    from svt_av1_tpu.config import EncoderConfig
+
+    cfg = EncoderConfig(source_width=64, source_height=64, qp=40,
+                        recon_enabled=True)
+    enc = Encoder(cfg)
+    hdr = enc.stream_header()
+    assert hdr[:1] != b"" and len(hdr) > 4
+    info = enc.get_stream_info()
+    assert info["width"] == 64 and info["bit_depth"] == 8
+    with pytest.raises(ApiError) as e:
+        enc.get_recon(0)
+    assert e.value.code == ErrorCode.NO_OUTPUT
+    y = np.full((64, 64), 100, np.uint8)
+    c = np.full((32, 32), 128, np.uint8)
+    enc.send_picture((y, c, c))
+    rec = enc.get_recon(0)
+    assert rec[0].shape == (64, 64)
+
+    cfg2 = EncoderConfig(source_width=64, source_height=64, qp=40)
+    with pytest.raises(ApiError):
+        Encoder(cfg2).get_recon(0)
+
+    dec = Decoder()
+    with pytest.raises(ApiError):
+        dec.get_stream_info()
