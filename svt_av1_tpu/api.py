@@ -24,6 +24,7 @@ from .bitstream.headers import (FrameHeader, SequenceHeader,
                                 temporal_delimiter_obu, wrap_obu,
                                 write_frame_header, write_sequence_header,
                                 write_show_existing_header, PRIMARY_REF_NONE)
+from .bitstream.headers import UnsupportedBitstream as _Unsupported
 from .config import EncoderConfig, PredStructure
 from .constants import FrameType, ObuType
 from .pipeline.frame_codec import FrameCodec, ModeDecider
@@ -662,7 +663,21 @@ class Decoder:
                     seq_level_idx=self.seq.seq_level_idx)
 
     def decode_frame(self, data: bytes):
-        """Decode one temporal unit; returns (y, u, v) planes or None."""
+        """Decode one temporal unit; returns (y, u, v) planes or None.
+
+        Raises ApiError(UNSUPPORTED_BITSTREAM) for legal AV1 features
+        outside this decoder's current scope, ApiError(DECODE_ERROR)
+        for malformed data."""
+        try:
+            return self._decode_frame(data)
+        except ApiError:
+            raise
+        except _Unsupported as e:
+            raise ApiError(ErrorCode.UNSUPPORTED_BITSTREAM, str(e)) from e
+        except (AssertionError, IndexError, ValueError) as e:
+            raise ApiError(ErrorCode.DECODE_ERROR, repr(e)) from e
+
+    def _decode_frame(self, data: bytes):
         planes = None
         for obu_type, payload in iter_obus(data):
             if obu_type == ObuType.OBU_TEMPORAL_DELIMITER:

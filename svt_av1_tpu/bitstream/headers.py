@@ -11,6 +11,13 @@ the parser is also the conformance harness for our own streams.
 """
 from __future__ import annotations
 
+
+class UnsupportedBitstream(ValueError):
+    """A legal AV1 feature this decoder does not implement yet (raised
+    with a typed surface instead of bare asserts — the
+    EbSvtAv1ErrorCodes.h contract analog)."""
+
+
 import dataclasses
 
 from ..constants import FrameType, ObuType
@@ -189,7 +196,8 @@ def parse_sequence_header(data: bytes) -> SequenceHeader:
     seq.seq_profile = r.f(3)
     seq.still_picture = r.flag()
     reduced = r.flag()
-    assert not reduced, "reduced_still_picture_header unsupported"
+    if reduced:
+        raise UnsupportedBitstream("reduced_still_picture_header")
     timing = r.flag()
     assert not timing
     r.flag()                             # initial_display_delay
@@ -205,7 +213,8 @@ def parse_sequence_header(data: bytes) -> SequenceHeader:
     seq.max_frame_width = r.f(seq.frame_width_bits) + 1
     seq.max_frame_height = r.f(seq.frame_height_bits) + 1
     fid = r.flag()
-    assert not fid, "frame_id_numbers unsupported"
+    if fid:
+        raise UnsupportedBitstream("frame_id_numbers")
     seq.use_128x128_superblock = r.flag()
     seq.enable_filter_intra = r.flag()
     seq.enable_intra_edge_filter = r.flag()
@@ -213,15 +222,17 @@ def parse_sequence_header(data: bytes) -> SequenceHeader:
         r.flag()
     seq.enable_order_hint = r.flag()
     if seq.enable_order_hint:
-        assert not r.flag(), "jnt_comp unsupported"
-        assert not r.flag(), "ref_frame_mvs unsupported"
+        if r.flag():
+            raise UnsupportedBitstream("enable_jnt_comp")
+        if r.flag():
+            raise UnsupportedBitstream("enable_ref_frame_mvs")
     choose_sc = r.flag()
     if choose_sc:
         force_sc = 2
     else:
         force_sc = r.f(1)
     if force_sc:
-        raise NotImplementedError("screen content tools")
+        raise UnsupportedBitstream("screen content tools")
     if seq.enable_order_hint:
         seq.order_hint_bits = r.f(3) + 1
     seq.enable_superres = r.flag()
@@ -251,7 +262,7 @@ def _parse_color_config(r: BitReader, seq: SequenceHeader) -> None:
     if seq.seq_profile == 0:
         pass                             # 420
     else:
-        raise NotImplementedError("profile > 0 chroma")
+        raise UnsupportedBitstream("profile > 0 chroma")
     seq.chroma_sample_position = r.f(2)
     seq.separate_uv_delta_q = r.flag()
 
@@ -356,7 +367,7 @@ def write_frame_header(w: BitWriter, seq: SequenceHeader, fh: FrameHeader,
     if is_inter:
         w.f(fh.refresh_frame_flags, 8)
         if fh.error_resilient_mode and seq.enable_order_hint:
-            raise NotImplementedError("ER + order hints ref_order_hint")
+            raise UnsupportedBitstream("ER + order hints ref_order_hint")
         if seq.enable_order_hint:
             w.flag(False)                # frame_refs_short_signaling
         for i in range(7):

@@ -87,3 +87,14 @@ def test_api_surface():
     dec = Decoder()
     with pytest.raises(ApiError):
         dec.get_stream_info()
+
+
+def test_decoder_typed_errors():
+    import pytest
+    from svt_av1_tpu.api import ApiError, Decoder, ErrorCode
+
+    dec = Decoder()
+    with pytest.raises(ApiError) as e:
+        dec.decode_frame(b"\x12\x00garbage-not-obus\xff\xff\xff")
+    assert e.value.code in (ErrorCode.DECODE_ERROR,
+                            ErrorCode.UNSUPPORTED_BITSTREAM)
