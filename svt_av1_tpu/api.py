@@ -227,7 +227,7 @@ class Encoder:
                 float(cfg.frame_rate)),
             use_128x128_superblock=cfg.super_block_size == 128,
             bit_depth=cfg.encoder_bit_depth,
-            enable_filter_intra=False,
+            enable_filter_intra=sig.enable_filter_intra,
             enable_intra_edge_filter=True,
             enable_order_hint=self.pd.gop > 1,
             enable_superres=cfg.superres_mode > 0 and cfg.superres_denom > 8,

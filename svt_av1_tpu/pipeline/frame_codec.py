@@ -40,6 +40,10 @@ REF_PAD = 96
 
 MI = 4  # mode-info unit in pixels
 
+# Filter_Intra_Mode_To_Intra_Dir (spec: tx-type context for FI blocks;
+# fimode_to_intradir EbCommonUtils.h:103 = DC,V,H,D157,DC)
+FILTER_INTRA_TO_DIR = (0, 1, 2, 6, 0)
+
 # intra mode -> kf ctx bucket (libaom intra_mode_context)
 INTRA_MODE_CONTEXT = [0, 1, 2, 3, 4, 4, 4, 4, 3, 0, 1, 2, 0]
 
@@ -188,6 +192,7 @@ class BlockDecision:
     cfl_signs: int = 0                  # joint sign (when uv_mode == 13)
     cfl_idx: int = 0
     tx_type_y: TxType = TxType.DCT_DCT
+    filter_intra_mode: int = -1         # FILTER_DC..FILTER_PAETH; -1 off
     # inter fields
     is_inter: bool = False
     inter_mode: int = 0                 # PredictionMode NEARESTMV..NEW_NEWMV
@@ -945,19 +950,27 @@ class FrameCodec:
                                 self.fc.angle_delta[uv_mode - 1], 7)
                 angle_delta_uv = sym - 3
 
-        # filter_intra (only when allowed; signal "off")
+        # filter_intra (read_filter_intra_mode_info)
+        fi_mode = -1
         if (self.seq.enable_filter_intra and y_mode == 0
                 and bw <= 32 and bh <= 32):
-            use_fi = io.symbol(0 if not io.is_decoder else None,
-                               self.fc.filter_intra[_bsize_enum(bw, bh)], 2)
-            assert not use_fi, "filter_intra decode not implemented"
+            use_fi = io.symbol(
+                None if decision is None
+                else int(decision.filter_intra_mode >= 0),
+                self.fc.filter_intra[_bsize_enum(bw, bh)], 2)
+            if use_fi:
+                fi_mode = io.symbol(
+                    None if decision is None
+                    else decision.filter_intra_mode,
+                    self.fc.filter_intra_mode, 5)
 
         if io.is_decoder:
             decision = BlockDecision(
                 y_mode=PredictionMode(y_mode), angle_delta_y=angle_delta_y,
                 uv_mode=uv_mode, angle_delta_uv=angle_delta_uv,
                 cfl_signs=cfl_signs if uv_mode == 13 else 0,
-                cfl_idx=cfl_idx if uv_mode == 13 else 0)
+                cfl_idx=cfl_idx if uv_mode == 13 else 0,
+                filter_intra_mode=fi_mode)
 
         # record mode info
         self.y_modes[mi_row:mi_row + h4, mi_col:mi_col + w4] = y_mode
@@ -1050,7 +1063,8 @@ class FrameCodec:
             tt = self.tx_type_for(plane, decision, ts)
             if plane == 0:
                 pred = self.predict(plane, decision.y_mode,
-                                    decision.angle_delta_y, px, py, pw, ph, ts)
+                                    decision.angle_delta_y, px, py, pw,
+                                    ph, ts, decision.filter_intra_mode)
             else:
                 pred = self.predict_chroma(plane, decision, px, py, pw, ph, ts)
             src = self.source[plane][py:py + ph, px:px + pw]
@@ -1092,8 +1106,8 @@ class FrameCodec:
     # -- prediction --------------------------------------------------------
 
     def predict(self, plane: int, mode: PredictionMode, angle_delta: int,
-                px: int, py: int, pw: int, ph: int, tx_size: TxSize
-                ) -> np.ndarray:
+                px: int, py: int, pw: int, ph: int, tx_size: TxSize,
+                filter_intra_mode: int = -1) -> np.ndarray:
         """Normative intra prediction for a tx block at plane position
         (px, py) with the current recon state."""
         rec = self.recon[plane]
@@ -1133,6 +1147,7 @@ class FrameCodec:
             mode, angle_delta, tx_size, above_ref, left_ref, topleft,
             n_top, n_topright, n_left, n_bottomleft, filt_type,
             disable_edge_filter=not self.seq.enable_intra_edge_filter,
+            filter_intra_mode=filter_intra_mode,
             bd=self.seq.bit_depth))
 
     def _filter_type(self, plane: int, px: int, py: int) -> int:
@@ -1232,7 +1247,7 @@ class FrameCodec:
             sk_ctx, dc_ctx = self._txb_ctx(plane, t["px"], t["py"], t["pw"],
                                            t["ph"], t["tx_size"], bsize_eq_tx)
             ttw = (lambda ts=t["tx_size"], tt=t["tx_type"],
-                   ym=int(decision.y_mode):
+                   ym=_ctx_dir(decision):
                    self._tx_type_io(plane, ts, ym, tt)) if plane == 0 else None
             if hasattr(self.io.ec, "write_coeffs_fast"):
                 cul = self.io.ec.write_coeffs_fast(
@@ -1250,7 +1265,8 @@ class FrameCodec:
         if plane == 0:
             pred = self.predict(plane, decision.y_mode,
                                 decision.angle_delta_y, t["px"], t["py"],
-                                t["pw"], t["ph"], t["tx_size"])
+                                t["pw"], t["ph"], t["tx_size"],
+                                decision.filter_intra_mode)
         else:
             pred = self.predict_chroma(plane, decision, t["px"], t["py"],
                                        t["pw"], t["ph"], t["tx_size"])
@@ -1270,7 +1286,8 @@ class FrameCodec:
                 if plane == 0:
                     return self.predict(plane, decision.y_mode,
                                         decision.angle_delta_y,
-                                        px, py, pw, ph, ts)
+                                        px, py, pw, ph, ts,
+                                        decision.filter_intra_mode)
                 return self.predict_chroma(plane, decision, px, py, pw, ph, ts)
 
             if skip:
@@ -1284,7 +1301,7 @@ class FrameCodec:
             qc, eob, cul, tt = cf.parse_coeffs_txb(
                 self.io.ec, self.fc, ts,
                 default_tt, plane_type, sk_ctx, dc_ctx,
-                tx_type_reader=(lambda ts=ts, ym=int(decision.y_mode):
+                tx_type_reader=(lambda ts=ts, ym=_ctx_dir(decision):
                                 self._tx_type_io(plane, ts, ym, None))
                 if plane == 0 else None)
             self._update_txb_ctx(plane, px, py, ts, cul)
@@ -1779,7 +1796,8 @@ class FrameCodec:
                 if plane == 0:
                     pred = self.predict(plane, decision.y_mode,
                                         decision.angle_delta_y,
-                                        px, py, pw, ph, ts)
+                                        px, py, pw, ph, ts,
+                                        decision.filter_intra_mode)
                 else:
                     pred = self.predict_chroma(plane, decision,
                                                px, py, pw, ph, ts)
@@ -1997,16 +2015,24 @@ class FrameCodec:
                                 else decision.angle_delta_uv + 3,
                                 self.fc.angle_delta[uv_mode - 1], 7)
                 angle_delta_uv = sym - 3
+        fi_mode = -1
         if (self.seq.enable_filter_intra and y_mode == 0
                 and bw <= 32 and bh <= 32):
-            use_fi = io.symbol(0 if not io.is_decoder else None,
-                               self.fc.filter_intra[_bsize_enum(bw, bh)], 2)
-            assert not use_fi
+            use_fi = io.symbol(
+                None if decision is None
+                else int(decision.filter_intra_mode >= 0),
+                self.fc.filter_intra[_bsize_enum(bw, bh)], 2)
+            if use_fi:
+                fi_mode = io.symbol(
+                    None if decision is None
+                    else decision.filter_intra_mode,
+                    self.fc.filter_intra_mode, 5)
         return BlockDecision(y_mode=PredictionMode(y_mode),
                              angle_delta_y=angle_delta_y, uv_mode=uv_mode,
                              angle_delta_uv=angle_delta_uv,
                              cfl_signs=cfl_signs if uv_mode == 13 else 0,
-                             cfl_idx=cfl_idx if uv_mode == 13 else 0)
+                             cfl_idx=cfl_idx if uv_mode == 13 else 0,
+                             filter_intra_mode=fi_mode)
 
     def _inter_tx_type_io(self, tx_size, tx_type_val):
         """Luma tx-type signaling for inter blocks (inter ext-tx sets)."""
@@ -2045,7 +2071,7 @@ class FrameCodec:
                        self._inter_tx_type_io(ts, tt)) if plane == 0 else None
             else:
                 ttw = (lambda ts=t["tx_size"], tt=t["tx_type"],
-                       ym=int(decision.y_mode):
+                       ym=_ctx_dir(decision):
                        self._tx_type_io(plane, ts, ym, tt)) if plane == 0 else None
             if hasattr(self.io.ec, "write_coeffs_fast"):
                 cul = self.io.ec.write_coeffs_fast(
@@ -2075,12 +2101,13 @@ class FrameCodec:
                 if plane == 0:
                     pred = self.predict(plane, decision.y_mode,
                                         decision.angle_delta_y,
-                                        px, py, pw, ph, ts)
+                                        px, py, pw, ph, ts,
+                                        decision.filter_intra_mode)
                 else:
                     pred = self.predict_chroma(plane, decision,
                                                px, py, pw, ph, ts)
                 default_tt = self.tx_type_for(plane, decision, ts)
-                ttr = (lambda ts=ts, ym=int(decision.y_mode):
+                ttr = (lambda ts=ts, ym=_ctx_dir(decision):
                        self._tx_type_io(plane, ts, ym, None)) \
                     if plane == 0 else None
             if skip:
@@ -2112,6 +2139,14 @@ class FrameCodec:
         return [self.recon[0][:h, :w].astype(dt),
                 self.recon[1][:h >> 1, :w >> 1].astype(dt),
                 self.recon[2][:h >> 1, :w >> 1].astype(dt)]
+
+
+def _ctx_dir(decision) -> int:
+    """Intra direction for tx-type cdf context: FI blocks map through
+    Filter_Intra_Mode_To_Intra_Dir (spec compute_tx_type)."""
+    if decision.filter_intra_mode >= 0:
+        return FILTER_INTRA_TO_DIR[decision.filter_intra_mode]
+    return int(decision.y_mode)
 
 
 def _bsize_enum(bw: int, bh: int) -> int:

@@ -155,26 +155,54 @@ class RdoDecider(ModeDecider):
             if best_uv is None or total < best_uv[0]:
                 best_uv = (total, uv)
 
+        # filter-intra: SAD-rank the 5 recursive modes, full-RD the top
+        # one against the best conventional mode (FilterIntra appendix)
+        fi_mode = -1
+        if (codec.seq.enable_filter_intra and bw <= 32 and bh <= 32):
+            sx = codec.source[0][y:y + bh, x:x + bw].astype(np.int32)
+            ranked = []
+            for m in range(5):
+                pred = codec.predict(0, PredictionMode.DC_PRED, 0, x, y,
+                                     bw, bh, ts, filter_intra_mode=m)
+                ranked.append((int(np.abs(sx - pred).sum()), m))
+            ranked.sort()
+            m = ranked[0][1]
+            pred = codec.predict(0, PredictionMode.DC_PRED, 0, x, y,
+                                 bw, bh, ts, filter_intra_mode=m)
+            cost, _ = self._block_cost(codec, probe, 0, PredictionMode
+                                       .DC_PRED, 0, x, y, bw, bh, ts,
+                                       lam, mi_row, mi_col,
+                                       explicit_pred=pred)
+            # flag + ~2.3 bits of fi mode
+            if cost + lam * 3.3 < best[0]:
+                best = (cost, PredictionMode.DC_PRED, 0)
+                y_mode, angle_y = PredictionMode.DC_PRED, 0
+                fi_mode = m
+
         cfl = None
         if bw <= 32 and bh <= 32:
             cfl = self._try_cfl(codec, probe, x, y, bw, bh, uv_ts, lam,
-                                y_mode, angle_y, best_uv[0])
+                                y_mode, angle_y, best_uv[0],
+                                fi_mode=fi_mode)
         if cfl is not None:
             return BlockDecision(y_mode=y_mode, angle_delta_y=angle_y,
                                  uv_mode=13, cfl_signs=cfl[0],
-                                 cfl_idx=cfl[1])
+                                 cfl_idx=cfl[1],
+                                 filter_intra_mode=fi_mode)
         return BlockDecision(y_mode=y_mode, angle_delta_y=angle_y,
-                             uv_mode=best_uv[1], angle_delta_uv=0)
+                             uv_mode=best_uv[1], angle_delta_uv=0,
+                             filter_intra_mode=fi_mode)
 
     def _try_cfl(self, codec, probe, x, y, bw, bh, uv_ts, lam,
-                 y_mode, angle_y, best_cost):
+                 y_mode, angle_y, best_cost, fi_mode=-1):
         """Chroma-from-luma candidate: reconstruct luma with the chosen
         mode, least-SSE alpha per plane, full-RD compare vs the best
         conventional uv mode."""
         from ..ops import intra as intra_ops
 
         ts = codec.tx_size_for(0, bw, bh)
-        pred = codec.predict(0, y_mode, angle_y, x, y, bw, bh, ts)
+        pred = codec.predict(0, y_mode, angle_y, x, y, bw, bh, ts,
+                             filter_intra_mode=fi_mode)
         src = codec.source[0][y:y + bh, x:x + bw]
         resid = src.astype(np.int32) - pred
         coeffs = np.asarray(tf.fwd_txfm2d(resid, TxType.DCT_DCT, ts,

@@ -276,3 +276,34 @@ def test_ipp_conformance_keyint(tmp_path):
         for p in range(3):
             np.testing.assert_array_equal(ours[i][p], refs[i][p])
             np.testing.assert_array_equal(ours[i][p], recons[i][p])
+
+
+@needs_refdec
+@pytest.mark.parametrize("qp", [20, 40])
+def test_filter_intra_conformance(tmp_path, qp):
+    """Filter-intra in key AND inter frames, incl. nonzero-residual FI
+    blocks (exercises the fimode_to_intradir tx-type cdf context,
+    EbCommonUtils.h:103 / EbDecParseBlock.c:1623)."""
+    rng = np.random.default_rng(3)
+    w, h = 176, 144
+    base = rng.integers(0, 255, (h * 2, w * 2)).astype(np.uint8)
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = []
+    for i in range(5):
+        y = (0.5 * np.roll(base, i, 1)[:h, :w]
+             + 0.5 * (100 + 80 * np.sin(xx / 25 + i))
+             ).clip(0, 255).astype(np.uint8)
+        u = np.full((h // 2, w // 2), 120, np.uint8)
+        v = np.full((h // 2, w // 2), 130, np.uint8)
+        frames.append((y, u, v))
+    cfg = EncoderConfig(source_width=w, source_height=h, qp=qp,
+                        enc_mode=4, intra_period_length=3,
+                        hierarchical_levels=2, filter_intra_level=1)
+    path = tmp_path / "fi.ivf"
+    encode_ivf(frames, cfg, str(path))
+    ours, _ = decode_ivf(str(path))
+    refs = ref_decode(path, w, h)
+    for i, (o, r) in enumerate(zip(ours, refs)):
+        for p in range(3):
+            np.testing.assert_array_equal(o[p], r[p],
+                                          err_msg=f"f{i} p{p}")
