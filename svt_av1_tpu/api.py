@@ -263,6 +263,8 @@ class Encoder:
             from .pipeline.rdo import PartitionRdoDecider
             return PartitionRdoDecider(
                 min_rd_bsize=8 if cfg.enc_mode <= 2 else 16,
+                max_rd_bsize=64,
+                ext_shapes=cfg.enc_mode <= 3,
                 n_full_rd=sig.md_stage_nics[2],
                 try_angle_delta=cfg.enc_mode <= 4)
         if cfg.enc_mode <= 6:
@@ -460,6 +462,10 @@ class Encoder:
             filter_level=(lvl, lvl),
             filter_level_uv=(lvl, lvl),
             cdef_damping=min(3 + (qindex >> 6), 6),
+            # TX_MODE_SELECT on intra frames at the RD presets (intra
+            # tx_size syntax; inter frames keep TX_MODE_LARGEST until
+            # var-tx lands)
+            tx_mode_select=job.is_key and self.cfg.enc_mode <= 4,
         )
 
     def _refresh_mask(self, job: CodeJob) -> int:

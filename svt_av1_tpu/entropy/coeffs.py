@@ -74,18 +74,30 @@ def scan_for(tx_size: TxSize, tx_type: TxType) -> np.ndarray:
     return scan_order(TX_WIDTH[tx_size], TX_HEIGHT[tx_size], kind)
 
 
+def _tx_shape(tx_size: TxSize) -> int:
+    """0 square-rule, 1 tall (rows<2 -> +11), 2 wide (cols<2 -> +16).
+    Decided by the TRUE tx dims even for 64-dim sizes whose coded
+    region is clamped to 32x32 (eb_av1_nz_map_ctx_offset_32x64 et al,
+    EbCoefficients.h:3099 differ from the square 32x32 table)."""
+    w, h = TX_WIDTH[tx_size], TX_HEIGHT[tx_size]
+    return 1 if w < h else (2 if w > h else 0)
+
+
 @functools.cache
-def _nz_ctx_offset_2d(width: int, height: int) -> np.ndarray:
+def _nz_ctx_offset_2d(width: int, height: int, shape: int | None = None
+                      ) -> np.ndarray:
     """2D nz-map context offsets (generation rule documented at
     EncodeTxbRef_C.c:~380)."""
+    if shape is None:
+        shape = 1 if width < height else (2 if width > height else 0)
     rows = np.arange(height)[:, None]
     cols = np.arange(width)[None, :]
     off = np.full((height, width), 21, dtype=np.int32)
     off = np.where(rows + cols < 4, 6, off)
     off = np.where(rows + cols < 2, 1, off)
-    if width < height:
+    if shape == 1:
         off = np.where(rows < 2, 11, off)
-    elif width > height:
+    elif shape == 2:
         off = np.where(cols < 2, 16, off)
     off[0, 0] = 0
     return off
@@ -106,7 +118,7 @@ def _clip3(x):
 
 def get_nz_map_ctx(levels: np.ndarray, pos: int, bwl: int, height: int,
                    scan_idx: int, is_eob: bool, width: int,
-                   tx_class: int) -> int:
+                   tx_class: int, shape: int | None = None) -> int:
     if is_eob:
         if scan_idx == 0:
             return 0
@@ -131,7 +143,8 @@ def get_nz_map_ctx(levels: np.ndarray, pos: int, bwl: int, height: int,
         return 0
     ctx = min((mag + 1) >> 1, 4)
     if tx_class == TX_CLASS_2D:
-        return ctx + int(_nz_ctx_offset_2d(1 << bwl, height)[row, col])
+        return ctx + int(_nz_ctx_offset_2d(1 << bwl, height,
+                                           shape)[row, col])
     idx = col if tx_class == TX_CLASS_HORIZ else row
     return ctx + (26 if idx == 0 else (31 if idx == 1 else 36))
 
@@ -164,14 +177,15 @@ def get_br_ctx(levels: np.ndarray, pos: int, bwl: int, tx_class: int) -> int:
     return mag + 14
 
 
-def nz_ctx_map(levels: np.ndarray, h: int, w: int, tx_class: int) -> np.ndarray:
+def nz_ctx_map(levels: np.ndarray, h: int, w: int, tx_class: int,
+               shape: int | None = None) -> np.ndarray:
     """Vectorized base-level context for every position (non-eob path).
     ``levels`` is the padded |level| buffer from txb_levels."""
     c3 = np.minimum(levels, 3)
     if tx_class == TX_CLASS_2D:
         mag = (c3[:h, 1:w + 1] + c3[1:h + 1, :w] + c3[1:h + 1, 1:w + 1]
                + c3[:h, 2:w + 2] + c3[2:h + 2, :w])
-        ctx = np.minimum((mag + 1) >> 1, 4) + _nz_ctx_offset_2d(w, h)
+        ctx = np.minimum((mag + 1) >> 1, 4) + _nz_ctx_offset_2d(w, h, shape)
         ctx[0, 0] = 0
         return ctx
     if tx_class == TX_CLASS_VERT:
@@ -289,7 +303,8 @@ def write_coeffs_txb(enc: RangeEncoder, fc: FrameCdfs, qcoeff: np.ndarray,
     # vectorized context maps (positions' base/br contexts depend only on
     # the full |level| plane, so they batch; TPU path computes these maps
     # on device)
-    ctx_map = nz_ctx_map(levels, h, w, tx_class).reshape(-1)
+    shape = _tx_shape(tx_size)
+    ctx_map = nz_ctx_map(levels, h, w, tx_class, shape).reshape(-1)
     brctx_map = br_ctx_map(levels, h, w, tx_class).reshape(-1)
     abs_flat = np.abs(flat)
     scan_eob = scan[:eob]
@@ -302,7 +317,8 @@ def write_coeffs_txb(enc: RangeEncoder, fc: FrameCdfs, qcoeff: np.ndarray,
         pos = int(scan_eob[c])
         level = int(lv_scan[c])
         if c == eob - 1:
-            ctx = get_nz_map_ctx(levels, pos, bwl, h, c, True, w, tx_class)
+            ctx = get_nz_map_ctx(levels, pos, bwl, h, c, True, w,
+                                 tx_class, shape)
             enc.encode_symbol(min(level, 3) - 1, base_eob_cdf[ctx], 3)
         else:
             enc.encode_symbol(min(level, 3), base_cdf[ctx_map[pos]], 4)
@@ -375,7 +391,8 @@ def parse_coeffs_txb(dec: RangeDecoder, fc: FrameCdfs, tx_size: TxSize,
     for c in range(eob - 1, -1, -1):
         pos = int(scan[c])
         row, col = pos >> bwl, pos & (w - 1)
-        ctx = get_nz_map_ctx(levels, pos, bwl, h, c, c == eob - 1, w, tx_class)
+        ctx = get_nz_map_ctx(levels, pos, bwl, h, c, c == eob - 1, w,
+                             tx_class, _tx_shape(tx_size))
         if c == eob - 1:
             level = dec.decode_symbol(
                 fc.coeff_base_eob[ts_ctx][plane_type][ctx], 3) + 1

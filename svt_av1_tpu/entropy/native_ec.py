@@ -72,7 +72,8 @@ class NativeRangeEncoder:
             base, int(base.shape[-1]),
             base_eob, int(base_eob.shape[-1]),
             br, int(br.shape[-1]),
-            fc.dc_sign[plane_type][dc_sign_ctx])
+            fc.dc_sign[plane_type][dc_sign_ctx],
+            cf._tx_shape(tx_size))
 
 
 def make_range_encoder():

@@ -261,7 +261,7 @@ static inline int clip3i(int v) { return v < 3 ? v : 3; }
 
 static int nz_map_ctx(const uint8_t *lv, int stride, int pos, int bwl,
                       int height, int scan_idx, int is_eob, int width,
-                      int tx_class) {
+                      int tx_class, int shape) {
     if (is_eob) {
         if (scan_idx == 0) return 0;
         if (scan_idx <= (height << bwl) / 8) return 1;
@@ -282,8 +282,8 @@ static int nz_map_ctx(const uint8_t *lv, int stride, int pos, int bwl,
     if (ctx > 4) ctx = 4;
     if (tx_class == TX_CLASS_2D) {
         int off;
-        if (width < height && row < 2) off = 11;
-        else if (width > height && col < 2) off = 16;
+        if (shape == 1 && row < 2) off = 11;
+        else if (shape == 2 && col < 2) off = 16;
         else if (row + col < 2) off = 1;
         else if (row + col < 4) off = 6;
         else off = 21;
@@ -332,11 +332,14 @@ static int br_ctx(const uint8_t *lv, int stride, int pos, int bwl, int tx_class)
 static PyObject *EcEnc_write_coeffs(EcEncObject *self, PyObject *args) {
     Py_buffer qv, sv, ev, xv, bv, bev, brv, dv;
     int eob, w, h, tx_class, base_stride, base_eob_stride, br_stride;
-    if (!PyArg_ParseTuple(args, "y*y*iiiiw*w*w*iw*iw*iw*",
+    int shape = -1;   /* tall/wide rule from the TRUE tx dims (64-dim
+                         sizes clamp w/h to 32 but keep their shape) */
+    if (!PyArg_ParseTuple(args, "y*y*iiiiw*w*w*iw*iw*iw*|i",
                           &qv, &sv, &eob, &w, &h, &tx_class,
                           &ev, &xv, &bv, &base_stride, &bev, &base_eob_stride,
-                          &brv, &br_stride, &dv))
+                          &brv, &br_stride, &dv, &shape))
         return NULL;
+    if (shape < 0) shape = w < h ? 1 : (w > h ? 2 : 0);
     const int32_t *q = (const int32_t *)qv.buf;
     const int16_t *scan = (const int16_t *)sv.buf;
     uint16_t *eob_pt_cdf = (uint16_t *)ev.buf;
@@ -387,11 +390,13 @@ static PyObject *EcEnc_write_coeffs(EcEncObject *self, PyObject *args) {
         int32_t v = q[pos];
         int32_t level = v < 0 ? -v : v;
         if (c == eob - 1) {
-            int ctx = nz_map_ctx(lv, stride, pos, bwl, h, c, 1, w, tx_class);
+            int ctx = nz_map_ctx(lv, stride, pos, bwl, h, c, 1, w, tx_class,
+                                 shape);
             int val = (level < 3 ? level : 3) - 1;
             enc_symbol_adapt(self, val, base_eob_cdf + ctx * base_eob_stride, 3);
         } else {
-            int ctx = nz_map_ctx(lv, stride, pos, bwl, h, c, 0, w, tx_class);
+            int ctx = nz_map_ctx(lv, stride, pos, bwl, h, c, 0, w, tx_class,
+                                 shape);
             enc_symbol_adapt(self, level < 3 ? level : 3, base_cdf + ctx * base_stride, 4);
         }
         if (level > NUM_BASE_LEVELS) {

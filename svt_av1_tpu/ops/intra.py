@@ -383,8 +383,9 @@ def predict_intra_block(mode: PredictionMode, angle_delta: int,
             i = n_left_px
             left_col[:i] = left_ref[:i]
             if need_bottom and n_bottomleft_px > 0:
-                left_col[i:i + n_bottomleft_px] = left_ref[i:i + n_bottomleft_px]
-                i += n_bottomleft_px
+                m = min(n_bottomleft_px, num_left - i)
+                left_col[i:i + m] = left_ref[i:i + m]
+                i += m
             if i < num_left:
                 left_col[i:num_left] = left_col[i - 1]
         else:
@@ -401,8 +402,9 @@ def predict_intra_block(mode: PredictionMode, angle_delta: int,
             above_row[:n_top_px] = above_ref[:n_top_px]
             i = n_top_px
             if need_right and n_topright_px > 0:
-                above_row[w:w + n_topright_px] = above_ref[w:w + n_topright_px]
-                i = w + n_topright_px
+                m = min(n_topright_px, num_top - w)
+                above_row[w:w + m] = above_ref[w:w + m]
+                i = w + m
             if i < num_top:
                 above_row[i:num_top] = above_row[i - 1]
         else:

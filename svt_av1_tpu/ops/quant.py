@@ -26,9 +26,11 @@ AOM_QM_BITS = 5
 
 
 def tx_log_scale(tx_size: TxSize) -> int:
-    """av1_get_tx_scale: 2 for 64-dim transforms, 1 for 32-dim, else 0."""
-    m = max(TX_WIDTH[tx_size], TX_HEIGHT[tx_size])
-    return 2 if m == 64 else (1 if m == 32 else 0)
+    """av1_get_tx_scale (EbCoefficients.h:2941): pixel-count based —
+    (pels > 256) + (pels > 1024).  NOT max-dim based: TX_8X32 is 0,
+    TX_16X64 is 1."""
+    pels = TX_WIDTH[tx_size] * TX_HEIGHT[tx_size]
+    return int(pels > 256) + int(pels > 1024)
 
 
 def _qlookup(bit_depth: int, dc: bool) -> np.ndarray:
@@ -149,6 +151,13 @@ def quantize_b(coeffs, qindex: int, pq: PlaneQuant, tx_size: TxSize, xp=np):
     sign = xp.where(c < 0, -1, 1).astype(xp.int32)
     ac = xp.abs(c)
     live = ac >= zbin
+    h, w = TX_HEIGHT[tx_size], TX_WIDTH[tx_size]
+    if h > 32 or w > 32:
+        # 64-dim transforms code only the top-left 32x32 coefficients
+        # (av1_get_max_eob = 1024; the scan never visits the rest)
+        keep = np.zeros((h, w), dtype=bool)
+        keep[:32, :32] = True
+        live = live & (xp.asarray(keep) if xp is not np else keep)
     tmp = xp.clip(ac + rnd, -32768, 32767)
     tmp32 = ((((tmp * quant) >> 16) + tmp) * shift) >> (16 - log_scale)
     qc = xp.where(live, sign * tmp32, 0).astype(xp.int32)

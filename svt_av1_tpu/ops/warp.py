@@ -1,0 +1,163 @@
+"""Warped-motion prediction: affine warp filter + shear parameters.
+
+Behavioral parity: svt_av1_warp_affine_c
+(/root/reference/Source/Lib/Common/Codec/EbWarpedMotion.c:577) and
+svt_get_shear_params (:921).  The filter processes the prediction in
+8x8 tiles with two shear passes (horizontal then vertical), each an
+8-tap filter indexed by a per-pixel fractional offset — on TPU the
+tiles batch into gathers + tensordots over the 193x8 filter table; the
+NumPy path here is the bit-exact form used by the conformant coding
+pass and as the kernel reference.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..entropy.tables import table
+
+WARPEDMODEL_PREC_BITS = 16
+WARPEDMODEL_TRANS_CLAMP = 128 << WARPEDMODEL_PREC_BITS
+WARPEDMODEL_NONDIAGAFFINE_CLAMP = 1 << (WARPEDMODEL_PREC_BITS - 3)
+WARP_PARAM_REDUCE_BITS = 6
+WARPEDPIXEL_PREC_BITS = 6
+WARPEDPIXEL_PREC_SHIFTS = 1 << WARPEDPIXEL_PREC_BITS
+WARPEDDIFF_PREC_BITS = WARPEDMODEL_PREC_BITS - WARPEDPIXEL_PREC_BITS
+DIV_LUT_BITS = 8
+DIV_LUT_PREC_BITS = 14
+DIV_LUT_NUM = 1 << DIV_LUT_BITS
+FILTER_BITS = 7
+
+# Identity model (default_warp_params)
+IDENTITY_MAT = (0, 0, 1 << WARPEDMODEL_PREC_BITS, 0,
+                0, 1 << WARPEDMODEL_PREC_BITS, 0, 0)
+
+# wmtype enum (EbDefinitions.h TransformationType)
+IDENTITY, TRANSLATION, ROTZOOM, AFFINE = 0, 1, 2, 3
+
+
+def _round_pow2(x: int, n: int) -> int:
+    return (x + (1 << (n - 1))) >> n if n > 0 else x
+
+
+def _round_pow2_signed(x: int, n: int) -> int:
+    return -_round_pow2(-x, n) if x < 0 else _round_pow2(x, n)
+
+
+def _clamp(v, lo, hi):
+    return max(lo, min(hi, v))
+
+
+def resolve_divisor_32(d: int) -> tuple[int, int]:
+    """(multiplier, shift) such that x/d ~= (x*mult) >> shift
+    (resolve_divisor_32, EbWarpedMotion.c:343).  d > 0."""
+    shift = d.bit_length() - 1
+    e = d - (1 << shift)
+    if shift > DIV_LUT_BITS:
+        f = _round_pow2(e, shift - DIV_LUT_BITS)
+    else:
+        f = e << (DIV_LUT_BITS - shift)
+    return int(table("div_lut")[f]), shift + DIV_LUT_PREC_BITS
+
+
+def get_shear_params(mat) -> tuple[int, int, int, int] | None:
+    """alpha/beta/gamma/delta from the affine matrix, or None when the
+    model is invalid for the warp filter (svt_get_shear_params)."""
+    if mat[2] <= 0:
+        return None
+    alpha = _clamp(mat[2] - (1 << WARPEDMODEL_PREC_BITS), -32768, 32767)
+    beta = _clamp(mat[3], -32768, 32767)
+    y, shift = resolve_divisor_32(abs(mat[2]))
+    y = -y if mat[2] < 0 else y
+    v = (mat[4] << WARPEDMODEL_PREC_BITS) * y
+    gamma = _clamp(_round_pow2_signed(v, shift), -32768, 32767)
+    v = (mat[3] * mat[4]) * y
+    delta = _clamp(mat[5] - _round_pow2_signed(v, shift)
+                   - (1 << WARPEDMODEL_PREC_BITS), -32768, 32767)
+
+    def reduce(p):
+        return _round_pow2_signed(p, WARP_PARAM_REDUCE_BITS) \
+            * (1 << WARP_PARAM_REDUCE_BITS)
+
+    alpha, beta, gamma, delta = map(reduce, (alpha, beta, gamma, delta))
+    if (4 * abs(alpha) + 7 * abs(beta) >= (1 << WARPEDMODEL_PREC_BITS)) or \
+       (4 * abs(gamma) + 4 * abs(delta) >= (1 << WARPEDMODEL_PREC_BITS)):
+        return None
+    return alpha, beta, gamma, delta
+
+
+def warp_affine(mat, ref: np.ndarray, p_col: int, p_row: int,
+                p_width: int, p_height: int, sub_x: int, sub_y: int,
+                alpha: int, beta: int, gamma: int, delta: int,
+                bd: int = 8) -> np.ndarray:
+    """Single-reference affine warp of a p_width x p_height block whose
+    top-left sits at plane position (p_col, p_row).  ``ref`` is the full
+    reference plane (edge-clamped sampling).  Returns [p_height,
+    p_width] int32 pixels."""
+    height, width = ref.shape
+    ref = ref.astype(np.int32)
+    reduce_bits_horiz = 3                       # ConvolveParams round_0
+    reduce_bits_vert = 2 * FILTER_BITS - reduce_bits_horiz
+    offset_bits_horiz = bd + FILTER_BITS - 1
+    offset_bits_vert = bd + 2 * FILTER_BITS - reduce_bits_horiz
+    filters = table("eb_warped_filter").astype(np.int32)
+    pred = np.zeros((p_height, p_width), np.int32)
+    max_pix = (1 << bd) - 1
+
+    for i in range(p_row, p_row + p_height, 8):
+        for j in range(p_col, p_col + p_width, 8):
+            src_x = (j + 4) << sub_x
+            src_y = (i + 4) << sub_y
+            dst_x = mat[2] * src_x + mat[3] * src_y + mat[0]
+            dst_y = mat[4] * src_x + mat[5] * src_y + mat[1]
+            x4 = dst_x >> sub_x
+            y4 = dst_y >> sub_y
+            ix4 = x4 >> WARPEDMODEL_PREC_BITS
+            sx4 = x4 & ((1 << WARPEDMODEL_PREC_BITS) - 1)
+            iy4 = y4 >> WARPEDMODEL_PREC_BITS
+            sy4 = y4 & ((1 << WARPEDMODEL_PREC_BITS) - 1)
+            sx4 += alpha * (-4) + beta * (-4)
+            sy4 += gamma * (-4) + delta * (-4)
+            sx4 &= ~((1 << WARP_PARAM_REDUCE_BITS) - 1)
+            sy4 &= ~((1 << WARP_PARAM_REDUCE_BITS) - 1)
+
+            # horizontal pass: 15 rows x 8 cols intermediate
+            tmp = np.zeros((15, 8), np.int32)
+            rows = np.clip(iy4 + np.arange(-7, 8), 0, height - 1)
+            for k in range(-7, 8):
+                sx = sx4 + beta * (k + 4)
+                row = ref[rows[k + 7]]
+                for l in range(-4, 4):
+                    ix = ix4 + l - 3
+                    offs = _round_pow2(sx, WARPEDDIFF_PREC_BITS) \
+                        + WARPEDPIXEL_PREC_SHIFTS
+                    cols = np.clip(ix + np.arange(8), 0, width - 1)
+                    s = (1 << offset_bits_horiz) \
+                        + int((row[cols] * filters[offs]).sum())
+                    tmp[k + 7, l + 4] = _round_pow2(s, reduce_bits_horiz)
+                    sx += alpha
+
+            # vertical pass
+            for k in range(-4, min(4, p_row + p_height - i - 4)):
+                sy = sy4 + delta * (k + 4)
+                for l in range(-4, min(4, p_col + p_width - j - 4)):
+                    offs = _round_pow2(sy, WARPEDDIFF_PREC_BITS) \
+                        + WARPEDPIXEL_PREC_SHIFTS
+                    s = (1 << offset_bits_vert) + int(
+                        (tmp[k + 4:k + 12, l + 4] * filters[offs]).sum())
+                    s = _round_pow2(s, reduce_bits_vert)
+                    v = s - (1 << (bd - 1)) - (1 << bd)
+                    pred[i - p_row + k + 4, j - p_col + l + 4] = \
+                        _clamp(v, 0, max_pix)
+                    sy += gamma
+    return pred
+
+
+def warp_plane(mat, ref, p_col, p_row, p_width, p_height, sub_x, sub_y,
+               bd: int = 8) -> np.ndarray | None:
+    """Shear-decomposed warp of one block; None when the model cannot be
+    expressed by the fast filter (caller falls back per spec rules)."""
+    sp = get_shear_params(mat)
+    if sp is None:
+        return None
+    return warp_affine(mat, ref, p_col, p_row, p_width, p_height,
+                       sub_x, sub_y, *sp, bd=bd)

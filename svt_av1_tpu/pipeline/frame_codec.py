@@ -33,9 +33,10 @@ from ..entropy.mv import (MV_SUBPEL_LOW_PRECISION, decode_mv, encode_mv)
 from . import mv_pred
 from ..ops import inter as inter_ops
 
-# intra size groups (size_group_lookup, indexed by BlockSize enum)
+# intra size groups (size_group_lookup, EbDefinitions.h:1333; the tail
+# covers 4x16,16x4,8x32,32x8,16x64,64x16)
 _SIZE_GROUP_BY_ENUM = (0, 0, 0, 1, 1, 1, 2, 2, 2, 3, 3, 3,
-                       3, 3, 3, 3, 1, 1, 2, 2, 3, 3)
+                       3, 3, 3, 3, 0, 0, 1, 1, 2, 2)
 REF_PAD = 96
 
 MI = 4  # mode-info unit in pixels
@@ -44,10 +45,53 @@ MI = 4  # mode-info unit in pixels
 # fimode_to_intradir EbCommonUtils.h:103 = DC,V,H,D157,DC)
 FILTER_INTRA_TO_DIR = (0, 1, 2, 6, 0)
 
+# Split_Tx_Size (spec 5.11.16 / sub_tx_size_map)
+SUB_TX_SIZE = {
+    TxSize.TX_4X4: TxSize.TX_4X4, TxSize.TX_8X8: TxSize.TX_4X4,
+    TxSize.TX_16X16: TxSize.TX_8X8, TxSize.TX_32X32: TxSize.TX_16X16,
+    TxSize.TX_64X64: TxSize.TX_32X32, TxSize.TX_4X8: TxSize.TX_4X4,
+    TxSize.TX_8X4: TxSize.TX_4X4, TxSize.TX_8X16: TxSize.TX_8X8,
+    TxSize.TX_16X8: TxSize.TX_8X8, TxSize.TX_16X32: TxSize.TX_16X16,
+    TxSize.TX_32X16: TxSize.TX_16X16, TxSize.TX_32X64: TxSize.TX_32X32,
+    TxSize.TX_64X32: TxSize.TX_32X32, TxSize.TX_4X16: TxSize.TX_4X8,
+    TxSize.TX_16X4: TxSize.TX_8X4, TxSize.TX_8X32: TxSize.TX_8X16,
+    TxSize.TX_32X8: TxSize.TX_16X8, TxSize.TX_16X64: TxSize.TX_16X32,
+    TxSize.TX_64X16: TxSize.TX_32X16,
+}
+
+
+def depth_to_tx_size(depth: int, bw: int, bh: int) -> TxSize:
+    ts = max_txsize_rect(bw, bh)
+    for _ in range(depth):
+        ts = SUB_TX_SIZE[ts]
+    return ts
+
+
+def bsize_max_tx_depth(bw: int, bh: int) -> int:
+    """bsize_to_max_depth: split-chain length capped at MAX_TX_DEPTH=2."""
+    ts = max_txsize_rect(bw, bh)
+    d = 0
+    while d < 2 and ts != TxSize.TX_4X4:
+        d += 1
+        ts = SUB_TX_SIZE[ts]
+    return d
+
+
+def bsize_tx_size_cat(bw: int, bh: int) -> int:
+    """bsize_to_tx_size_cat: full chain depth - 1, capped at 3."""
+    ts = max_txsize_rect(bw, bh)
+    d = 0
+    while ts != TxSize.TX_4X4:
+        d += 1
+        ts = SUB_TX_SIZE[ts]
+    return min(d - 1, 3)
+
 # intra mode -> kf ctx bucket (libaom intra_mode_context)
 INTRA_MODE_CONTEXT = [0, 1, 2, 3, 4, 4, 4, 4, 3, 0, 1, 2, 0]
 
 PARTITION_NONE, PARTITION_HORZ, PARTITION_VERT, PARTITION_SPLIT = 0, 1, 2, 3
+(PARTITION_HORZ_A, PARTITION_HORZ_B, PARTITION_VERT_A,
+ PARTITION_VERT_B, PARTITION_HORZ_4, PARTITION_VERT_4) = 4, 5, 6, 7, 8, 9
 
 
 def _device_filters() -> bool:
@@ -193,6 +237,7 @@ class BlockDecision:
     cfl_idx: int = 0
     tx_type_y: TxType = TxType.DCT_DCT
     filter_intra_mode: int = -1         # FILTER_DC..FILTER_PAETH; -1 off
+    tx_depth: int = 0                   # luma tx split depth (TX_MODE_SELECT)
     # inter fields
     is_inter: bool = False
     inter_mode: int = 0                 # PredictionMode NEARESTMV..NEW_NEWMV
@@ -814,26 +859,85 @@ class FrameCodec:
             part = self._code_partition(bsize, mi_row, mi_col, has_rows, has_cols)
         else:
             part = PARTITION_NONE
+        half = bsize // 2
+        quarter = bsize // 4
+        qbs = bs_mi // 4
+        self._cur_part = part      # intra availability tables (VERT_A/B)
         if part == PARTITION_NONE:
             self._block(bsize, bsize, mi_row, mi_col)
             pa, pl = _part_ctx(bsize, bsize)
         elif part == PARTITION_SPLIT:
-            half = bsize // 2
             self._partition(half, mi_row, mi_col)
             self._partition(half, mi_row, mi_col + hbs)
             self._partition(half, mi_row + hbs, mi_col)
             self._partition(half, mi_row + hbs, mi_col + hbs)
             return
         elif part == PARTITION_HORZ:
-            self._block(bsize, bsize // 2, mi_row, mi_col)
+            self._block(bsize, half, mi_row, mi_col)
             if has_rows:
-                self._block(bsize, bsize // 2, mi_row + hbs, mi_col)
-            pa, pl = _part_ctx(bsize, bsize // 2)
+                self._block(bsize, half, mi_row + hbs, mi_col)
+            pa, pl = _part_ctx(bsize, half)
         elif part == PARTITION_VERT:
-            self._block(bsize // 2, bsize, mi_row, mi_col)
+            self._block(half, bsize, mi_row, mi_col)
             if has_cols:
-                self._block(bsize // 2, bsize, mi_row, mi_col + hbs)
-            pa, pl = _part_ctx(bsize // 2, bsize)
+                self._block(half, bsize, mi_row, mi_col + hbs)
+            pa, pl = _part_ctx(half, bsize)
+        elif part == PARTITION_HORZ_A:
+            self._block(half, half, mi_row, mi_col)
+            self._block(half, half, mi_row, mi_col + hbs)
+            self._block(bsize, half, mi_row + hbs, mi_col)
+            # update_ext_partition_context: above from the HORZ subsize,
+            # left split per half (EbEncDecProcess / libaom semantics)
+            pa, _ = _part_ctx(bsize, half)
+            _, pl2 = _part_ctx(half, half)
+            _, plh = _part_ctx(bsize, half)
+            self.above_part[mi_col:mi_col + bs_mi] = pa
+            self.left_part[mi_row:mi_row + hbs] = pl2
+            self.left_part[mi_row + hbs:mi_row + bs_mi] = plh
+            return
+        elif part == PARTITION_HORZ_B:
+            self._block(bsize, half, mi_row, mi_col)
+            self._block(half, half, mi_row + hbs, mi_col)
+            self._block(half, half, mi_row + hbs, mi_col + hbs)
+            pa, _ = _part_ctx(half, half)
+            _, plh = _part_ctx(bsize, half)
+            _, pl2 = _part_ctx(half, half)
+            self.above_part[mi_col:mi_col + bs_mi] = pa
+            self.left_part[mi_row:mi_row + hbs] = plh
+            self.left_part[mi_row + hbs:mi_row + bs_mi] = pl2
+            return
+        elif part == PARTITION_VERT_A:
+            self._block(half, half, mi_row, mi_col)
+            self._block(half, half, mi_row + hbs, mi_col)
+            self._block(half, bsize, mi_row, mi_col + hbs)
+            pa2, _ = _part_ctx(half, half)
+            pav, pl = _part_ctx(half, bsize)
+            self.above_part[mi_col:mi_col + hbs] = pa2
+            self.above_part[mi_col + hbs:mi_col + bs_mi] = pav
+            self.left_part[mi_row:mi_row + bs_mi] = pl
+            return
+        elif part == PARTITION_VERT_B:
+            self._block(half, bsize, mi_row, mi_col)
+            self._block(half, half, mi_row, mi_col + hbs)
+            self._block(half, half, mi_row + hbs, mi_col + hbs)
+            pav, _ = _part_ctx(half, bsize)
+            pa2, pl = _part_ctx(half, half)
+            self.above_part[mi_col:mi_col + hbs] = pav
+            self.above_part[mi_col + hbs:mi_col + bs_mi] = pa2
+            self.left_part[mi_row:mi_row + bs_mi] = pl
+            return
+        elif part == PARTITION_HORZ_4:
+            for i in range(4):
+                if i > 0 and mi_row + i * qbs >= self.mi_rows:
+                    break
+                self._block(bsize, quarter, mi_row + i * qbs, mi_col)
+            pa, pl = _part_ctx(bsize, quarter)
+        elif part == PARTITION_VERT_4:
+            for i in range(4):
+                if i > 0 and mi_col + i * qbs >= self.mi_cols:
+                    break
+                self._block(quarter, bsize, mi_row, mi_col + i * qbs)
+            pa, pl = _part_ctx(quarter, bsize)
         else:
             raise NotImplementedError(f"partition {part}")
         self.above_part[mi_col:mi_col + bs_mi] = pa
@@ -972,6 +1076,15 @@ class FrameCodec:
                 cfl_idx=cfl_idx if uv_mode == 13 else 0,
                 filter_intra_mode=fi_mode)
 
+        # luma tx size (read_tx_size; signaled even for skip intra blocks)
+        if self.fh.tx_mode_select and not (bw == 4 and bh == 4):
+            mdep = bsize_max_tx_depth(bw, bh)
+            ctx = self._tx_size_ctx(mi_row, mi_col, bw, bh)
+            depth = io.symbol(
+                None if io.is_decoder else decision.tx_depth,
+                self.fc.tx_size[bsize_tx_size_cat(bw, bh)][ctx], mdep + 1)
+            decision.tx_depth = depth
+
         # record mode info
         self.y_modes[mi_row:mi_row + h4, mi_col:mi_col + w4] = y_mode
         self.skips[mi_row:mi_row + h4, mi_col:mi_col + w4] = int(skip)
@@ -991,6 +1104,27 @@ class FrameCodec:
             return max_txsize_rect(bw, bh)
         return max_txsize_rect(max(bw >> self.sub_x, 4),
                                max(bh >> self.sub_y, 4))
+
+    def luma_tx_size(self, decision, bw: int, bh: int) -> TxSize:
+        """Coded luma tx size: the block's max rect size split
+        ``decision.tx_depth`` times (TX_MODE_SELECT)."""
+        d = getattr(decision, "tx_depth", 0) if decision is not None else 0
+        return depth_to_tx_size(d, bw, bh)
+
+    def _tx_size_ctx(self, mi_row, mi_col, bw, bh) -> int:
+        """get_tx_size_context (EbDecParseHelper.c:56): above/left coded
+        tx dims vs this block's max tx dims.  Key-frame form (all
+        neighbors intra, so no inter block-size override)."""
+        max_ts = max_txsize_rect(bw, bh)
+        up = mi_row > self.tile[0]
+        left = mi_col > self.tile[1]
+        a = int(self.tx_w_grid[0][mi_row - 1, mi_col] >= TX_WIDTH[max_ts]) \
+            if up else 0
+        l = int(self.tx_h_grid[0][mi_row, mi_col - 1] >= TX_HEIGHT[max_ts]) \
+            if left else 0
+        if up and left:
+            return a + l
+        return a if up else (l if left else 0)
 
     def tx_type_for(self, plane: int, decision: BlockDecision,
                     tx_size: TxSize) -> TxType:
@@ -1052,30 +1186,42 @@ class FrameCodec:
 
     def _compute_block(self, decision, x, y, bw, bh):
         """Predict/transform/quantize/recon every tx block; returns their
-        coded info in plane order (y, u, v)."""
+        coded info in plane order (y, u, v).  With TX_MODE_SELECT the
+        luma plane is covered by several tx blocks of the signaled size,
+        each predicted from the running recon (spec reconstruct())."""
         out = []
         for plane in range(self.num_planes):
             sx = self.sub_x if plane else 0
             sy = self.sub_y if plane else 0
-            px, py = x >> sx, y >> sy
+            px0, py0 = x >> sx, y >> sy
             pw, ph = bw >> sx, bh >> sy
-            ts = self.tx_size_for(plane, bw, bh)
-            tt = self.tx_type_for(plane, decision, ts)
             if plane == 0:
-                pred = self.predict(plane, decision.y_mode,
-                                    decision.angle_delta_y, px, py, pw,
-                                    ph, ts, decision.filter_intra_mode)
+                ts = self.luma_tx_size(decision, bw, bh)
             else:
-                pred = self.predict_chroma(plane, decision, px, py, pw, ph, ts)
-            src = self.source[plane][py:py + ph, px:px + pw]
-            qc, eob, recon = self._tx_quant_recon(plane, src, pred, ts, tt)
-            ch = min(TX_HEIGHT[ts], 32)
-            cw = min(TX_WIDTH[ts], 32)
-            self.recon[plane][py:py + ph, px:px + pw] = recon
-            self._record_tx_geometry(plane, px, py, pw, ph, ts)
-            out.append(dict(plane=plane, tx_size=ts, tx_type=tt,
-                            qcoeff=qc[:ch, :cw], eob=eob,
-                            px=px, py=py, pw=pw, ph=ph))
+                ts = self.tx_size_for(plane, bw, bh)
+            tt = self.tx_type_for(plane, decision, ts)
+            tw, th = TX_WIDTH[ts], TX_HEIGHT[ts]
+            ch, cw = min(th, 32), min(tw, 32)
+            for py in range(py0, py0 + ph, th):
+                for px in range(px0, px0 + pw, tw):
+                    if plane == 0:
+                        pred = self.predict(
+                            plane, decision.y_mode, decision.angle_delta_y,
+                            px, py, tw, th, ts, decision.filter_intra_mode,
+                            blk=(px0, py0, pw, ph))
+                    else:
+                        pred = self.predict_chroma(plane, decision, px, py,
+                                                   tw, th, ts)
+                    src = self.source[plane][py:py + th, px:px + tw]
+                    qc, eob, recon = self._tx_quant_recon(plane, src, pred,
+                                                          ts, tt)
+                    self.recon[plane][py:py + th, px:px + tw] = recon
+                    self._record_tx_geometry(plane, px, py, tw, th, ts)
+                    out.append(dict(plane=plane, tx_size=ts, tx_type=tt,
+                                    qcoeff=qc[:ch, :cw], eob=eob,
+                                    px=px, py=py, pw=tw, ph=th,
+                                    beq=(pw == tw and ph == th),
+                                    blk=(px0, py0, pw, ph)))
         return out
 
     def _tx_quant_recon(self, plane, src, pred, ts, tt):
@@ -1107,9 +1253,13 @@ class FrameCodec:
 
     def predict(self, plane: int, mode: PredictionMode, angle_delta: int,
                 px: int, py: int, pw: int, ph: int, tx_size: TxSize,
-                filter_intra_mode: int = -1) -> np.ndarray:
+                filter_intra_mode: int = -1, blk=None) -> np.ndarray:
         """Normative intra prediction for a tx block at plane position
-        (px, py) with the current recon state."""
+        (px, py) with the current recon state.  ``blk`` = (px, py, pw,
+        ph) of the CODING block in plane coords when the tx block is a
+        sub block of it (TX_MODE_SELECT); availability (top-right /
+        bottom-left) follows the block geometry + tx offset
+        (has_top_right, EbIntraPrediction.c:431)."""
         rec = self.recon[plane]
         plane_w = self.aligned_w >> (self.sub_x if plane else 0)
         plane_h = self.aligned_h >> (self.sub_y if plane else 0)
@@ -1125,12 +1275,19 @@ class FrameCodec:
         right_available = (mi_col + ((txw >> 2) << sub[0])) < t_c1
         bottom_available = yd > 0 and \
             (mi_row + ((txh >> 2) << sub[1])) < t_r1
+        bpx, bpy, bpw, bph = blk if blk is not None else (px, py, pw, ph)
+        row_off = (py - bpy) >> 2
+        col_off = (px - bpx) >> 2
+        bmi_row = (bpy << sub[1]) // MI
+        bmi_col = (bpx << sub[0]) // MI
+        part = getattr(self, "_cur_part", 0)
         have_top_right = _has_top_right(
-            self.seq.sb_size, pw, ph, mi_row, mi_col, have_top,
-            right_available, tx_size, 0, 0, sub[0], sub[1])
+            self.seq.sb_size, bpw, bph, bmi_row, bmi_col, have_top,
+            right_available, tx_size, row_off, col_off, sub[0], sub[1],
+            part)
         have_bottom_left = _has_bottom_left(
-            self.seq.sb_size, pw, ph, mi_row, mi_col, bottom_available,
-            have_left, tx_size, 0, 0, sub[0], sub[1])
+            self.seq.sb_size, bpw, bph, bmi_row, bmi_col, bottom_available,
+            have_left, tx_size, row_off, col_off, sub[0], sub[1], part)
 
         n_top = min(txw, xr + txw) if have_top else 0
         n_topright = min(txw, xr) if have_top_right else 0
@@ -1142,7 +1299,7 @@ class FrameCodec:
             n_topright = max(0, len(above_ref) - n_top)
         left_ref = rec[py:py + n_left + n_bottomleft, px - 1] if have_left else None
         topleft = int(rec[py - 1, px - 1]) if (have_top and have_left) else None
-        filt_type = self._filter_type(plane, px, py)
+        filt_type = self._filter_type(plane, bpx, bpy)
         return np.asarray(intra_ops.predict_intra_block(
             mode, angle_delta, tx_size, above_ref, left_ref, topleft,
             n_top, n_topright, n_left, n_bottomleft, filt_type,
@@ -1231,9 +1388,8 @@ class FrameCodec:
 
     def _write_residual(self, decision, txbs, skip, x, y, bw, bh):
         if skip:
-            for plane in range(self.num_planes):
-                sx = 1 if plane else 0
-                t = txbs[plane]
+            for t in txbs:
+                plane = t["plane"]
                 # re-run recon with zero coeffs (decision pass may have coded
                 # nonzero levels that skip now discards)
                 self._recon_skip(plane, decision, t)
@@ -1242,8 +1398,8 @@ class FrameCodec:
         for t in txbs:
             plane = t["plane"]
             plane_type = int(plane > 0)
-            bsize_eq_tx = (t["pw"] == TX_WIDTH[t["tx_size"]]
-                           and t["ph"] == TX_HEIGHT[t["tx_size"]])
+            bsize_eq_tx = t.get("beq", (t["pw"] == TX_WIDTH[t["tx_size"]]
+                                        and t["ph"] == TX_HEIGHT[t["tx_size"]]))
             sk_ctx, dc_ctx = self._txb_ctx(plane, t["px"], t["py"], t["pw"],
                                            t["ph"], t["tx_size"], bsize_eq_tx)
             ttw = (lambda ts=t["tx_size"], tt=t["tx_type"],
@@ -1266,7 +1422,8 @@ class FrameCodec:
             pred = self.predict(plane, decision.y_mode,
                                 decision.angle_delta_y, t["px"], t["py"],
                                 t["pw"], t["ph"], t["tx_size"],
-                                decision.filter_intra_mode)
+                                decision.filter_intra_mode,
+                                blk=t.get("blk"))
         else:
             pred = self.predict_chroma(plane, decision, t["px"], t["py"],
                                        t["pw"], t["ph"], t["tx_size"])
@@ -1277,45 +1434,56 @@ class FrameCodec:
         for plane in range(self.num_planes):
             sx = self.sub_x if plane else 0
             sy = self.sub_y if plane else 0
-            px, py = x >> sx, y >> sy
+            px0, py0 = x >> sx, y >> sy
             pw, ph = bw >> sx, bh >> sy
-            ts = self.tx_size_for(plane, bw, bh)
-            self._record_tx_geometry(plane, px, py, pw, ph, ts)
+            if plane == 0:
+                ts = self.luma_tx_size(decision, bw, bh)
+            else:
+                ts = self.tx_size_for(plane, bw, bh)
+            tw, th = TX_WIDTH[ts], TX_HEIGHT[ts]
+            beq = pw == tw and ph == th
+            for py in range(py0, py0 + ph, th):
+                for px in range(px0, px0 + pw, tw):
+                    self._decode_txb(decision, skip, plane, px, py, tw, th,
+                                     ts, beq, (px0, py0, pw, ph))
 
-            def _pred(plane=plane, px=px, py=py, pw=pw, ph=ph, ts=ts):
-                if plane == 0:
-                    return self.predict(plane, decision.y_mode,
-                                        decision.angle_delta_y,
-                                        px, py, pw, ph, ts,
-                                        decision.filter_intra_mode)
-                return self.predict_chroma(plane, decision, px, py, pw, ph, ts)
+    def _decode_txb(self, decision, skip, plane, px, py, tw, th, ts, beq,
+                    blk):
+        self._record_tx_geometry(plane, px, py, tw, th, ts)
 
-            if skip:
-                self.recon[plane][py:py + ph, px:px + pw] = _pred()
-                self._update_txb_ctx(plane, px, py, ts, 0)
-                continue
-            plane_type = int(plane > 0)
-            bsize_eq_tx = (pw == TX_WIDTH[ts] and ph == TX_HEIGHT[ts])
-            sk_ctx, dc_ctx = self._txb_ctx(plane, px, py, pw, ph, ts, bsize_eq_tx)
-            default_tt = self.tx_type_for(plane, decision, ts)
-            qc, eob, cul, tt = cf.parse_coeffs_txb(
-                self.io.ec, self.fc, ts,
-                default_tt, plane_type, sk_ctx, dc_ctx,
-                tx_type_reader=(lambda ts=ts, ym=_ctx_dir(decision):
-                                self._tx_type_io(plane, ts, ym, None))
-                if plane == 0 else None)
-            self._update_txb_ctx(plane, px, py, ts, cul)
-            pred = _pred()
-            if eob == 0:
-                self.recon[plane][py:py + ph, px:px + pw] = pred
-                continue
-            full = np.zeros((TX_HEIGHT[ts], TX_WIDTH[ts]), np.int32)
-            full[:qc.shape[0], :qc.shape[1]] = qc
-            dqc = np.asarray(qz.dequant_block(full, self.fh.base_q_idx,
-                                              self._plane_quant(plane), ts))
-            recon = np.asarray(tf.inv_txfm2d_add(dqc, pred, tt, ts,
-                                                 self.seq.bit_depth))
-            self.recon[plane][py:py + ph, px:px + pw] = recon
+        def _pred():
+            if plane == 0:
+                return self.predict(plane, decision.y_mode,
+                                    decision.angle_delta_y,
+                                    px, py, tw, th, ts,
+                                    decision.filter_intra_mode, blk=blk)
+            return self.predict_chroma(plane, decision, px, py, tw, th, ts)
+
+        if skip:
+            self.recon[plane][py:py + th, px:px + tw] = _pred()
+            self._update_txb_ctx(plane, px, py, ts, 0)
+            return
+        plane_type = int(plane > 0)
+        sk_ctx, dc_ctx = self._txb_ctx(plane, px, py, tw, th, ts, beq)
+        default_tt = self.tx_type_for(plane, decision, ts)
+        qc, eob, cul, tt = cf.parse_coeffs_txb(
+            self.io.ec, self.fc, ts,
+            default_tt, plane_type, sk_ctx, dc_ctx,
+            tx_type_reader=(lambda ts=ts, ym=_ctx_dir(decision):
+                            self._tx_type_io(plane, ts, ym, None))
+            if plane == 0 else None)
+        self._update_txb_ctx(plane, px, py, ts, cul)
+        pred = _pred()
+        if eob == 0:
+            self.recon[plane][py:py + th, px:px + tw] = pred
+            return
+        full = np.zeros((TX_HEIGHT[ts], TX_WIDTH[ts]), np.int32)
+        full[:qc.shape[0], :qc.shape[1]] = qc
+        dqc = np.asarray(qz.dequant_block(full, self.fh.base_q_idx,
+                                          self._plane_quant(plane), ts))
+        recon = np.asarray(tf.inv_txfm2d_add(dqc, pred, tt, ts,
+                                             self.seq.bit_depth))
+        self.recon[plane][py:py + th, px:px + tw] = recon
 
     def _record_tx_geometry(self, plane, px, py, pw, ph, ts):
         x4, y4 = px >> 2, py >> 2
@@ -2170,7 +2338,8 @@ def _has_table(kind: str, bw: int, bh: int) -> np.ndarray:
 
 
 def _has_top_right(sb_size, bw, bh, mi_row, mi_col, top_available,
-                   right_available, txsz, row_off, col_off, ss_x, ss_y) -> bool:
+                   right_available, txsz, row_off, col_off, ss_x, ss_y,
+                   part: int = 0) -> bool:
     if not top_available or not right_available:
         return False
     bw_unit = bw >> 2 << (ss_x if False else 0)
@@ -2192,12 +2361,14 @@ def _has_top_right(sb_size, bw, bh, mi_row, mi_col, top_available,
     if ((blk_col_in_sb + 1) << bw_mi_log2) >= sb_mi:
         return False
     idx = (blk_row_in_sb << (5 - bw_mi_log2)) + blk_col_in_sb
-    tbl = _has_table("tr", bw_l, bh_l)
+    vert = part in (PARTITION_VERT_A, PARTITION_VERT_B) and bw_l == bh_l
+    tbl = _has_table("tr_vert" if vert else "tr", bw_l, bh_l)
     return bool((int(tbl[idx // 8]) >> (idx % 8)) & 1)
 
 
 def _has_bottom_left(sb_size, bw, bh, mi_row, mi_col, bottom_available,
-                     left_available, txsz, row_off, col_off, ss_x, ss_y) -> bool:
+                     left_available, txsz, row_off, col_off, ss_x, ss_y,
+                     part: int = 0) -> bool:
     if not bottom_available or not left_available:
         return False
     if col_off > 0:
@@ -2220,5 +2391,6 @@ def _has_bottom_left(sb_size, bw, bh, mi_row, mi_col, bottom_available,
     if ((blk_row_in_sb + 1) << bh_mi_log2) >= sb_mi:
         return False
     idx = (blk_row_in_sb << (5 - bw_mi_log2)) + blk_col_in_sb
-    tbl = _has_table("bl", bw_l, bh_l)
+    vert = part in (PARTITION_VERT_A, PARTITION_VERT_B) and bw_l == bh_l
+    tbl = _has_table("bl_vert" if vert else "bl", bw_l, bh_l)
     return bool((int(tbl[idx // 8]) >> (idx % 8)) & 1)

@@ -179,6 +179,23 @@ class RdoDecider(ModeDecider):
                 y_mode, angle_y = PredictionMode.DC_PRED, 0
                 fi_mode = m
 
+        # luma tx depth (TX_MODE_SELECT): largest vs one split, true cost
+        tx_depth = 0
+        if codec.fh.tx_mode_select and not (bw == 4 and bh == 4):
+            from .frame_codec import bsize_max_tx_depth, bsize_tx_size_cat
+            mdep = bsize_max_tx_depth(bw, bh)
+            if mdep >= 1:
+                d0 = self._luma_depth_cost(codec, probe, y_mode, angle_y,
+                                           fi_mode, x, y, bw, bh, 0, lam)
+                d1 = self._luma_depth_cost(codec, probe, y_mode, angle_y,
+                                           fi_mode, x, y, bw, bh, 1, lam)
+                cdf = codec.fc.tx_size[bsize_tx_size_cat(bw, bh)][
+                    codec._tx_size_ctx(mi_row, mi_col, bw, bh)]
+                c0 = _symbol_cost_bits(cdf, 0, mdep + 1)
+                c1 = _symbol_cost_bits(cdf, 1, mdep + 1)
+                if d1 + lam * c1 < d0 + lam * c0:
+                    tx_depth = 1
+
         cfl = None
         if bw <= 32 and bh <= 32:
             cfl = self._try_cfl(codec, probe, x, y, bw, bh, uv_ts, lam,
@@ -188,10 +205,52 @@ class RdoDecider(ModeDecider):
             return BlockDecision(y_mode=y_mode, angle_delta_y=angle_y,
                                  uv_mode=13, cfl_signs=cfl[0],
                                  cfl_idx=cfl[1],
-                                 filter_intra_mode=fi_mode)
+                                 filter_intra_mode=fi_mode,
+                                 tx_depth=tx_depth)
         return BlockDecision(y_mode=y_mode, angle_delta_y=angle_y,
                              uv_mode=best_uv[1], angle_delta_uv=0,
-                             filter_intra_mode=fi_mode)
+                             filter_intra_mode=fi_mode,
+                             tx_depth=tx_depth)
+
+    def _luma_depth_cost(self, codec, probe, mode, delta, fi, x, y,
+                         bw, bh, depth, lam):
+        """True luma coding cost at a given tx split depth: each sub tx
+        block predicted from the running recon (restored afterwards)."""
+        from .frame_codec import depth_to_tx_size
+        ts = depth_to_tx_size(depth, bw, bh)
+        tw, th = TX_WIDTH[ts], TX_HEIGHT[ts]
+        saved = codec.recon[0][y:y + bh, x:x + bw].copy()
+        dist = 0.0
+        bits = 0.0
+        beq = bw == tw and bh == th
+        try:
+            for py in range(y, y + bh, th):
+                for px in range(x, x + bw, tw):
+                    pred = codec.predict(0, mode, delta, px, py, tw, th,
+                                         ts, filter_intra_mode=fi,
+                                         blk=(x, y, bw, bh))
+                    src = codec.source[0][py:py + th, px:px + tw]
+                    resid = src.astype(np.int32) - pred
+                    coeffs = np.asarray(tf.fwd_txfm2d(
+                        resid, TxType.DCT_DCT, ts, codec.seq.bit_depth))
+                    qc, dqc = qz.quantize_b(coeffs, codec.fh.base_q_idx,
+                                            codec._plane_quant(0), ts)
+                    qc = np.asarray(qc)
+                    ch, cw = min(th, 32), min(tw, 32)
+                    eob = cf.compute_eob(qc[:ch, :cw], ts, TxType.DCT_DCT)
+                    recon = np.asarray(tf.inv_txfm2d_add(
+                        np.asarray(dqc) if eob else np.zeros_like(dqc),
+                        pred, TxType.DCT_DCT, ts, codec.seq.bit_depth))
+                    codec.recon[0][py:py + th, px:px + tw] = recon
+                    dist += float(((recon - src.astype(np.int64)) ** 2).sum())
+                    sk_ctx, dc_ctx = codec._txb_ctx(0, px, py, tw, th, ts,
+                                                    beq)
+                    bits += probe.coeff_bits(qc[:ch, :cw], ts,
+                                             TxType.DCT_DCT, 0, sk_ctx,
+                                             dc_ctx, eob)
+        finally:
+            codec.recon[0][y:y + bh, x:x + bw] = saved
+        return dist + lam * bits
 
     def _try_cfl(self, codec, probe, x, y, bw, bh, uv_ts, lam,
                  y_mode, angle_y, best_cost, fi_mode=-1):
@@ -354,11 +413,12 @@ class PartitionRdoDecider(RdoDecider):
     """
 
     def __init__(self, min_rd_bsize: int = 16, max_rd_bsize: int = 32,
-                 **kw):
+                 ext_shapes: bool = True, **kw):
         kw.setdefault("block_size", max_rd_bsize)
         super().__init__(**kw)
         self.min_rd_bsize = min_rd_bsize
         self.max_rd_bsize = max_rd_bsize
+        self.ext_shapes = ext_shapes
         self._plan = {}
         self._cache = None
 
@@ -453,10 +513,20 @@ class PartitionRdoDecider(RdoDecider):
         best = (cost_none, PARTITION_NONE, _RegionState(codec, r, c, bs_mi))
         snap0.restore(codec)
 
-        # rectangular partitions (>=16 keeps sub-8x8 chroma out of play)
+        # rectangular + AB + 4-way partitions (>=16 keeps sub-8x8 chroma
+        # out of play; 4-way strips need >=32 for the same reason)
         if bsize >= 16:
-            from .frame_codec import PARTITION_HORZ, PARTITION_VERT
-            for part in (PARTITION_HORZ, PARTITION_VERT):
+            from .frame_codec import (PARTITION_HORZ, PARTITION_VERT,
+                                      PARTITION_HORZ_A, PARTITION_HORZ_B,
+                                      PARTITION_VERT_A, PARTITION_VERT_B,
+                                      PARTITION_HORZ_4, PARTITION_VERT_4)
+            parts = [PARTITION_HORZ, PARTITION_VERT]
+            if self.ext_shapes:
+                parts += [PARTITION_HORZ_A, PARTITION_HORZ_B,
+                          PARTITION_VERT_A, PARTITION_VERT_B]
+                if bsize >= 32:
+                    parts += [PARTITION_HORZ_4, PARTITION_VERT_4]
+            for part in parts:
                 self._plan[key] = part
                 cost = self._trial_cost(codec, bsize, r, c, lam)
                 if cost < best[0]:

@@ -208,6 +208,20 @@ def main():
          "sub_pel_filters_8smooth", "bilinear_filters",
          "sub_pel_filters_4smooth"}))
 
+    print("extracting warped motion tables from EbWarpedMotion.c")
+    tables.update(extract_tables(
+        REF / "EbWarpedMotion.c", {"div_lut"}))
+    # eb_warped_filter's body has preprocessor branches; keep the
+    # WARPEDPIXEL_PREC_BITS == 6 branch (the build default)
+    wm_text = (REF / "EbWarpedMotion.c").read_text()
+    m = re.search(r"eb_warped_filter\[[^\]]*\]\[8\]\s*=\s*\{.*?"
+                  r"#if WARPEDPIXEL_PREC_BITS == 6(.*?)#elif",
+                  wm_text, re.S)
+    body6 = _strip_comments(m.group(1)).replace("- ", "-")
+    nums = [int(v) for v in re.findall(r"-?\d+", body6)]
+    assert len(nums) == 193 * 8, len(nums)
+    tables["eb_warped_filter"] = np.array(nums, np.int16).reshape(193, 8)
+
     OUT.parent.mkdir(parents=True, exist_ok=True)
     print("extracting film grain gaussian sequence from grainSynthesis.c")
     tables.update(extract_tables(
