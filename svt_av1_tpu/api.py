@@ -535,6 +535,17 @@ class Encoder:
             fh.reference_select = any(
                 self._rel_dist(named[n], job.display) > 0
                 for n in range(1, 8))
+            if (self.cfg.enable_global_motion and self.cfg.enc_mode <= 6
+                    and self.cfg.encoder_bit_depth == 8):
+                # ROTZOOM fit vs LAST; other refs stay identity
+                # (EbGlobalMotionEstimation.c analog; LS field fit)
+                from .pipeline.global_motion import estimate_rotzoom
+                from .bitstream.headers import (GM_IDENTITY,
+                                                GM_IDENTITY_MAT)
+                got = estimate_rotzoom(planes[0], refs[1][0])
+                if got is not None:
+                    ident = (GM_IDENTITY, GM_IDENTITY_MAT)
+                    fh.global_motion = (got,) + (ident,) * 6
         lr_source = None
         if self.cfg.superres_mode and self.cfg.superres_denom > 8 \
                 and self.pd.key_interval == 1:

@@ -90,6 +90,9 @@ class FrameHeader:
     context_update_tile_id: int = 0
     tile_size_bytes: int = 4
     primary_ref_frame: int = PRIMARY_REF_NONE
+    # global motion per named ref LAST..ALTREF: (wmtype, (m0..m5)) with
+    # wmmat in WARPEDMODEL_PREC_BITS precision; () -> all IDENTITY
+    global_motion: tuple = ()
     refresh_frame_flags: int = 0xFF
     disable_frame_end_update_cdf: bool = False
     # CDEF (spec 5.9.19 cdef_params; only read when seq.enable_cdef)
@@ -405,8 +408,7 @@ def write_frame_header(w: BitWriter, seq: SequenceHeader, fh: FrameHeader,
     # allow_warped_motion: seq-disabled -> skip
     w.flag(fh.reduced_tx_set)
     if is_inter:
-        for _ in range(7):
-            w.flag(False)                # is_global (LAST..ALTREF)
+        _write_global_motion(w, fh)
     _write_film_grain(w, seq, fh)
 
 
@@ -642,8 +644,7 @@ def parse_frame_header(r: BitReader, seq: SequenceHeader,
         assert not r.flag(), "skip_mode_present unsupported"
     fh.reduced_tx_set = r.flag()
     if is_inter:
-        for _ in range(7):
-            assert not r.flag()          # is_global
+        _parse_global_motion(r, fh)
     _parse_film_grain(r, seq, fh)
     return fh
 
@@ -781,3 +782,193 @@ def iter_obus(data: bytes):
         size, pos = leb128_decode(data, pos)
         yield obu_type, data[pos:pos + size]
         pos += size
+
+# --------------------------------------------------------------------------
+# Global motion (global_motion_params, spec 5.9.24; write:
+# EbEntropyCoding.c:3535 write_global_motion_params, read:
+# EbDecParseObu.c:1136 read_global_param)
+# --------------------------------------------------------------------------
+
+GM_IDENTITY, GM_TRANSLATION, GM_ROTZOOM, GM_AFFINE = 0, 1, 2, 3
+WARPEDMODEL_PREC = 16
+GM_ALPHA_PREC_BITS = 15
+GM_ABS_ALPHA_BITS = 12
+GM_TRANS_PREC_BITS = 6
+GM_ABS_TRANS_BITS = 12
+GM_ABS_TRANS_ONLY_BITS = GM_ABS_TRANS_BITS - GM_TRANS_PREC_BITS + 3
+GM_TRANS_ONLY_PREC_BITS = 3
+GM_IDENTITY_MAT = (0, 0, 1 << WARPEDMODEL_PREC, 0, 0, 1 << WARPEDMODEL_PREC)
+
+
+def _gm_entry(fh: "FrameHeader", ref_i: int):
+    if fh.global_motion and ref_i < len(fh.global_motion):
+        return fh.global_motion[ref_i]
+    return (GM_IDENTITY, GM_IDENTITY_MAT)
+
+
+def _ns_bits(n: int) -> int:
+    return max((n - 1).bit_length(), 1)
+
+
+def _write_ns(w: BitWriter, n: int, v: int) -> None:
+    if n <= 1:
+        return
+    l = _ns_bits(n)
+    m = (1 << l) - n
+    if v < m:
+        w.f(v, l - 1)
+    else:
+        w.f(m + ((v - m) >> 1), l - 1)
+        w.f((v - m) & 1, 1)
+
+
+def _read_ns(r: BitReader, n: int) -> int:
+    if n <= 1:
+        return 0
+    l = _ns_bits(n)
+    m = (1 << l) - n
+    v = r.f(l - 1)
+    if v < m:
+        return v
+    return (v << 1) - m + r.f(1)
+
+
+def _recenter_nonneg(ref: int, v: int) -> int:
+    if v > (ref << 1):
+        return v
+    if v >= ref:
+        return (v - ref) << 1
+    return ((ref - v) << 1) - 1
+
+
+def _inv_recenter_nonneg(ref: int, v: int) -> int:
+    if v > (ref << 1):
+        return v
+    if v & 1:
+        return ref - ((v + 1) >> 1)
+    return ref + (v >> 1)
+
+
+def _write_subexp(w: BitWriter, num_syms: int, v: int, k: int = 3) -> None:
+    i = mk = 0
+    while True:
+        b2 = k + i - 1 if i else k
+        a = 1 << b2
+        if num_syms <= mk + 3 * a:
+            _write_ns(w, num_syms - mk, v - mk)
+            return
+        if v >= mk + a:
+            w.flag(True)
+            i += 1
+            mk += a
+        else:
+            w.flag(False)
+            w.f(v - mk, b2)
+            return
+
+
+def _read_subexp(r: BitReader, num_syms: int, k: int = 3) -> int:
+    i = mk = 0
+    while True:
+        b2 = k + i - 1 if i else k
+        a = 1 << b2
+        if num_syms <= mk + 3 * a:
+            return _read_ns(r, num_syms - mk) + mk
+        if r.flag():
+            i += 1
+            mk += a
+        else:
+            return r.f(b2) + mk
+
+
+def _write_signed_subexp_ref(w, low, high, ref, v):
+    mx = high - low
+    ref -= low
+    x = v - low
+    if (ref << 1) <= mx:
+        s = _recenter_nonneg(ref, x)
+    else:
+        s = _recenter_nonneg(mx - 1 - ref, mx - 1 - x)
+    _write_subexp(w, mx, s)
+
+
+def _read_signed_subexp_ref(r, low, high, ref):
+    mx = high - low
+    ref -= low
+    v = _read_subexp(r, mx)
+    if (ref << 1) <= mx:
+        x = _inv_recenter_nonneg(ref, v)
+    else:
+        x = mx - 1 - _inv_recenter_nonneg(mx - 1 - ref, v)
+    return x + low
+
+
+def _gm_param_spec(wmtype: int, idx: int, allow_hp: bool):
+    """(abs_bits, prec_bits, round, sub) for one wmmat index."""
+    abs_bits, prec_bits = GM_ABS_ALPHA_BITS, GM_ALPHA_PREC_BITS
+    if idx < 2:
+        if wmtype == GM_TRANSLATION:
+            abs_bits = GM_ABS_TRANS_ONLY_BITS - (not allow_hp)
+            prec_bits = GM_TRANS_ONLY_PREC_BITS - (not allow_hp)
+        else:
+            abs_bits, prec_bits = GM_ABS_TRANS_BITS, GM_TRANS_PREC_BITS
+    rnd = (1 << WARPEDMODEL_PREC) if idx % 3 == 2 else 0
+    sub = (1 << prec_bits) if idx % 3 == 2 else 0
+    return abs_bits, prec_bits, rnd, sub
+
+
+def _write_global_motion(w: BitWriter, fh: "FrameHeader") -> None:
+    for ref_i in range(7):
+        wmtype, mat = _gm_entry(fh, ref_i)
+        w.flag(wmtype != GM_IDENTITY)
+        if wmtype != GM_IDENTITY:
+            w.flag(wmtype == GM_ROTZOOM)
+            if wmtype != GM_ROTZOOM:
+                w.flag(wmtype == GM_TRANSLATION)
+        idxs = []
+        if wmtype >= GM_ROTZOOM:
+            idxs += [2, 3]
+        if wmtype == GM_AFFINE:
+            idxs += [4, 5]
+        if wmtype >= GM_TRANSLATION:
+            idxs += [0, 1]
+        for idx in idxs:
+            abs_bits, prec_bits, rnd, sub = _gm_param_spec(
+                wmtype, idx, False)
+            prec_diff = WARPEDMODEL_PREC - prec_bits
+            mx = 1 << abs_bits
+            ref_v = (GM_IDENTITY_MAT[idx] >> prec_diff) - sub
+            v = (mat[idx] >> prec_diff) - sub
+            _write_signed_subexp_ref(w, -mx, mx + 1, ref_v, v)
+
+
+def _parse_global_motion(r: BitReader, fh: "FrameHeader") -> None:
+    out = []
+    for _ in range(7):
+        if r.flag():
+            wmtype = GM_ROTZOOM if r.flag() else (
+                GM_TRANSLATION if r.flag() else GM_AFFINE)
+        else:
+            wmtype = GM_IDENTITY
+        mat = list(GM_IDENTITY_MAT)
+        idxs = []
+        if wmtype >= GM_ROTZOOM:
+            idxs += [2, 3]
+        if wmtype == GM_AFFINE:
+            idxs += [4, 5]
+        if wmtype >= GM_TRANSLATION:
+            idxs += [0, 1]
+        for idx in idxs:
+            abs_bits, prec_bits, rnd, sub = _gm_param_spec(
+                wmtype, idx, False)
+            prec_diff = WARPEDMODEL_PREC - prec_bits
+            mx = 1 << abs_bits
+            ref_v = (GM_IDENTITY_MAT[idx] >> prec_diff) - sub
+            mat[idx] = (_read_signed_subexp_ref(r, -mx, mx + 1, ref_v)
+                        << prec_diff) + rnd
+        if wmtype == GM_ROTZOOM:
+            mat[4] = -mat[3]
+            mat[5] = mat[2]
+        out.append((wmtype, tuple(mat)))
+    fh.global_motion = tuple(out)
+

@@ -120,35 +120,44 @@ def warp_affine(mat, ref: np.ndarray, p_col: int, p_row: int,
             sx4 &= ~((1 << WARP_PARAM_REDUCE_BITS) - 1)
             sy4 &= ~((1 << WARP_PARAM_REDUCE_BITS) - 1)
 
-            # horizontal pass: 15 rows x 8 cols intermediate
-            tmp = np.zeros((15, 8), np.int32)
-            rows = np.clip(iy4 + np.arange(-7, 8), 0, height - 1)
-            for k in range(-7, 8):
-                sx = sx4 + beta * (k + 4)
-                row = ref[rows[k + 7]]
-                for l in range(-4, 4):
-                    ix = ix4 + l - 3
-                    offs = _round_pow2(sx, WARPEDDIFF_PREC_BITS) \
-                        + WARPEDPIXEL_PREC_SHIFTS
-                    cols = np.clip(ix + np.arange(8), 0, width - 1)
-                    s = (1 << offset_bits_horiz) \
-                        + int((row[cols] * filters[offs]).sum())
-                    tmp[k + 7, l + 4] = _round_pow2(s, reduce_bits_horiz)
-                    sx += alpha
+            # horizontal pass: 15 rows x 8 cols intermediate (vectorized
+            # per tile: gather + one tensordot over the 8 taps)
+            ks = np.arange(-7, 8)[:, None]               # [15,1]
+            ls = np.arange(-4, 4)[None, :]               # [1,8]
+            sx = sx4 + beta * (ks + 4) + alpha * (ls + 4)      # [15,8]
+            offs_h = ((sx + (1 << (WARPEDDIFF_PREC_BITS - 1)))
+                      >> WARPEDDIFF_PREC_BITS) + WARPEDPIXEL_PREC_SHIFTS
+            rows = np.clip(iy4 + ks, 0, height - 1)      # [15,1]
+            cols = np.clip(ix4 + ls[:, :, None] - 3
+                           + np.arange(8)[None, None, :],
+                           0, width - 1)                 # [1,8,8]
+            samp = ref[np.broadcast_to(rows[:, :, None], (15, 8, 8)),
+                       np.broadcast_to(cols, (15, 8, 8))]
+            s = (samp * filters[offs_h]).sum(axis=2) \
+                + (1 << offset_bits_horiz)
+            tmp = (s + (1 << (reduce_bits_horiz - 1))) >> reduce_bits_horiz
 
             # vertical pass
-            for k in range(-4, min(4, p_row + p_height - i - 4)):
-                sy = sy4 + delta * (k + 4)
-                for l in range(-4, min(4, p_col + p_width - j - 4)):
-                    offs = _round_pow2(sy, WARPEDDIFF_PREC_BITS) \
-                        + WARPEDPIXEL_PREC_SHIFTS
-                    s = (1 << offset_bits_vert) + int(
-                        (tmp[k + 4:k + 12, l + 4] * filters[offs]).sum())
-                    s = _round_pow2(s, reduce_bits_vert)
-                    v = s - (1 << (bd - 1)) - (1 << bd)
-                    pred[i - p_row + k + 4, j - p_col + l + 4] = \
-                        _clamp(v, 0, max_pix)
-                    sy += gamma
+            kh = min(4, p_row + p_height - i - 4)
+            kw = min(4, p_col + p_width - j - 4)
+            ks_v = np.arange(-4, kh)[:, None]            # [kh+4,1]
+            ls_v = np.arange(-4, kw)[None, :]            # [1,kw+4]
+            sy = sy4 + delta * (ks_v + 4) + gamma * (ls_v + 4)
+            offs_v = ((sy + (1 << (WARPEDDIFF_PREC_BITS - 1)))
+                      >> WARPEDDIFF_PREC_BITS) + WARPEDPIXEL_PREC_SHIFTS
+            # taps read tmp rows k+4..k+11 at column l+4
+            m = np.arange(8)[None, None, :]
+            rsel = ks_v[:, :, None] + 4 + m              # [kh+4,1,8]
+            csel = ls_v[:, :, None] + 4                  # [1,kw+4,1]
+            sh_v, sw_v = sy.shape
+            vals = tmp[np.broadcast_to(rsel, (sh_v, sw_v, 8)),
+                       np.broadcast_to(csel, (sh_v, sw_v, 8))]
+            sv = (vals * filters[offs_v]).sum(axis=2) \
+                + (1 << offset_bits_vert)
+            sv = (sv + (1 << (reduce_bits_vert - 1))) >> reduce_bits_vert
+            out = np.clip(sv - (1 << (bd - 1)) - (1 << bd), 0, max_pix)
+            pred[i - p_row:i - p_row + sh_v,
+                 j - p_col:j - p_col + sw_v] = out
     return pred
 
 
@@ -161,3 +170,37 @@ def warp_plane(mat, ref, p_col, p_row, p_width, p_height, sub_x, sub_y,
         return None
     return warp_affine(mat, ref, p_col, p_row, p_width, p_height,
                        sub_x, sub_y, *sp, bd=bd)
+
+
+def convert_to_trans_prec(allow_hp: bool, v: int) -> int:
+    if allow_hp:
+        return _round_pow2_signed(v, WARPEDMODEL_PREC_BITS - 3)
+    return _round_pow2_signed(v, WARPEDMODEL_PREC_BITS - 2) * 2
+
+
+def gm_get_motion_vector(wmtype: int, mat, bw: int, bh: int, mi_col: int,
+                         mi_row: int, allow_hp: bool = False,
+                         is_integer: bool = False) -> tuple[int, int]:
+    """Block (row, col) motion vector in 1/8 px implied by a global
+    model (gm_get_motion_vector_enc,
+    EbAdaptiveMotionVectorPrediction.c)."""
+    if wmtype == IDENTITY:
+        return (0, 0)
+    if wmtype == TRANSLATION:
+        row = mat[0] >> (WARPEDMODEL_PREC_BITS - 3)
+        col = mat[1] >> (WARPEDMODEL_PREC_BITS - 3)
+        if is_integer:
+            row = _round_pow2_signed(row, 3) * 8
+            col = _round_pow2_signed(col, 3) * 8
+        return (row, col)
+    x = mi_col * 4 + bw // 2 - 1
+    y = mi_row * 4 + bh // 2 - 1
+    one = 1 << WARPEDMODEL_PREC_BITS
+    xc = (mat[2] - one) * x + mat[3] * y + mat[0]
+    yc = mat[4] * x + (mat[5] - one) * y + mat[1]
+    tx = convert_to_trans_prec(allow_hp, xc)
+    ty = convert_to_trans_prec(allow_hp, yc)
+    if is_integer:
+        tx = _round_pow2_signed(tx, 3) * 8
+        ty = _round_pow2_signed(ty, 3) * 8
+    return (ty, tx)

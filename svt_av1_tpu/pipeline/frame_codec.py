@@ -285,7 +285,8 @@ class ModeDecider:
             stack_res = mp.find_mv_stack(
                 codec.mi, mi_row, mi_col, w4, h4, ref,
                 codec.mi_rows, codec.mi_cols, sb_mi=codec.seq.sb_size // 4,
-                sign_bias=codec.sign_bias, tile=codec.tile)
+                sign_bias=codec.sign_bias, tile=codec.tile,
+                **codec.gm_stack_kwargs(ref, 0, mi_row, mi_col, w4, h4))
 
             def mc_sad(mv, ref=ref):
                 pred = codec.predict_inter(0, mv, x, y, bw, bh, ref)
@@ -297,8 +298,13 @@ class ModeDecider:
                 cands.append((mc_sad(nearest), mp.NEARESTMV, nearest, 0, ref))
             if len(stack_res.stack) >= 2 and near != nearest and in_frame(near):
                 cands.append((mc_sad(near) + 16, mp.NEARMV, near, 0, ref))
-            if in_frame((0, 0)):
-                cands.append((mc_sad((0, 0)) + 32, mp.GLOBALMV, (0, 0), 0, ref))
+            gmv = codec.gm_mv_for(ref, mi_row, mi_col, bw, bh)
+            if codec.gm_entry(ref)[0] > 1 and min(bw, bh) >= 8:
+                wp = codec.predict_warp(0, ref, x, y, bw, bh)
+                cands.append((int(np.abs(src - wp).sum()) + 32,
+                              mp.GLOBALMV, gmv, 0, ref))
+            elif in_frame(gmv):
+                cands.append((mc_sad(gmv) + 32, mp.GLOBALMV, gmv, 0, ref))
             # NEWMV: full-pel ME around the nearest predictor, window kept
             # inside the visible frame (the reference decoder build does
             # not pad references in its MT path, so out-of-frame reads
@@ -354,7 +360,9 @@ class ModeDecider:
                     codec.mi, mi_row, mi_col, w4, h4, rf,
                     codec.mi_rows, codec.mi_cols,
                     sb_mi=codec.seq.sb_size // 4, sign_bias=codec.sign_bias,
-                    ref_frame1=rb, tile=codec.tile).stack
+                    ref_frame1=rb, tile=codec.tile,
+                    **codec.gm_stack_kwargs(rf, rb, mi_row, mi_col,
+                                            w4, h4)).stack
                 lower = lambda mv: mp.lower_mv_precision(mv, False, False)
                 trials = [(mp.NEW_NEWMV, bf[2], bb[2], 96)]
                 if stack:
@@ -1916,6 +1924,59 @@ class FrameCodec:
         int_y = int(np.clip(int_y, 4, ref.shape[0] - ph - 8))
         return int_x, int_y, pos_x & 15, pos_y & 15
 
+    def gm_entry(self, ref_name: int):
+        """(wmtype, mat) of the global model for a named ref (LAST..
+        ALTREF); (0, None) when identity."""
+        gm = getattr(self.fh, "global_motion", ())
+        if not gm or not (1 <= ref_name <= len(gm)):
+            return 0, None
+        t, mat = gm[ref_name - 1]
+        return (t, mat) if t else (0, None)
+
+    def gm_mv_for(self, ref_name, mi_row, mi_col, bw, bh):
+        """GLOBALMV motion vector for a block (gm_get_motion_vector)."""
+        t, mat = self.gm_entry(ref_name)
+        if not t:
+            return (0, 0)
+        from ..ops import warp as warp_ops
+        return warp_ops.gm_get_motion_vector(t, mat, bw, bh, mi_col, mi_row)
+
+    def gm_stack_kwargs(self, ref, ref1, mi_row, mi_col, w4, h4):
+        """find_mv_stack keyword args carrying the block's global mvs
+        (GlobalMvs, spec 7.10.2.2) and which refs use a warp model."""
+        gmv = self.gm_mv_for(ref, mi_row, mi_col, w4 * 4, h4 * 4)
+        gmv1 = self.gm_mv_for(ref1, mi_row, mi_col, w4 * 4, h4 * 4) \
+            if ref1 else (0, 0)
+        t0, _ = self.gm_entry(ref)
+        t1 = self.gm_entry(ref1)[0] if ref1 else 0
+        return dict(gm_mv=gmv, gm_mv1=gmv1, gm_warp=(t0 > 1, t1 > 1))
+
+    def _is_warp_global(self, decision, plane_bw, plane_bh, plane):
+        """do_warp (EbDecInterPrediction.c:903): GLOBALMV family with a
+        >TRANSLATION model, PLANE block dims >= 8 (so the chroma of an
+        8x8 luma block falls back to translation MC)."""
+        if decision.inter_mode not in (mv_pred.GLOBALMV,
+                                       mv_pred.GLOBAL_GLOBALMV):
+            return False
+        if min(plane_bw, plane_bh) < 8:
+            return False
+        t, _ = self.gm_entry(decision.ref)
+        return t > 1
+
+    def predict_warp(self, plane, ref_name, px, py, pw, ph):
+        """Global-warp MC of one plane block (svt_warp_plane)."""
+        from ..ops import warp as warp_ops
+        _, mat = self.gm_entry(ref_name)
+        sh = 1 if plane else 0
+        vis_w = (self.fh.frame_width + sh) >> sh
+        vis_h = (self.fh.frame_height + sh) >> sh
+        ref = self.refs[ref_name][plane][REF_PAD:REF_PAD + vis_h,
+                                         REF_PAD:REF_PAD + vis_w]
+        out = warp_ops.warp_plane(mat, ref, px, py, pw, ph, sh, sh,
+                                  bd=self.seq.bit_depth)
+        assert out is not None, "unwarpable gm model signaled"
+        return out
+
     def predict_inter(self, plane, mv, px, py, pw, ph, ref_name=1):
         """Motion-compensated prediction from a named reference."""
         ref = self.refs[ref_name][plane]
@@ -1944,6 +2005,8 @@ class FrameCodec:
             return self.predict_compound(plane, decision.mv, decision.mv1,
                                          px, py, pw, ph, decision.ref,
                                          decision.ref1)
+        if self._is_warp_global(decision, pw, ph, plane):
+            return self.predict_warp(plane, decision.ref, px, py, pw, ph)
         return self.predict_inter(plane, decision.mv, px, py, pw, ph,
                                   decision.ref)
 
@@ -2034,7 +2097,8 @@ class FrameCodec:
                     self.mi, mi_row, mi_col, w4, h4, ref,
                     self.mi_rows, self.mi_cols,
                     sb_mi=self.seq.sb_size // MI, sign_bias=self.sign_bias,
-                    tile=self.tile)
+                    tile=self.tile,
+                    **self.gm_stack_kwargs(ref, 0, mi_row, mi_col, w4, h4))
                 mode = self._code_inter_mode(
                     stack_res.mode_context,
                     None if decision is None else decision.inter_mode)
@@ -2060,8 +2124,8 @@ class FrameCodec:
                     mv = nearestmv
                 elif mode == mv_pred.NEARMV:
                     mv = nearmv
-                else:
-                    mv = (0, 0)              # GLOBALMV (identity model)
+                else:                    # GLOBALMV
+                    mv = self.gm_mv_for(ref, mi_row, mi_col, bw, bh)
                 if io.is_decoder:
                     decision = BlockDecision(is_inter=True, inter_mode=mode,
                                              mv=(int(mv[0]), int(mv[1])),
@@ -2089,7 +2153,8 @@ class FrameCodec:
         stack_res = mv_pred.find_mv_stack(
             self.mi, mi_row, mi_col, w4, h4, ref,
             self.mi_rows, self.mi_cols, sb_mi=self.seq.sb_size // MI,
-            sign_bias=self.sign_bias, ref_frame1=ref1, tile=self.tile)
+            sign_bias=self.sign_bias, ref_frame1=ref1, tile=self.tile,
+            **self.gm_stack_kwargs(ref, ref1, mi_row, mi_col, w4, h4))
         ctx = mv_pred.compound_mode_ctx(stack_res.mode_context)
         sym = io.symbol(
             None if decision is None
@@ -2132,7 +2197,8 @@ class FrameCodec:
         elif mode == mv_pred.NEAR_NEARMV:
             mv0, mv1 = near
         elif mode == mv_pred.GLOBAL_GLOBALMV:
-            mv0 = mv1 = (0, 0)
+            mv0 = self.gm_mv_for(ref, mi_row, mi_col, w4 * 4, h4 * 4)
+            mv1 = self.gm_mv_for(ref1, mi_row, mi_col, w4 * 4, h4 * 4)
         elif mode == mv_pred.NEW_NEWMV:
             mv0 = code_new(0)
             mv1 = code_new(1)

@@ -81,7 +81,8 @@ def find_mv_stack(grid: MiGrid, mi_row: int, mi_col: int, bw4: int, bh4: int,
                   ref_frame: int, mi_rows: int, mi_cols: int,
                   sb_mi: int = 16, gm_mv=(0, 0), allow_hp: bool = False,
                   force_int: bool = False, sign_bias=None,
-                  ref_frame1: int = 0, tile=None) -> MvStackResult:
+                  ref_frame1: int = 0, tile=None, gm_mv1=(0, 0),
+                  gm_warp=(False, False)) -> MvStackResult:
     """ref_frame1 > 0 selects the compound path: stack entries become
     (mv0, mv1, weight) pairs (dec_setup_ref_mv_list compound branches).
 
@@ -100,7 +101,18 @@ def find_mv_stack(grid: MiGrid, mi_row: int, mi_col: int, bw4: int, bh4: int,
     newmv_count = 0
     if sign_bias is None:
         sign_bias = [0] * 8
-    gm_mvs = (gm_mv, gm_mv)
+    gm_mvs = (gm_mv, gm_mv1 if ref_frame1 > 0 else gm_mv)
+
+    def _cand_global(r, c, k):
+        """is_gm_block of the candidate: coded GLOBALMV family on a
+        >=8x8 block while list-k's model warps (spec 7.10.2.9 gating the
+        GlobalMvs substitution)."""
+        if not gm_warp[k]:
+            return False
+        m = int(grid.mode[r, c])
+        if m not in (GLOBALMV, GLOBAL_GLOBALMV):
+            return False
+        return min(int(grid.bw4[r, c]), int(grid.bh4[r, c])) >= 2
 
     def add_ref_mv(cand_rc, weight, bump):
         """add_ref_mv_candidate (spec 7.10.2.9)."""
@@ -113,7 +125,9 @@ def find_mv_stack(grid: MiGrid, mi_row: int, mi_col: int, bw4: int, bh4: int,
         if compound:
             if cand_refs[0] != ref_frame or cand_refs[1] != ref_frame1:
                 return 0
-            key = cand_mvs[0] + cand_mvs[1]
+            mv0 = gm_mvs[0] if _cand_global(r, c, 0) else cand_mvs[0]
+            mv1 = gm_mvs[1] if _cand_global(r, c, 1) else cand_mvs[1]
+            key = mv0 + mv1
             for ent in stack:
                 if tuple(ent[:4]) == key:
                     ent[4] += weight
@@ -127,7 +141,7 @@ def find_mv_stack(grid: MiGrid, mi_row: int, mi_col: int, bw4: int, bh4: int,
         for j in range(2):
             if cand_refs[j] != ref_frame:
                 continue
-            mv = cand_mvs[j]
+            mv = gm_mvs[0] if _cand_global(r, c, 0) else cand_mvs[j]
             for ent in stack:
                 if (ent[0], ent[1]) == mv:
                     ent[2] += weight
