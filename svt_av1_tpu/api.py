@@ -228,6 +228,7 @@ class Encoder:
             use_128x128_superblock=cfg.super_block_size == 128,
             bit_depth=cfg.encoder_bit_depth,
             enable_filter_intra=sig.enable_filter_intra,
+            enable_warped_motion=sig.enable_warped_motion,
             enable_intra_edge_filter=True,
             enable_order_hint=self.pd.gop > 1,
             enable_superres=cfg.superres_mode > 0 and cfg.superres_denom > 8,
@@ -466,6 +467,10 @@ class Encoder:
             # tx_size syntax; inter frames keep TX_MODE_LARGEST until
             # var-tx lands)
             tx_mode_select=job.is_key and self.cfg.enc_mode <= 4,
+            is_motion_mode_switchable=not job.is_key
+            and self.sig.enable_warped_motion,
+            allow_warped_motion=not job.is_key
+            and self.sig.enable_warped_motion,
         )
 
     def _refresh_mask(self, job: CodeJob) -> int:
@@ -571,6 +576,7 @@ class Encoder:
         codec = FrameCodec(self.seq, fh, source_planes=planes, refs=refs)
         codec.sign_bias = sign_bias
         codec.lr_source = lr_source
+        codec.obmc_level = self.sig.obmc_level
         tile_data = _assemble_tile_group(codec.encode_tiles(decider), fh)
         codec.apply_loop_filter()
         codec.search_and_apply_cdef()
@@ -585,6 +591,7 @@ class Encoder:
                 codec2 = FrameCodec(self.seq, fh, source_planes=planes,
                                     refs=refs)
                 codec2.sign_bias = sign_bias
+                codec2.obmc_level = self.sig.obmc_level
                 codec2.lr_plan = codec.lr_plan
                 tile_data = _assemble_tile_group(
                     codec2.encode_tiles(decider), fh)

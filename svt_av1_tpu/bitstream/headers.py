@@ -52,6 +52,7 @@ class SequenceHeader:
     color_range: int = 0
     chroma_sample_position: int = 0
     separate_uv_delta_q: bool = False
+    enable_warped_motion: bool = False
     film_grain_params_present: bool = False
     still_picture: bool = False
     # derived
@@ -90,6 +91,8 @@ class FrameHeader:
     context_update_tile_id: int = 0
     tile_size_bytes: int = 4
     primary_ref_frame: int = PRIMARY_REF_NONE
+    is_motion_mode_switchable: bool = False
+    allow_warped_motion: bool = False
     # global motion per named ref LAST..ALTREF: (wmtype, (m0..m5)) with
     # wmmat in WARPEDMODEL_PREC_BITS precision; () -> all IDENTITY
     global_motion: tuple = ()
@@ -156,7 +159,7 @@ def write_sequence_header(seq: SequenceHeader) -> bytes:
     w.flag(seq.enable_intra_edge_filter)
     w.flag(False)                       # enable_interintra_compound
     w.flag(False)                       # enable_masked_compound
-    w.flag(False)                       # enable_warped_motion
+    w.flag(seq.enable_warped_motion)
     w.flag(False)                       # enable_dual_filter
     w.flag(seq.enable_order_hint)
     if seq.enable_order_hint:
@@ -221,8 +224,10 @@ def parse_sequence_header(data: bytes) -> SequenceHeader:
     seq.use_128x128_superblock = r.flag()
     seq.enable_filter_intra = r.flag()
     seq.enable_intra_edge_filter = r.flag()
-    for _ in range(4):                   # interintra/masked/warped/dual
-        r.flag()
+    r.flag()                             # enable_interintra_compound
+    r.flag()                             # enable_masked_compound
+    seq.enable_warped_motion = r.flag()
+    r.flag()                             # enable_dual_filter
     seq.enable_order_hint = r.flag()
     if seq.enable_order_hint:
         if r.flag():
@@ -380,7 +385,7 @@ def write_frame_header(w: BitWriter, seq: SequenceHeader, fh: FrameHeader,
         w.flag(False)                    # allow_high_precision_mv
         w.flag(False)                    # is_filter_switchable
         w.f(0, 2)                        # interpolation_filter = REGULAR
-        w.flag(False)                    # is_motion_mode_switchable
+        w.flag(fh.is_motion_mode_switchable)
         # use_ref_frame_mvs: seq.enable_ref_frame_mvs == 0 -> skipped
     else:
         if not fh.show_frame:
@@ -405,7 +410,9 @@ def write_frame_header(w: BitWriter, seq: SequenceHeader, fh: FrameHeader,
         w.flag(fh.reference_select)
     if skip_mode_allowed(seq, fh, ref_order_hints):
         w.flag(False)                    # skip_mode_present
-    # allow_warped_motion: seq-disabled -> skip
+    if (is_inter and not fh.error_resilient_mode
+            and seq.enable_warped_motion):
+        w.flag(fh.allow_warped_motion)
     w.flag(fh.reduced_tx_set)
     if is_inter:
         _write_global_motion(w, fh)
@@ -561,7 +568,7 @@ def parse_frame_header(r: BitReader, seq: SequenceHeader,
         assert not r.flag()              # allow_high_precision_mv
         assert not r.flag()              # is_filter_switchable
         assert r.f(2) == 0               # REGULAR filter
-        assert not r.flag()              # is_motion_mode_switchable
+        fh.is_motion_mode_switchable = r.flag()
     else:
         if not fh.show_frame:
             fh.refresh_frame_flags = r.f(8)
@@ -642,6 +649,9 @@ def parse_frame_header(r: BitReader, seq: SequenceHeader,
         fh.reference_select = r.flag()
     if skip_mode_allowed(seq, fh, ref_order_hints):
         assert not r.flag(), "skip_mode_present unsupported"
+    if (is_inter and not fh.error_resilient_mode
+            and seq.enable_warped_motion):
+        fh.allow_warped_motion = r.flag()
     fh.reduced_tx_set = r.flag()
     if is_inter:
         _parse_global_motion(r, fh)

@@ -205,10 +205,8 @@ def validate_config(cfg: EncoderConfig) -> None:
     # worse than rejecting it (verify_settings parity: unsupported
     # combinations error out).  -1 = auto resolves to "off" today; any
     # explicit enable is refused until the tool lands.
-    for field, label in (("obmc_level", "OBMC"),
-                         ("palette_level", "palette"),
+    for field, label in (("palette_level", "palette"),
                          ("intrabc_mode", "intra block copy"),
-                         ("enable_warped_motion", "warped motion"),
                          ("screen_content_mode", "screen content tools"),
                          ("enable_adaptive_quantization", "adaptive "
                           "quantization / segmentation"),
@@ -273,6 +271,9 @@ def derive_signals(cfg: EncoderConfig) -> DerivedSignals:
     def auto(value: int, default: bool) -> bool:
         return default if value == -1 else bool(value)
 
+    def auto_i(value: int, default: int) -> int:
+        return default if value == -1 else int(value)
+
     return DerivedSignals(
         enable_hme_level1=auto(cfg.enable_hme_level1, True),
         enable_hme_level2=auto(cfg.enable_hme_level2, m <= 6),
@@ -285,10 +286,12 @@ def derive_signals(cfg: EncoderConfig) -> DerivedSignals:
         intra_angle_delta=auto(cfg.intra_angle_delta, m <= 5),
         cdef_level=cfg.cdef_level if cfg.cdef_level != -1 else (4 if m <= 5 else 2),
         enable_restoration=auto(cfg.enable_restoration, m <= 6),
-        # warp/OBMC are not implemented: auto resolves to off so the
         # derived signal surface stays honest
-        enable_warped_motion=False,
-        obmc_level=0,
+        enable_warped_motion=auto(cfg.enable_warped_motion,
+                                  m <= 5 and cfg.encoder_bit_depth == 8),
+        obmc_level=auto_i(cfg.obmc_level,
+                          1 if m <= 5 and cfg.encoder_bit_depth == 8
+                          else 0),
         compound_level=cfg.compound_level if cfg.compound_level != -1 else (1 if m <= 5 else 0),
         rdoq_level=cfg.rdoq_level if cfg.rdoq_level != -1 else (1 if m <= 7 else 0),
         tf_level=cfg.tf_level if cfg.tf_level != -1 else (1 if m <= 7 else 0),

@@ -204,3 +204,153 @@ def gm_get_motion_vector(wmtype: int, mat, bw: int, bh: int, mi_col: int,
         tx = _round_pow2_signed(tx, 3) * 8
         ty = _round_pow2_signed(ty, 3) * 8
     return (ty, tx)
+
+
+# ---------------------------------------------------------------------------
+# Local warp (WARPED_CAUSAL): normative integer least-squares fit of the
+# neighbour motion samples (find_affine_int / svt_find_projection,
+# EbWarpedMotion.c:373).  Decoder and encoder derive identical params.
+# ---------------------------------------------------------------------------
+
+LEAST_SQUARES_SAMPLES_MAX = 8
+LS_MV_MAX = 256
+LS_STEP = 8
+LS_MAT_DOWN = 2 + 2      # the >> (2 + LS_MAT_DOWN_BITS) in the LS macros
+
+
+def _ls_square(a):
+    return (a * a * 4 + a * 4 * LS_STEP + LS_STEP * LS_STEP * 2) >> LS_MAT_DOWN
+
+
+def _ls_product1(a, b):
+    return (a * b * 4 + (a + b) * 2 * LS_STEP
+            + LS_STEP * LS_STEP) >> LS_MAT_DOWN
+
+
+def _ls_product2(a, b):
+    return (a * b * 4 + (a + b) * 2 * LS_STEP
+            + LS_STEP * LS_STEP * 2) >> LS_MAT_DOWN
+
+
+def resolve_divisor_64(d: int) -> tuple[int, int]:
+    shift = d.bit_length() - 1
+    e = d - (1 << shift)
+    if shift > DIV_LUT_BITS:
+        f = _round_pow2(e, shift - DIV_LUT_BITS)
+    else:
+        f = e << (DIV_LUT_BITS - shift)
+    return int(table("div_lut")[f]), shift + DIV_LUT_PREC_BITS
+
+
+def _mult_shift_ndiag(p_x: int, i_det: int, shift: int) -> int:
+    v = p_x * i_det
+    return _clamp(_round_pow2_signed(v, shift),
+                  -WARPEDMODEL_NONDIAGAFFINE_CLAMP + 1,
+                  WARPEDMODEL_NONDIAGAFFINE_CLAMP - 1)
+
+
+def _mult_shift_diag(p_x: int, i_det: int, shift: int) -> int:
+    v = p_x * i_det
+    return _clamp(_round_pow2_signed(v, shift),
+                  (1 << WARPEDMODEL_PREC_BITS)
+                  - WARPEDMODEL_NONDIAGAFFINE_CLAMP + 1,
+                  (1 << WARPEDMODEL_PREC_BITS)
+                  + WARPEDMODEL_NONDIAGAFFINE_CLAMP - 1)
+
+
+def find_affine_int(n: int, pts1, pts2, bw: int, bh: int, mvy: int,
+                    mvx: int, mi_row: int, mi_col: int):
+    """ROTZOOM fit of n (src, dst) sample pairs; returns wmmat[0..5] or
+    None when the system is singular (find_affine_int)."""
+    a00 = a01 = a11 = 0
+    bx0 = bx1 = by0 = by1 = 0
+    rsuy = max(bh, 4) // 2 - 1
+    rsux = max(bw, 4) // 2 - 1
+    suy, sux = rsuy * 8, rsux * 8
+    duy, dux = suy + mvy, sux + mvx
+    isuy = mi_row * 4 + rsuy
+    isux = mi_col * 4 + rsux
+    for i in range(n):
+        dx = pts2[2 * i] - dux
+        dy = pts2[2 * i + 1] - duy
+        sx = pts1[2 * i] - sux
+        sy = pts1[2 * i + 1] - suy
+        if abs(sx - dx) < LS_MV_MAX and abs(sy - dy) < LS_MV_MAX:
+            a00 += _ls_square(sx)
+            a01 += _ls_product1(sx, sy)
+            a11 += _ls_square(sy)
+            bx0 += _ls_product2(sx, dx)
+            bx1 += _ls_product1(sy, dx)
+            by0 += _ls_product1(sx, dy)
+            by1 += _ls_product2(sy, dy)
+    det = a00 * a11 - a01 * a01
+    if det == 0:
+        return None
+    i_det, shift = resolve_divisor_64(abs(det))
+    i_det = -i_det if det < 0 else i_det
+    shift -= WARPEDMODEL_PREC_BITS
+    if shift < 0:
+        i_det <<= -shift
+        shift = 0
+    px0 = a11 * bx0 - a01 * bx1
+    px1 = -a01 * bx0 + a00 * bx1
+    py0 = a11 * by0 - a01 * by1
+    py1 = -a01 * by0 + a00 * by1
+    m2 = _mult_shift_diag(px0, i_det, shift)
+    m3 = _mult_shift_ndiag(px1, i_det, shift)
+    m4 = _mult_shift_ndiag(py0, i_det, shift)
+    m5 = _mult_shift_diag(py1, i_det, shift)
+    one = 1 << WARPEDMODEL_PREC_BITS
+    vx = mvx * (1 << (WARPEDMODEL_PREC_BITS - 3)) \
+        - (isux * (m2 - one) + isuy * m3)
+    vy = mvy * (1 << (WARPEDMODEL_PREC_BITS - 3)) \
+        - (isux * m4 + isuy * (m5 - one))
+    m0 = _clamp(vx, -WARPEDMODEL_TRANS_CLAMP, WARPEDMODEL_TRANS_CLAMP - 1)
+    m1 = _clamp(vy, -WARPEDMODEL_TRANS_CLAMP, WARPEDMODEL_TRANS_CLAMP - 1)
+    return (m0, m1, m2, m3, m4, m5)
+
+
+def find_projection(n: int, pts1, pts2, bw: int, bh: int, mvy: int,
+                    mvx: int, mi_row: int, mi_col: int):
+    """svt_find_projection: fitted + shear-valid wmmat or None."""
+    mat = find_affine_int(n, pts1, pts2, bw, bh, mvy, mvx, mi_row, mi_col)
+    if mat is None:
+        return None
+    if get_shear_params(mat) is None:
+        return None
+    return mat
+
+
+def select_samples(mv, pts, pts_inref, length: int, bw: int, bh: int
+                   ) -> int:
+    """Trim samples by motion-vector difference (select_samples); the
+    arrays are edited in place, returns the kept count."""
+    thresh = _clamp(max(bw, bh), 16, 112)
+    mvd = []
+    ret = 0
+    for i in range(length):
+        d = abs(pts_inref[2 * i] - pts[2 * i] - mv[1]) \
+            + abs(pts_inref[2 * i + 1] - pts[2 * i + 1] - mv[0])
+        mvd.append(-1 if d > thresh else d)
+        if d <= thresh:
+            ret += 1
+    if ret == 0:
+        return 1
+    i, j = 0, length - 1
+    for _ in range(length - ret):
+        while i < length and mvd[i] != -1:
+            i += 1
+        if j < 0:
+            break
+        while j >= 0 and mvd[j] == -1:
+            j -= 1
+        if j < 0 or i > j:
+            break
+        mvd[i] = mvd[j]
+        pts[2 * i] = pts[2 * j]
+        pts[2 * i + 1] = pts[2 * j + 1]
+        pts_inref[2 * i] = pts_inref[2 * j]
+        pts_inref[2 * i + 1] = pts_inref[2 * j + 1]
+        i += 1
+        j -= 1
+    return ret

@@ -238,6 +238,7 @@ class BlockDecision:
     tx_type_y: TxType = TxType.DCT_DCT
     filter_intra_mode: int = -1         # FILTER_DC..FILTER_PAETH; -1 off
     tx_depth: int = 0                   # luma tx split depth (TX_MODE_SELECT)
+    motion_mode: int = 0                # SIMPLE / OBMC_CAUSAL / WARPED_CAUSAL
     # inter fields
     is_inter: bool = False
     inter_mode: int = 0                 # PredictionMode NEARESTMV..NEW_NEWMV
@@ -347,6 +348,42 @@ class ModeDecider:
 
         best = min(cands, key=lambda c: c[0])
 
+        # WARPED_CAUSAL trial on the best single-ref candidate: derive
+        # local params from the neighbour samples and compare the warp
+        # prediction (motion_estimation warp refinement analog)
+        warp_mode = 0
+        if (codec.fh.is_motion_mode_switchable
+                and codec.fh.allow_warped_motion
+                and min(bw, bh) >= 8):
+            d_tmp = BlockDecision(is_inter=True, inter_mode=best[1],
+                                  mv=(int(best[2][0]), int(best[2][1])),
+                                  ref=best[4])
+            if codec._warp_eligible(d_tmp, mi_row, mi_col, w4, h4, bw, bh):
+                mat = codec.local_warp_mat(d_tmp, mi_row, mi_col,
+                                           w4, h4, bw, bh)
+                if mat is not None:
+                    from ..ops import warp as warp_ops
+                    ref_vis2 = codec.refs[best[4]][0][
+                        REF_PAD:REF_PAD + vis_h, REF_PAD:REF_PAD + vis_w]
+                    wp = warp_ops.warp_plane(mat, ref_vis2, x, y, bw, bh,
+                                             0, 0, bd=codec.seq.bit_depth)
+                    wsad = int(np.abs(src - wp).sum()) + 16
+                    if wsad < best[0]:
+                        best = (wsad, best[1], best[2], best[3], best[4])
+                        warp_mode = 2
+            # OBMC trial on the same candidate
+            if getattr(codec, "obmc_level", 1) > 0 and \
+                    codec._warp_eligible(d_tmp, mi_row, mi_col, w4, h4,
+                                         bw, bh):
+                base = codec.predict_inter(0, d_tmp.mv, x, y, bw, bh,
+                                           d_tmp.ref)
+                ob = codec._obmc_pred(0, base, x, y, bw, bh, mi_row,
+                                      mi_col, bw, bh)
+                osad = int(np.abs(src - ob).sum()) + 16
+                if osad < best[0]:
+                    best = (osad, best[1], best[2], best[3], best[4])
+                    warp_mode = 1
+
         # compound trial: average the best forward and backward singles
         comp_best = None
         if codec.fh.reference_select and bw >= 8 and bh >= 8:
@@ -393,7 +430,8 @@ class ModeDecider:
             return intra_d
         return BlockDecision(is_inter=True, inter_mode=best[1],
                              mv=(int(best[2][0]), int(best[2][1])),
-                             ref_mv_idx=best[3], ref=best[4])
+                             ref_mv_idx=best[3], ref=best[4],
+                             motion_mode=warp_mode)
 
     def decide(self, codec: "FrameCodec", x: int, y: int, bw: int, bh: int
                ) -> BlockDecision:
@@ -1951,6 +1989,145 @@ class FrameCodec:
         t1 = self.gm_entry(ref1)[0] if ref1 else 0
         return dict(gm_mv=gmv, gm_mv1=gmv1, gm_warp=(t0 > 1, t1 > 1))
 
+    def _warp_eligible(self, decision, mi_row, mi_col, w4, h4, bw, bh):
+        """is_motion_mode_allowed up to the sample scan
+        (EbDecParseInterBlock.c:1787): single-ref non-global-warp inter
+        block >= 8x8 with an overlappable neighbour."""
+        if not decision.is_inter or decision.ref1 > 0:
+            return False
+        if min(bw, bh) < 8:
+            return False
+        t, _ = self.gm_entry(decision.ref)
+        if decision.inter_mode in (mv_pred.GLOBALMV,
+                                   mv_pred.GLOBAL_GLOBALMV) and t > 1:
+            return False
+        return mv_pred.has_overlappable_cand(self.mi, mi_row, mi_col,
+                                             w4, h4, self.tile)
+
+    def _warp_samples(self, decision, mi_row, mi_col, w4, h4):
+        return mv_pred.find_warp_samples(
+            self.mi, mi_row, mi_col, w4, h4, decision.ref, self.tile,
+            self.seq.sb_size // MI)
+
+    def local_warp_mat(self, decision, mi_row, mi_col, w4, h4, bw, bh):
+        """WARPED_CAUSAL params from the neighbour samples (pure
+        function of the mi grid; EbDecProcessBlock.c:217)."""
+        from ..ops import warp as warp_ops
+        n, pts, ptsr = self._warp_samples(decision, mi_row, mi_col, w4, h4)
+        if n == 0:
+            return None
+        mv = decision.mv
+        if n > 1:
+            n = warp_ops.select_samples((mv[0], mv[1]), pts, ptsr, n,
+                                        bw, bh)
+        return warp_ops.find_projection(n, pts, ptsr, bw, bh,
+                                        mv[0], mv[1], mi_row, mi_col)
+
+    # OBMC (motion_mode == OBMC_CAUSAL): overlapped blending of the
+    # above/left neighbours' motion over the block's border strips
+    # (dec_build_obmc_inter_predictors_sb, EbDecObmc.c:518)
+    _MAX_NEIGHBOR_OBMC = (0, 1, 2, 3, 4, 4)
+
+    def _obmc_segments(self, mi_row, mi_col, w4, h4):
+        """(above_segs, left_segs): (pos, seg_len, mv, ref) per
+        overlappable neighbour, with the 4xN pairing rule."""
+        g = self.mi
+        t_r0, t_c0, t_r1, t_c1 = self.tile
+        above = []
+        if mi_row > t_r0:
+            nb_max = self._MAX_NEIGHBOR_OBMC[min(w4.bit_length() - 1, 5)]
+            end = min(mi_col + w4, self.mi_cols, t_c1)
+            c = mi_col
+            while c < end and len(above) < nb_max:
+                step = min(int(g.bw4[mi_row - 1, c]), 16)
+                cc = c
+                if step == 1:
+                    cc = min(c | 1, self.mi_cols - 1)
+                    step = 2
+                if int(g.ref_frame[mi_row - 1, cc]) > 0:
+                    above.append((c, min(w4, step),
+                                  (int(g.mv_row[mi_row - 1, cc]),
+                                   int(g.mv_col[mi_row - 1, cc])),
+                                  int(g.ref_frame[mi_row - 1, cc])))
+                c += step
+        left = []
+        if mi_col > t_c0:
+            nb_max = self._MAX_NEIGHBOR_OBMC[min(h4.bit_length() - 1, 5)]
+            end = min(mi_row + h4, self.mi_rows, t_r1)
+            r = mi_row
+            while r < end and len(left) < nb_max:
+                step = min(int(g.bh4[r, mi_col - 1]), 16)
+                rr = r
+                if step == 1:
+                    rr = min(r | 1, self.mi_rows - 1)
+                    step = 2
+                if int(g.ref_frame[rr, mi_col - 1]) > 0:
+                    left.append((r, min(h4, step),
+                                 (int(g.mv_row[rr, mi_col - 1]),
+                                  int(g.mv_col[rr, mi_col - 1])),
+                                 int(g.ref_frame[rr, mi_col - 1])))
+                r += step
+        return above, left
+
+    @staticmethod
+    def _skip_u4x4_obmc(bw, bh, direction, sub):
+        """svt_av1_skip_u4x4_pred_in_obmc: sub-8 plane blocks blend one
+        side only (above skipped)."""
+        pw, ph = max(bw >> sub, 4), max(bh >> sub, 4)
+        if (pw, ph) in ((4, 4), (8, 4), (4, 8)):
+            return direction == 0
+        return False
+
+    def _obmc_pred(self, plane, pred, px, py, pw, ph, mi_row, mi_col,
+                   bw, bh):
+        pred = pred.copy()
+        sub = 1 if plane else 0
+        above, left = self._obmc_segments(mi_row, mi_col, bw // MI,
+                                          bh // MI)
+        overlap_y = min(bh, 64) >> 1
+        if not self._skip_u4x4_obmc(bw, bh, 0, sub):
+            oh = overlap_y >> sub
+            mask = table(f"obmc_mask_{oh}").astype(np.int32)[:, None]
+            for (c, seg, mv, ref) in above:
+                sx = ((c - mi_col) * MI) >> sub
+                sw = (seg * MI) >> sub
+                nb = self.predict_inter(plane, mv, px + sx, py, sw, oh,
+                                        ref)
+                cur = pred[0:oh, sx:sx + sw]
+                pred[0:oh, sx:sx + sw] =                     (mask * cur + (64 - mask) * nb + 32) >> 6
+        overlap_x = min(bw, 64) >> 1
+        if not self._skip_u4x4_obmc(bw, bh, 1, sub):
+            ow = overlap_x >> sub
+            mask = table(f"obmc_mask_{ow}").astype(np.int32)[None, :]
+            for (r, seg, mv, ref) in left:
+                sy = ((r - mi_row) * MI) >> sub
+                sh2 = (seg * MI) >> sub
+                nb = self.predict_inter(plane, mv, px, py + sy, ow, sh2,
+                                        ref)
+                cur = pred[sy:sy + sh2, 0:ow]
+                pred[sy:sy + sh2, 0:ow] =                     (mask * cur + (64 - mask) * nb + 32) >> 6
+        return pred
+
+    def _code_motion_mode(self, decision, mi_row, mi_col, w4, h4, bw, bh):
+        """read_motion_mode (EbDecParseInterBlock.c:1815).  Returns the
+        coded mode; the encoder passes its desired mode via
+        decision.motion_mode (already validated)."""
+        io = self.io
+        if not self.fh.is_motion_mode_switchable:
+            return 0
+        if not self._warp_eligible(decision, mi_row, mi_col, w4, h4,
+                                   bw, bh):
+            return 0
+        n, _, _ = self._warp_samples(decision, mi_row, mi_col, w4, h4)
+        bs = _bsize_enum(bw, bh)
+        if n >= 1 and self.fh.allow_warped_motion:
+            return io.symbol(
+                None if io.is_decoder else decision.motion_mode,
+                self.fc.motion_mode[bs], 3)
+        return io.symbol(
+            None if io.is_decoder else min(decision.motion_mode, 1),
+            self.fc.obmc[bs], 2)
+
     def _is_warp_global(self, decision, plane_bw, plane_bh, plane):
         """do_warp (EbDecInterPrediction.c:903): GLOBALMV family with a
         >TRANSLATION model, PLANE block dims >= 8 (so the chroma of an
@@ -2005,6 +2182,25 @@ class FrameCodec:
             return self.predict_compound(plane, decision.mv, decision.mv1,
                                          px, py, pw, ph, decision.ref,
                                          decision.ref1)
+        if decision.motion_mode == 1:
+            base = self.predict_inter(plane, decision.mv, px, py, pw, ph,
+                                      decision.ref)
+            sh = 1 if plane else 0
+            return self._obmc_pred(plane, base, px, py, pw, ph,
+                                   (py << sh) // MI, (px << sh) // MI,
+                                   pw << sh, ph << sh)
+        if decision.motion_mode == 2 and min(pw, ph) >= 8:
+            from ..ops import warp as warp_ops
+            sh = 1 if plane else 0
+            vis_w = (self.fh.frame_width + sh) >> sh
+            vis_h = (self.fh.frame_height + sh) >> sh
+            ref = self.refs[decision.ref][plane][
+                REF_PAD:REF_PAD + vis_h, REF_PAD:REF_PAD + vis_w]
+            out = warp_ops.warp_plane(self._cur_warp_mat, ref, px, py,
+                                      pw, ph, sh, sh,
+                                      bd=self.seq.bit_depth)
+            assert out is not None
+            return out
         if self._is_warp_global(decision, pw, ph, plane):
             return self.predict_warp(plane, decision.ref, px, py, pw, ph)
         return self.predict_inter(plane, decision.mv, px, py, pw, ph,
@@ -2052,9 +2248,22 @@ class FrameCodec:
 
         decision = None
         txbs = None
+        self._cur_warp_mat = None
         if not io.is_decoder:
             decision = self.decider.decide_inter(self, x, y, bw, bh,
                                                  mi_row, mi_col, w4, h4)
+            if decision.motion_mode == 2:
+                # re-validate against the mi state of THIS coding pass
+                # (the decide cache may span partition-trial contexts)
+                mat = None
+                if self.fh.is_motion_mode_switchable                         and self.fh.allow_warped_motion                         and self._warp_eligible(decision, mi_row, mi_col,
+                                                w4, h4, bw, bh):
+                    mat = self.local_warp_mat(decision, mi_row, mi_col,
+                                              w4, h4, bw, bh)
+                if mat is None:
+                    decision = dataclasses.replace(decision, motion_mode=0)
+                else:
+                    self._cur_warp_mat = mat
             txbs = self._compute_block_inter(decision, x, y, bw, bh)
             skip = all(t["eob"] == 0 for t in txbs)
         else:
@@ -2134,6 +2343,17 @@ class FrameCodec:
             decision2 = self._code_intra_in_inter(decision, bw, bh)
             if io.is_decoder:
                 decision = decision2
+
+        if is_inter:
+            mm = self._code_motion_mode(decision, mi_row, mi_col, w4, h4,
+                                        bw, bh)
+            if io.is_decoder:
+                decision.motion_mode = mm
+                if mm == 2:
+                    self._cur_warp_mat = self.local_warp_mat(
+                        decision, mi_row, mi_col, w4, h4, bw, bh)
+                    assert self._cur_warp_mat is not None, \
+                        "WARPED_CAUSAL with invalid projection"
 
         self.y_modes[mi_row:mi_row + h4, mi_col:mi_col + w4] = \
             0 if is_inter else int(decision.y_mode)

@@ -477,3 +477,130 @@ def compound_mode_ctx(mode_context: int) -> int:
     newmv_ctx = mode_context & NEWMV_CTX_MASK
     refmv_ctx = (mode_context >> REFMV_OFFSET) & REFMV_CTX_MASK
     return COMPOUND_MODE_CTX_MAP[refmv_ctx >> 1][min(newmv_ctx, 4)]
+
+
+# ---------------------------------------------------------------------------
+# Warp-sample collection for WARPED_CAUSAL (find_warp_samples /
+# has_overlappable_cand, EbDecParseInterBlock.c:1620,1755).  Pure
+# functions of the mi grid, shared by encoder and decoder.
+# ---------------------------------------------------------------------------
+
+LEAST_SQUARES_SAMPLES_MAX = 8
+
+
+def _add_sample(grid, r, c, pts, ptsr, row_offset, sign_r, col_offset,
+                sign_c):
+    bw = int(grid.bw4[r, c]) * 4
+    bh = int(grid.bh4[r, c]) * 4
+    x = col_offset * 4 + sign_c * max(bw, 4) // 2 - 1
+    y = row_offset * 4 + sign_r * max(bh, 4) // 2 - 1
+    pts += [x * 8, y * 8]
+    ptsr += [x * 8 + int(grid.mv_col[r, c]), y * 8 + int(grid.mv_row[r, c])]
+
+
+def find_warp_samples(grid: MiGrid, mi_row: int, mi_col: int, bw4: int,
+                      bh4: int, ref_frame: int, tile, sb_mi: int):
+    """Returns (num_samples, pts, pts_inref) in the spec's 1/8-px sample
+    coordinates (block-relative via the current mi position)."""
+    t_r0, t_c0, t_r1, t_c1 = tile
+    pts: list[int] = []
+    ptsr: list[int] = []
+    np_ = 0
+    do_tl = do_tr = True
+    up = mi_row > t_r0
+    left = mi_col > t_c0
+
+    def cand_ok(r, c):
+        return int(grid.ref_frame[r, c]) == ref_frame \
+            and int(grid.ref_frame1[r, c]) == 0
+
+    if up:
+        r = mi_row - 1
+        n4_w = int(grid.bw4[r, mi_col])
+        if bw4 <= n4_w:
+            col_offset = -(mi_col % n4_w)
+            if col_offset < 0:
+                do_tl = False
+            if col_offset + n4_w > bw4:
+                do_tr = False
+            if cand_ok(r, mi_col):
+                _add_sample(grid, r, mi_col, pts, ptsr, 0, -1, col_offset, 1)
+                np_ += 1
+        else:
+            i = 0
+            while i < min(bw4, t_c1 - mi_col):
+                c = mi_col + i
+                n4_w = int(grid.bw4[r, c])
+                step = min(bw4, n4_w)
+                if cand_ok(r, c):
+                    _add_sample(grid, r, c, pts, ptsr, 0, -1, i, 1)
+                    np_ += 1
+                    if np_ >= LEAST_SQUARES_SAMPLES_MAX:
+                        return np_, pts, ptsr
+                i += step
+        if np_ >= LEAST_SQUARES_SAMPLES_MAX:
+            return np_, pts, ptsr
+
+    if left:
+        c = mi_col - 1
+        n4_h = int(grid.bh4[mi_row, c])
+        if bh4 <= n4_h:
+            row_offset = -(mi_row % n4_h)
+            if row_offset < 0:
+                do_tl = False
+            if cand_ok(mi_row, c):
+                _add_sample(grid, mi_row, c, pts, ptsr, row_offset, 1, 0, -1)
+                np_ += 1
+        else:
+            i = 0
+            while i < min(bh4, t_r1 - mi_row):
+                r = mi_row + i
+                n4_h = int(grid.bh4[r, c])
+                step = min(bh4, n4_h)
+                if cand_ok(r, c):
+                    _add_sample(grid, r, c, pts, ptsr, i, 1, 0, -1)
+                    np_ += 1
+                    if np_ >= LEAST_SQUARES_SAMPLES_MAX:
+                        return np_, pts, ptsr
+                i += step
+        if np_ >= LEAST_SQUARES_SAMPLES_MAX:
+            return np_, pts, ptsr
+
+    if do_tl and up and left:
+        r, c = mi_row - 1, mi_col - 1
+        if cand_ok(r, c):
+            _add_sample(grid, r, c, pts, ptsr, 0, -1, 0, -1)
+            np_ += 1
+            if np_ >= LEAST_SQUARES_SAMPLES_MAX:
+                return np_, pts, ptsr
+
+    if do_tr and _has_top_right_mv(mi_row, mi_col, bw4, bh4, sb_mi):
+        r, c = mi_row - 1, mi_col + bw4
+        if t_r0 <= r < t_r1 and t_c0 <= c < t_c1 and cand_ok(r, c):
+            _add_sample(grid, r, c, pts, ptsr, 0, -1, bw4, 1)
+            np_ += 1
+    return np_, pts, ptsr
+
+
+def has_overlappable_cand(grid: MiGrid, mi_row: int, mi_col: int,
+                          bw4: int, bh4: int, tile) -> bool:
+    t_r0, t_c0, t_r1, t_c1 = tile
+    if min(bw4, bh4) < 2:
+        return False
+    rows_max = grid.ref_frame.shape[0] - 1
+    cols_max = grid.ref_frame.shape[1] - 1
+    if mi_row > t_r0:
+        x4 = mi_col
+        while x4 < min(t_c1, mi_col + bw4):
+            c = min(x4 | 1, cols_max)
+            if int(grid.ref_frame[mi_row - 1, c]) > 0:
+                return True
+            x4 += max(2, int(grid.bw4[mi_row - 1, c]) >> 2)
+    if mi_col > t_c0:
+        y4 = mi_row
+        while y4 < min(t_r1, mi_row + bh4):
+            r = min(y4 | 1, rows_max)
+            if int(grid.ref_frame[r, mi_col - 1]) > 0:
+                return True
+            y4 += max(2, int(grid.bh4[r, mi_col - 1]) >> 2)
+    return False

@@ -130,3 +130,53 @@ def test_shear_params_match_reference():
             assert got == (wm.alpha, wm.beta, wm.gamma, wm.delta), mat
             checked += 1
     assert checked > 20
+
+
+@needs_oracle
+def test_find_projection_matches_reference():
+    """find_affine_int + shear validation vs svt_find_projection."""
+    L = oracle.lib()
+
+    class _Wm(ctypes.Structure):
+        _fields_ = [("wmtype", ctypes.c_int),
+                    ("wmmat", ctypes.c_int32 * 8),
+                    ("alpha", ctypes.c_int16), ("beta", ctypes.c_int16),
+                    ("gamma", ctypes.c_int16), ("delta", ctypes.c_int16),
+                    ("invalid", ctypes.c_int8)]
+
+    I32A = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    fn = L.svt_find_projection
+    fn.restype = ctypes.c_ubyte
+    fn.argtypes = [ctypes.c_int, I32A, I32A, ctypes.c_int, ctypes.c_int,
+                   ctypes.c_int, ctypes.POINTER(_Wm), ctypes.c_int,
+                   ctypes.c_int]
+    # BlockSize enum value for 16x16 is 6
+    rng = np.random.default_rng(5)
+    checked = 0
+    for _ in range(300):
+        n = int(rng.integers(1, 9))
+        mi_row, mi_col = int(rng.integers(2, 30)), int(rng.integers(2, 30))
+        bw = bh = 16
+        cx, cy = mi_col * 4 + bw // 2 - 1, mi_row * 4 + bh // 2 - 1
+        pts = np.zeros(16, np.int32)
+        ptsr = np.zeros(16, np.int32)
+        for i in range(n):
+            x = (cx + int(rng.integers(-24, 24))) * 8
+            y = (cy + int(rng.integers(-24, 24))) * 8
+            pts[2 * i], pts[2 * i + 1] = x, y
+            ptsr[2 * i] = x + int(rng.integers(-100, 100))
+            ptsr[2 * i + 1] = y + int(rng.integers(-100, 100))
+        mvy, mvx = int(rng.integers(-64, 64)) * 2, \
+            int(rng.integers(-64, 64)) * 2
+        wm = _Wm()
+        wm.wmtype = 2
+        bad = fn(n, pts.copy(), ptsr.copy(), 6, mvy, mvx,
+                 ctypes.byref(wm), mi_row, mi_col)
+        got = warp.find_projection(n, pts.tolist(), ptsr.tolist(),
+                                   bw, bh, mvy, mvx, mi_row, mi_col)
+        assert (got is None) == bool(bad), (n, mvy, mvx)
+        if got is not None:
+            assert tuple(got) == tuple(wm.wmmat[:6]), \
+                (got, list(wm.wmmat[:6]))
+            checked += 1
+    assert checked > 50

@@ -208,6 +208,12 @@ def main():
          "sub_pel_filters_8smooth", "bilinear_filters",
          "sub_pel_filters_4smooth"}))
 
+    print("extracting obmc masks from EbInterPrediction.c")
+    tables.update(extract_tables(
+        REF / "EbInterPrediction.c",
+        {"obmc_mask_1", "obmc_mask_2", "obmc_mask_4", "obmc_mask_8",
+         "obmc_mask_16", "obmc_mask_32", "obmc_mask_64"}))
+
     print("extracting warped motion tables from EbWarpedMotion.c")
     tables.update(extract_tables(
         REF / "EbWarpedMotion.c", {"div_lut"}))
