@@ -571,12 +571,18 @@ class Encoder:
                 for i, p in enumerate(planes))
         if self.seq.film_grain_params_present:
             fh.film_grain = self._estimate_film_grain(job, planes)
+        aq_map = None
+        if (job.is_key and self.sig.enable_adaptive_quantization
+                and fh.base_q_idx > 40):
+            aq_map, fh.seg_qdeltas = _variance_aq(
+                np.asarray(planes[0]), self.seq.sb_size, fh.base_q_idx)
         decider = self._decider_cached()
         decider.replay_store = {}    # per-frame; reused on LR re-encode
         codec = FrameCodec(self.seq, fh, source_planes=planes, refs=refs)
         codec.sign_bias = sign_bias
         codec.lr_source = lr_source
         codec.obmc_level = self.sig.obmc_level
+        codec.aq_map = aq_map
         tile_data = _assemble_tile_group(codec.encode_tiles(decider), fh)
         codec.apply_loop_filter()
         codec.search_and_apply_cdef()
@@ -592,6 +598,7 @@ class Encoder:
                                     refs=refs)
                 codec2.sign_bias = sign_bias
                 codec2.obmc_level = self.sig.obmc_level
+                codec2.aq_map = aq_map
                 codec2.lr_plan = codec.lr_plan
                 tile_data = _assemble_tile_group(
                     codec2.encode_tiles(decider), fh)
@@ -826,3 +833,26 @@ def decode_ivf(path: str):
             frames.append(planes)
     r.close()
     return frames, dec.md5.hexdigest()
+
+def _variance_aq(y_plane: np.ndarray, sb_size: int, base_q: int):
+    """Variance-based adaptive quantization: per-superblock source
+    variance quantiles map to 4 ALT_Q segments (the
+    Appendix-Variance-Based-Adaptive-Quantization analog; on TPU this is
+    one reduction over the SB grid)."""
+    h, w = y_plane.shape
+    rows = (h + sb_size - 1) // sb_size
+    cols = (w + sb_size - 1) // sb_size
+    var = np.zeros((rows, cols))
+    for r in range(rows):
+        for c in range(cols):
+            blk = y_plane[r * sb_size:(r + 1) * sb_size,
+                          c * sb_size:(c + 1) * sb_size].astype(np.float64)
+            var[r, c] = blk.var()
+    lv = np.log2(var + 1.0)
+    qs = np.quantile(lv, [0.25, 0.5, 0.75])
+    seg = np.digitize(lv, qs).astype(np.int8)      # 0..3
+    # flat areas get finer quantization, textured coarser (masking)
+    deltas = [-10, -4, 0, 6]
+    deltas = [int(np.clip(d, 1 - base_q, 255 - base_q)) for d in deltas]
+    return seg, (deltas[0], deltas[1], deltas[2], deltas[3], 0, 0, 0, 0)
+

@@ -93,6 +93,8 @@ class FrameHeader:
     primary_ref_frame: int = PRIMARY_REF_NONE
     is_motion_mode_switchable: bool = False
     allow_warped_motion: bool = False
+    # segmentation: per-segment ALT_Q deltas; () -> disabled
+    seg_qdeltas: tuple = ()
     # global motion per named ref LAST..ALTREF: (wmtype, (m0..m5)) with
     # wmmat in WARPEDMODEL_PREC_BITS precision; () -> all IDENTITY
     global_motion: tuple = ()
@@ -397,7 +399,7 @@ def write_frame_header(w: BitWriter, seq: SequenceHeader, fh: FrameHeader,
         w.flag(fh.disable_frame_end_update_cdf)
     _write_tile_info(w, seq, fh)
     _write_quantization_params(w, seq, fh)
-    w.flag(False)                        # segmentation_enabled
+    _write_segmentation(w, fh)
     if fh.base_q_idx > 0:
         w.flag(False)                    # delta_q_present
     if not (fh.coded_lossless or fh.allow_intrabc):
@@ -608,7 +610,7 @@ def parse_frame_header(r: BitReader, seq: SequenceHeader,
         assert not r.flag()              # u_dc
         assert not r.flag()              # u_ac
     assert not r.flag()                  # using_qmatrix
-    assert not r.flag()                  # segmentation_enabled
+    _parse_segmentation(r, fh)
     if fh.base_q_idx > 0:
         assert not r.flag()              # delta_q_present
     if not (fh.coded_lossless or fh.allow_intrabc):
@@ -981,4 +983,66 @@ def _parse_global_motion(r: BitReader, fh: "FrameHeader") -> None:
             mat[5] = mat[2]
         out.append((wmtype, tuple(mat)))
     fh.global_motion = tuple(out)
+
+# --------------------------------------------------------------------------
+# Segmentation (spec 5.9.14 segmentation_params; ALT_Q feature only)
+# --------------------------------------------------------------------------
+
+SEG_FEATURE_BITS = (8, 6, 6, 6, 6, 3, 0, 0)
+SEG_FEATURE_SIGNED = (1, 1, 1, 1, 1, 0, 0, 0)
+
+
+def _write_su(w: BitWriter, v: int, bits: int) -> None:
+    """su(1+bits): sign-magnitude-free two's complement literal."""
+    w.f(v & ((1 << (bits + 1)) - 1), bits + 1)
+
+
+def _read_su(r: BitReader, bits: int) -> int:
+    v = r.f(bits + 1)
+    sign = 1 << bits
+    return v - ((v & sign) << 1)
+
+
+def _write_segmentation(w: BitWriter, fh: "FrameHeader") -> None:
+    qd = fh.seg_qdeltas
+    w.flag(bool(qd))
+    if not qd:
+        return
+    # primary_ref_frame == NONE forces update_map=1, temporal_update=0,
+    # update_data=1 with no flags coded (our frames are PRIMARY_REF_NONE)
+    assert fh.primary_ref_frame == PRIMARY_REF_NONE
+    for seg in range(8):
+        delta = qd[seg] if seg < len(qd) else 0
+        w.flag(delta != 0)               # feature_enabled (SEG_LVL_ALT_Q)
+        if delta:
+            _write_su(w, delta, SEG_FEATURE_BITS[0])
+        for _ in range(7):               # remaining features disabled
+            w.flag(False)
+
+
+def _parse_segmentation(r: BitReader, fh: "FrameHeader") -> None:
+    if not r.flag():
+        fh.seg_qdeltas = ()
+        return
+    if fh.primary_ref_frame != PRIMARY_REF_NONE:
+        raise UnsupportedBitstream("segmentation with primary ref")
+    qd = []
+    for seg in range(8):
+        delta = 0
+        if r.flag():
+            delta = max(-255, min(255, _read_su(r, SEG_FEATURE_BITS[0])))
+        for feat in range(1, 8):
+            if r.flag():
+                raise UnsupportedBitstream(f"segmentation feature {feat}")
+        qd.append(delta)
+    fh.seg_qdeltas = tuple(qd)
+
+
+def seg_last_active(fh: "FrameHeader") -> int:
+    """last_active_seg_id: highest segment with any feature on."""
+    last = 0
+    for i, d in enumerate(fh.seg_qdeltas):
+        if d:
+            last = i
+    return last
 

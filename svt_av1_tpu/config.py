@@ -208,8 +208,6 @@ def validate_config(cfg: EncoderConfig) -> None:
     for field, label in (("palette_level", "palette"),
                          ("intrabc_mode", "intra block copy"),
                          ("screen_content_mode", "screen content tools"),
-                         ("enable_adaptive_quantization", "adaptive "
-                          "quantization / segmentation"),
                          ("pic_based_rate_est", "picture-based rate "
                           "estimation")):
         v = getattr(cfg, field)
@@ -250,6 +248,7 @@ class DerivedSignals:
     cdef_level: int
     enable_restoration: bool
     enable_warped_motion: bool
+    enable_adaptive_quantization: bool
     obmc_level: int
     compound_level: int
     rdoq_level: int
@@ -289,6 +288,8 @@ def derive_signals(cfg: EncoderConfig) -> DerivedSignals:
         # derived signal surface stays honest
         enable_warped_motion=auto(cfg.enable_warped_motion,
                                   m <= 5 and cfg.encoder_bit_depth == 8),
+        enable_adaptive_quantization=auto(
+            cfg.enable_adaptive_quantization, m <= 6),
         obmc_level=auto_i(cfg.obmc_level,
                           1 if m <= 5 and cfg.encoder_bit_depth == 8
                           else 0),

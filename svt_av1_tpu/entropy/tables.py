@@ -134,6 +134,7 @@ _FRAME_CDF_TABLES = {
     "compound_type": "default_compound_type_cdf",
     "wedge_idx": "default_wedge_idx_cdf",
     "motion_mode": "default_motion_mode_cdf",
+    "seg_spatial": "default_spatial_pred_seg_tree_cdf",
     "obmc": "default_obmc_cdf",
     "switchable_interp": "default_switchable_interp_cdf",
     # loop restoration

@@ -239,6 +239,7 @@ class BlockDecision:
     filter_intra_mode: int = -1         # FILTER_DC..FILTER_PAETH; -1 off
     tx_depth: int = 0                   # luma tx split depth (TX_MODE_SELECT)
     motion_mode: int = 0                # SIMPLE / OBMC_CAUSAL / WARPED_CAUSAL
+    segment_id: int = 0
     # inter fields
     is_inter: bool = False
     inter_mode: int = 0                 # PredictionMode NEARESTMV..NEW_NEWMV
@@ -443,7 +444,8 @@ class ModeDecider:
             sse = int(((src - pred) ** 2).sum())
             if best is None or sse < best:
                 best, best_mode = sse, mode
-        d = BlockDecision(y_mode=best_mode)
+        d = BlockDecision(y_mode=best_mode,
+                          segment_id=codec.aq_seg(x, y))
         # chroma: DC or follow luma if it maps to a chroma mode cheaply
         d.uv_mode = int(best_mode) if best_mode <= PredictionMode.PAETH_PRED else 0
         return d
@@ -487,6 +489,7 @@ class FrameCodec:
         self.y_modes = np.zeros((self.mi_rows, self.mi_cols), np.int32)
         self.skips = np.zeros((self.mi_rows, self.mi_cols), np.int32)
         self.partitions = np.zeros((self.mi_rows, self.mi_cols), np.int32)
+        self.seg_map = np.zeros((self.mi_rows, self.mi_cols), np.int8)
         # txb level|dcsign contexts per plane (4px units in plane space)
         self.txb_above = [np.zeros(self.buf_w >> (2 + (p > 0)), np.int32)
                           for p in range(3)]
@@ -1069,6 +1072,11 @@ class FrameCodec:
         skip = io.symbol(None if skip is None else int(skip),
                          self.fc.skip[skip_ctx], 2)
 
+        # segment id (SegIdPreSkip == 0: after the skip flag)
+        seg = self._code_segment_id(decision, skip, mi_row, mi_col, w4, h4)
+        if decision is not None and seg != decision.segment_id:
+            decision = dataclasses.replace(decision, segment_id=seg)
+
         # intra_frame_y_mode
         above_mode = int(self.y_modes[mi_row - 1, mi_col]) if up_avail else 0
         left_mode = int(self.y_modes[mi_row, mi_col - 1]) if left_avail else 0
@@ -1120,7 +1128,7 @@ class FrameCodec:
                 uv_mode=uv_mode, angle_delta_uv=angle_delta_uv,
                 cfl_signs=cfl_signs if uv_mode == 13 else 0,
                 cfl_idx=cfl_idx if uv_mode == 13 else 0,
-                filter_intra_mode=fi_mode)
+                filter_intra_mode=fi_mode, segment_id=seg)
 
         # luma tx size (read_tx_size; signaled even for skip intra blocks)
         if self.fh.tx_mode_select and not (bw == 4 and bh == 4):
@@ -1156,6 +1164,100 @@ class FrameCodec:
         ``decision.tx_depth`` times (TX_MODE_SELECT)."""
         d = getattr(decision, "tx_depth", 0) if decision is not None else 0
         return depth_to_tx_size(d, bw, bh)
+
+    def aq_seg(self, x: int, y: int) -> int:
+        m = getattr(self, "aq_map", None)
+        if m is None:
+            return 0
+        sb = self.seq.sb_size
+        return int(m[min(y // sb, m.shape[0] - 1),
+                     min(x // sb, m.shape[1] - 1)])
+
+    def seg_qidx(self, segment_id: int) -> int:
+        """Per-segment qindex (get_qindex: base + ALT_Q delta)."""
+        qd = self.fh.seg_qdeltas
+        if not qd or segment_id >= len(qd) or not qd[segment_id]:
+            return self.fh.base_q_idx
+        return int(np.clip(self.fh.base_q_idx + qd[segment_id], 1, 255))
+
+    def _seg_pred(self, mi_row, mi_col):
+        """Spatial predictor + cdf index (read_segment_id,
+        EbDecParseBlock.c:504)."""
+        up = mi_row > self.tile[0]
+        left = mi_col > self.tile[1]
+        prev_ul = int(self.seg_map[mi_row - 1, mi_col - 1]) \
+            if up and left else -1
+        prev_u = int(self.seg_map[mi_row - 1, mi_col]) if up else -1
+        prev_l = int(self.seg_map[mi_row, mi_col - 1]) if left else -1
+        if prev_ul < 0:
+            cdf_num = 0
+        elif prev_ul == prev_u and prev_ul == prev_l:
+            cdf_num = 2
+        elif prev_ul == prev_u or prev_ul == prev_l or prev_u == prev_l:
+            cdf_num = 1
+        else:
+            cdf_num = 0
+        if prev_u == -1:
+            pred = 0 if prev_l == -1 else prev_l
+        elif prev_l == -1:
+            pred = prev_u
+        else:
+            pred = prev_u if prev_ul == prev_u else prev_l
+        return pred, cdf_num
+
+    @staticmethod
+    def _neg_interleave(x, ref, mx):
+        d = x - ref
+        if ref == 0:
+            return x
+        if ref >= mx - 1:
+            return -d
+        if 2 * ref < mx:
+            if abs(d) <= ref:
+                return 2 * d - 1 if d > 0 else -2 * d
+            return x
+        if abs(d) <= mx - ref - 1:
+            return 2 * d - 1 if d > 0 else -2 * d
+        return mx - 1 - x
+
+    @staticmethod
+    def _neg_deinterleave(diff, ref, mx):
+        if ref == 0:
+            return diff
+        if ref >= mx - 1:
+            return mx - diff - 1
+        if 2 * ref < mx:
+            if diff <= 2 * ref:
+                return ref + ((diff + 1) >> 1) if diff & 1 \
+                    else ref - (diff >> 1)
+            return diff
+        if diff <= 2 * (mx - ref - 1):
+            return ref + ((diff + 1) >> 1) if diff & 1 else ref - (diff >> 1)
+        return mx - 1 - diff
+
+    def _code_segment_id(self, decision, skip, mi_row, mi_col, w4, h4):
+        """intra_segment_id: spatial-pred coded id; skip blocks take
+        the predictor without a symbol."""
+        from ..bitstream.headers import seg_last_active
+        if not self.fh.seg_qdeltas:
+            return 0
+        pred, cdf_num = self._seg_pred(mi_row, mi_col)
+        if skip:
+            seg = pred
+        else:
+            mx = seg_last_active(self.fh) + 1
+            io = self.io
+            if io.is_decoder:
+                coded = io.symbol(None, self.fc.seg_spatial[cdf_num], 8)
+                seg = self._neg_deinterleave(coded, pred, mx)
+            else:
+                seg = min(decision.segment_id, mx - 1)
+                io.symbol(self._neg_interleave(seg, pred, mx),
+                          self.fc.seg_spatial[cdf_num], 8)
+        r1 = min(mi_row + h4, self.mi_rows)
+        c1 = min(mi_col + w4, self.mi_cols)
+        self.seg_map[mi_row:r1, mi_col:c1] = seg
+        return seg
 
     def _tx_size_ctx(self, mi_row, mi_col, bw, bh) -> int:
         """get_tx_size_context (EbDecParseHelper.c:56): above/left coded
@@ -1259,8 +1361,9 @@ class FrameCodec:
                         pred = self.predict_chroma(plane, decision, px, py,
                                                    tw, th, ts)
                     src = self.source[plane][py:py + th, px:px + tw]
-                    qc, eob, recon = self._tx_quant_recon(plane, src, pred,
-                                                          ts, tt)
+                    qc, eob, recon = self._tx_quant_recon(
+                        plane, src, pred, ts, tt,
+                        self.seg_qidx(decision.segment_id))
                     self.recon[plane][py:py + th, px:px + tw] = recon
                     self._record_tx_geometry(plane, px, py, tw, th, ts)
                     out.append(dict(plane=plane, tx_size=ts, tx_type=tt,
@@ -1270,20 +1373,22 @@ class FrameCodec:
                                     blk=(px0, py0, pw, ph)))
         return out
 
-    def _tx_quant_recon(self, plane, src, pred, ts, tt):
+    def _tx_quant_recon(self, plane, src, pred, ts, tt, qidx=None):
         """Forward TX + quantize + eob + recon for one block; the fused
         native kernel when available, the batched Python path otherwise
         (bit-identical — tests/test_native_block.py)."""
+        if qidx is None:
+            qidx = self.fh.base_q_idx
         resid = src.astype(np.int32) - pred
         from ..native import block_plan
         got = block_plan.code_block(self._plane_quant(plane),
-                                    self.fh.base_q_idx, ts, tt,
+                                    qidx, ts, tt,
                                     self.seq.bit_depth, resid, pred) \
             if block_plan.available() else None
         if got is not None:
             return got
         coeffs = np.asarray(tf.fwd_txfm2d(resid, tt, ts, self.seq.bit_depth))
-        qc, dqc = qz.quantize_b(coeffs, self.fh.base_q_idx,
+        qc, dqc = qz.quantize_b(coeffs, qidx,
                                 self._plane_quant(plane), ts)
         qc, dqc = np.asarray(qc), np.asarray(dqc)
         ch = min(TX_HEIGHT[ts], 32)
@@ -1525,8 +1630,9 @@ class FrameCodec:
             return
         full = np.zeros((TX_HEIGHT[ts], TX_WIDTH[ts]), np.int32)
         full[:qc.shape[0], :qc.shape[1]] = qc
-        dqc = np.asarray(qz.dequant_block(full, self.fh.base_q_idx,
-                                          self._plane_quant(plane), ts))
+        dqc = np.asarray(qz.dequant_block(
+            full, self.seg_qidx(decision.segment_id),
+            self._plane_quant(plane), ts))
         recon = np.asarray(tf.inv_txfm2d_add(dqc, pred, tt, ts,
                                              self.seq.bit_depth))
         self.recon[plane][py:py + th, px:px + tw] = recon

@@ -112,7 +112,8 @@ class RdoDecider(ModeDecider):
     def decide(self, codec: FrameCodec, x, y, bw, bh) -> BlockDecision:
         if not HAVE_NATIVE_EC:
             return super().decide(codec, x, y, bw, bh)
-        lam = rd_lambda(codec.fh.base_q_idx, codec.seq.bit_depth)
+        seg = codec.aq_seg(x, y)
+        lam = rd_lambda(codec.seg_qidx(seg), codec.seq.bit_depth)
         probe = _RateProbe(codec.fc)
         mi_row, mi_col = y // 4, x // 4
 
@@ -206,11 +207,11 @@ class RdoDecider(ModeDecider):
                                  uv_mode=13, cfl_signs=cfl[0],
                                  cfl_idx=cfl[1],
                                  filter_intra_mode=fi_mode,
-                                 tx_depth=tx_depth)
+                                 tx_depth=tx_depth, segment_id=seg)
         return BlockDecision(y_mode=y_mode, angle_delta_y=angle_y,
                              uv_mode=best_uv[1], angle_delta_uv=0,
                              filter_intra_mode=fi_mode,
-                             tx_depth=tx_depth)
+                             tx_depth=tx_depth, segment_id=seg)
 
     def _luma_depth_cost(self, codec, probe, mode, delta, fi, x, y,
                          bw, bh, depth, lam):
