@@ -178,3 +178,41 @@ def dequant_block(qcoeff, qindex: int, pq: PlaneQuant, tx_size: TxSize, xp=np):
     lvl = xp.abs(q)
     dq = (lvl * dequant) & 0xFFFFFF
     return (sign * (dq >> log_scale)).astype(xp.int32)
+
+
+def quantize_fp(coeffs, qindex: int, pq: PlaneQuant, tx_size: TxSize,
+                xp=np):
+    """Fast-path quantizer (svt_av1_quantize_fp_c / quantize_fp_helper_c,
+    EbFullLoop.c:314): no zbin dead-zone, fp round/quant tables.  The
+    reference's speed presets use this in MD; same [..., H, W] batched
+    layout as quantize_b."""
+    log_scale = tx_log_scale(tx_size)
+    h, w = TX_HEIGHT[tx_size], TX_WIDTH[tx_size]
+    dc_mask = np.zeros((h, w), dtype=bool)
+    dc_mask[0, 0] = True
+
+    def dcac(vec):
+        return np.where(dc_mask, np.int32(vec[0]), np.int32(vec[1]))
+
+    quant = dcac(pq.quant_fp[qindex])
+    rnd = _round_pow2(dcac(pq.round_fp[qindex]), log_scale)
+    dequant = dcac(pq.dequant[qindex])
+    if xp is not np:
+        quant, rnd, dequant = (xp.asarray(quant), xp.asarray(rnd),
+                               xp.asarray(dequant))
+
+    c = coeffs.astype(xp.int32)
+    sign = xp.where(c < 0, -1, 1).astype(xp.int32)
+    ac = xp.abs(c)
+    live = (ac << (1 + log_scale)) >= dequant
+    if h > 32 or w > 32:
+        keep = np.zeros((h, w), dtype=bool)
+        keep[:32, :32] = True
+        live = live & (xp.asarray(keep) if xp is not np else keep)
+    acr = xp.clip(ac + rnd, -32768, 32767)
+    tmp32 = (acr * quant) >> (16 - log_scale)
+    qc = xp.where(live, sign * tmp32, 0).astype(xp.int32)
+    dqc = xp.where(live & (tmp32 != 0),
+                   sign * ((tmp32 * dequant) >> log_scale),
+                   0).astype(xp.int32)
+    return qc, dqc

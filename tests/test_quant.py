@@ -106,3 +106,37 @@ def test_dequant_block_matches_quantize_dq():
     qc, dqc = qz.quantize_b(coeffs, 80, y, TxSize.TX_8X8)
     dec_dq = qz.dequant_block(np.asarray(qc), 80, y, TxSize.TX_8X8)
     np.testing.assert_array_equal(np.asarray(dec_dq), np.asarray(dqc))
+
+
+@needs_oracle
+@pytest.mark.parametrize("qindex", [1, 60, 140, 255])
+@pytest.mark.parametrize("tx_size", [TxSize.TX_4X4, TxSize.TX_8X8,
+                                     TxSize.TX_16X16, TxSize.TX_8X16])
+def test_quantize_fp_matches_reference(qindex, tx_size):
+    """svt_av1_quantize_fp_c parity (log_scale 0 sizes)."""
+    w, h = TX_WIDTH[tx_size], TX_HEIGHT[tx_size]
+    y, _, _ = qz.build_quantizer(8)
+    rng = np.random.default_rng(qindex * 7 + tx_size)
+    coeffs = rng.integers(-30000, 30000, (h, w)).astype(np.int32)
+    qc, dqc = qz.quantize_fp(coeffs, qindex, y, tx_size)
+
+    L = oracle.lib()
+    fn = L.svt_av1_quantize_fp_c
+    fn.restype = None
+    n = w * h
+    scan = np.ascontiguousarray(scan_order(w, h), dtype=np.int16)
+    qcoeff = np.zeros(n, np.int32)
+    dqcoeff = np.zeros(n, np.int32)
+    eob = np.zeros(1, np.uint16)
+
+    def pair(vec):
+        return np.ascontiguousarray(vec, dtype=np.int16)
+
+    fn.argtypes = [I32P, ctypes.c_longlong, I16P, I16P, I16P, I16P,
+                   I32P, I32P, I16P, U16P, I16P, I16P]
+    fn(np.ascontiguousarray(coeffs.reshape(-1), dtype=np.int32), n,
+       pair(y.zbin[qindex]), pair(y.round_fp[qindex]),
+       pair(y.quant_fp[qindex]), pair(y.quant_shift[qindex]),
+       qcoeff, dqcoeff, pair(y.dequant[qindex]), eob, scan, scan)
+    np.testing.assert_array_equal(np.asarray(qc), qcoeff.reshape(h, w))
+    np.testing.assert_array_equal(np.asarray(dqc), dqcoeff.reshape(h, w))
