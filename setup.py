@@ -9,17 +9,17 @@ setup(
         Extension(
             "svt_av1_tpu.native.ec_native",
             sources=["svt_av1_tpu/native/ec_native.c"],
-            extra_compile_args=["-O3", "-std=c11"],
+            extra_compile_args=["-O3", "-std=c11", "-march=native"],
         ),
         Extension(
             "svt_av1_tpu.native.tx_native",
             sources=["svt_av1_tpu/native/tx_native.c"],
-            extra_compile_args=["-O3", "-std=c11"],
+            extra_compile_args=["-O3", "-std=c11", "-march=native"],
         ),
         Extension(
             "svt_av1_tpu.native.block_native",
             sources=["svt_av1_tpu/native/block_native.c"],
-            extra_compile_args=["-O3", "-std=c11"],
+            extra_compile_args=["-O3", "-std=c11", "-march=native"],
         ),
     ],
 )

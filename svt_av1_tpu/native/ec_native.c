@@ -1,142 +1,19 @@
 /*
- * Native entropy-coding hot path.
- *
- * The multisymbol range coder's bit-packing is the one inherently serial
- * stage of the pipeline (carry propagation), mirroring the reference's
- * native role for final bitstream assembly (behavioral parity:
- * /root/reference/Source/Lib/Common/Codec/EbBitstreamUnit.c od_ec_*,
- * Encoder/Codec/EbEntropyCoding.c av1_write_coeffs_txb_1d).  This module
- * is the C twin of svt_av1_tpu/entropy/ec.py + coeffs.py write path;
- * equivalence is enforced by tests/test_native_ec.py.
+ * Python-facing wrapper over the native range coder core (ec_core.h).
  *
  * CDF arrays are the same numpy uint16 icdf(+counter) buffers the Python
  * side uses; adaptation happens in place so both paths interoperate.
+ * Equivalence with entropy/ec.py + coeffs.py is enforced by
+ * tests/test_native_ec.py.
  */
 #define PY_SSIZE_T_CLEAN
 #include <Python.h>
-#include <stdint.h>
-#include <string.h>
-
-#define PROB_TOP 32768
-#define EC_PROB_SHIFT 6
-#define EC_MIN_PROB 4
-#define WINDOW_MASK 0xFFFFFFFFu
+#include "ec_core.h"
 
 typedef struct {
     PyObject_HEAD
-    uint32_t low;
-    uint32_t rng;
-    int32_t cnt;
-    uint16_t *precarry;
-    size_t offs, storage;
+    EcCore core;
 } EcEncObject;
-
-static int nsymbs2speed[17] = {0, 0, 1, 1, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2};
-
-static void ec_update_cdf(uint16_t *icdf, int val, int nsymbs) {
-    int count = icdf[nsymbs];
-    int rate = 3 + (count > 15) + (count > 31) + nsymbs2speed[nsymbs];
-    int tmp = PROB_TOP;
-    int i;
-    for (i = 0; i < nsymbs - 1; ++i) {
-        if (i == val) tmp = 0;
-        if (tmp < icdf[i])
-            icdf[i] -= (uint16_t)((icdf[i] - tmp) >> rate);
-        else
-            icdf[i] += (uint16_t)((tmp - icdf[i]) >> rate);
-    }
-    if (count < 32) icdf[nsymbs] = (uint16_t)(count + 1);
-}
-
-static int enc_grow(EcEncObject *e, size_t need) {
-    if (e->offs + need <= e->storage) return 0;
-    size_t ns = e->storage * 2 + need;
-    uint16_t *nb = (uint16_t *)realloc(e->precarry, ns * sizeof(uint16_t));
-    if (!nb) return -1;
-    e->precarry = nb;
-    e->storage = ns;
-    return 0;
-}
-
-static inline int ilog_nz(uint32_t x) {
-    /* position of highest set bit + 1 */
-    return 32 - __builtin_clz(x);
-}
-
-static void enc_normalize(EcEncObject *e, uint32_t low, uint32_t rng) {
-    int d = 16 - ilog_nz(rng);
-    int s = e->cnt + d;
-    if (s >= 0) {
-        int c = e->cnt + 16;
-        uint32_t m = (1u << c) - 1;
-        enc_grow(e, 2);
-        if (s >= 8) {
-            e->precarry[e->offs++] = (uint16_t)(low >> c);
-            low &= m;
-            c -= 8;
-            m >>= 8;
-        }
-        e->precarry[e->offs++] = (uint16_t)(low >> c);
-        s = c + d - 24;
-        low &= m;
-    }
-    e->low = (low << d) & WINDOW_MASK;
-    e->rng = rng << d;
-    e->cnt = s;
-}
-
-static void enc_cdf(EcEncObject *e, int s, const uint16_t *icdf, int nsyms) {
-    uint32_t fl = s > 0 ? icdf[s - 1] : PROB_TOP;
-    uint32_t fh = icdf[s];
-    uint32_t low = e->low;
-    uint32_t r = e->rng;
-    int n = nsyms - 1;
-    if (fl < PROB_TOP) {
-        uint32_t u = (((r >> 8) * (fl >> EC_PROB_SHIFT)) >> (7 - EC_PROB_SHIFT))
-                     + EC_MIN_PROB * (uint32_t)(n - (s - 1));
-        uint32_t v = (((r >> 8) * (fh >> EC_PROB_SHIFT)) >> (7 - EC_PROB_SHIFT))
-                     + EC_MIN_PROB * (uint32_t)(n - s);
-        low = (low + (r - u)) & WINDOW_MASK;
-        r = u - v;
-    } else {
-        r -= (((r >> 8) * (fh >> EC_PROB_SHIFT)) >> (7 - EC_PROB_SHIFT))
-             + EC_MIN_PROB * (uint32_t)(n - s);
-    }
-    enc_normalize(e, low, r);
-}
-
-static void enc_bool_q15(EcEncObject *e, int val, uint32_t f) {
-    uint32_t low = e->low;
-    uint32_t r = e->rng;
-    uint32_t v = (((r >> 8) * (f >> EC_PROB_SHIFT)) >> (7 - EC_PROB_SHIFT)) + EC_MIN_PROB;
-    if (val) {
-        low = (low + (r - v)) & WINDOW_MASK;
-        r = v;
-    } else {
-        r -= v;
-    }
-    enc_normalize(e, low, r);
-}
-
-static void enc_bit(EcEncObject *e, int bit) {
-    /* aom_write_bit: prob8 = 128 */
-    uint32_t f = (0x7FFFFFu - (128u << 15) + 128u) >> 8;
-    enc_bool_q15(e, bit, f);
-}
-
-static void enc_symbol_adapt(EcEncObject *e, int s, uint16_t *icdf, int nsyms) {
-    enc_cdf(e, s, icdf, nsyms);
-    ec_update_cdf(icdf, s, nsyms);
-}
-
-static void enc_golomb(EcEncObject *e, int32_t level) {
-    int32_t x = level + 1;
-    int length = 0, i;
-    int32_t t = x;
-    while (t) { t >>= 1; ++length; }
-    for (i = 0; i < length - 1; ++i) enc_bit(e, 0);
-    for (i = length - 1; i >= 0; --i) enc_bit(e, (x >> i) & 1);
-}
 
 /* ------------------------------------------------------------------ */
 /* Python object machinery                                            */
@@ -145,18 +22,15 @@ static void enc_golomb(EcEncObject *e, int32_t level) {
 static PyObject *EcEnc_new(PyTypeObject *type, PyObject *args, PyObject *kw) {
     EcEncObject *self = (EcEncObject *)type->tp_alloc(type, 0);
     if (!self) return NULL;
-    self->low = 0;
-    self->rng = 0x8000;
-    self->cnt = -9;
-    self->storage = 4096;
-    self->offs = 0;
-    self->precarry = (uint16_t *)malloc(self->storage * sizeof(uint16_t));
-    if (!self->precarry) { Py_DECREF(self); return PyErr_NoMemory(); }
+    if (ec_core_init(&self->core) < 0) {
+        Py_DECREF(self);
+        return PyErr_NoMemory();
+    }
     return (PyObject *)self;
 }
 
 static void EcEnc_dealloc(EcEncObject *self) {
-    free(self->precarry);
+    ec_core_free(&self->core);
     Py_TYPE(self)->tp_free((PyObject *)self);
 }
 
@@ -184,7 +58,7 @@ static PyObject *EcEnc_encode_symbol(EcEncObject *self, PyObject *args) {
     uint16_t *cdf;
     Py_ssize_t len;
     if (get_u16_buffer(cdf_obj, &view, &cdf, &len) < 0) return NULL;
-    enc_cdf(self, s, cdf, nsyms);
+    enc_cdf(&self->core, s, cdf, nsyms);
     if (adapt) ec_update_cdf(cdf, s, nsyms);
     PyBuffer_Release(&view);
     Py_RETURN_NONE;
@@ -194,7 +68,7 @@ static PyObject *EcEnc_encode_bool_prob8(EcEncObject *self, PyObject *args) {
     int bit, prob8;
     if (!PyArg_ParseTuple(args, "ii", &bit, &prob8)) return NULL;
     uint32_t f = (0x7FFFFFu - ((uint32_t)prob8 << 15) + (uint32_t)prob8) >> 8;
-    enc_bool_q15(self, bit, f);
+    enc_bool_q15(&self->core, bit, f);
     Py_RETURN_NONE;
 }
 
@@ -202,132 +76,30 @@ static PyObject *EcEnc_encode_literal(EcEncObject *self, PyObject *args) {
     unsigned int value;
     int bits;
     if (!PyArg_ParseTuple(args, "Ii", &value, &bits)) return NULL;
-    for (int b = bits - 1; b >= 0; --b) enc_bit(self, (value >> b) & 1);
+    for (int b = bits - 1; b >= 0; --b) enc_bit(&self->core, (value >> b) & 1);
     Py_RETURN_NONE;
 }
 
 static PyObject *EcEnc_tell_bits(EcEncObject *self, PyObject *noarg) {
-    return PyLong_FromLongLong((long long)(8 * self->offs) + self->cnt + 10);
+    return PyLong_FromLongLong(ec_core_tell_bits(&self->core));
 }
 
 static PyObject *EcEnc_done(EcEncObject *self, PyObject *noarg) {
-    uint32_t low = self->low;
-    int c = self->cnt;
-    int s = 10 + c;
-    uint32_t m = 0x3FFF;
-    uint64_t e = ((uint64_t)(low + m) & ~(uint64_t)m) | (m + 1);
-    size_t n_extra = 0;
-    uint16_t extra[8];
-    while (s > 0) {
-        uint64_t n = (1ull << (c + 16)) - 1;
-        extra[n_extra++] = (uint16_t)(e >> (c + 16));
-        e &= n;
-        s -= 8;
-        c -= 8;
-    }
-    size_t total = self->offs + n_extra;
-    PyObject *out = PyBytes_FromStringAndSize(NULL, (Py_ssize_t)total);
-    if (!out) return NULL;
-    unsigned char *buf = (unsigned char *)PyBytes_AS_STRING(out);
-    uint32_t carry = 0;
-    for (ssize_t i = (ssize_t)total - 1; i >= 0; --i) {
-        uint32_t v = (i < (ssize_t)self->offs) ? self->precarry[i]
-                                               : extra[i - self->offs];
-        carry += v;
-        buf[i] = (unsigned char)(carry & 0xFF);
-        carry >>= 8;
-    }
+    size_t cap = self->core.offs + 8;
+    unsigned char *tmp = (unsigned char *)malloc(cap);
+    if (!tmp) return PyErr_NoMemory();
+    size_t total = ec_core_done(&self->core, tmp);
+    PyObject *out = PyBytes_FromStringAndSize((const char *)tmp,
+                                              (Py_ssize_t)total);
+    free(tmp);
     return out;
 }
 
-/* ---- coefficient block writer ------------------------------------ */
-
-#define TX_CLASS_2D 0
-#define TX_CLASS_HORIZ 1
-#define TX_CLASS_VERT 2
-#define NUM_BASE_LEVELS 2
-#define COEFF_BASE_RANGE 12
-#define BR_CDF_SIZE 4
-
-static const int16_t k_eob_group_start[12] = {0, 1, 2, 3, 5, 9, 17, 33, 65, 129, 257, 513};
-static const int16_t k_eob_offset_bits[12] = {0, 0, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9};
-static const uint8_t eob_to_pos_small[33] = {
-    0, 1, 2, 3, 3, 4, 4, 4, 4, 5, 5, 5, 5, 5, 5, 5, 5,
-    6, 6, 6, 6, 6, 6, 6, 6, 6, 6, 6, 6, 6, 6, 6, 6};
-static const uint8_t eob_to_pos_large[17] = {
-    6, 7, 8, 8, 9, 9, 9, 9, 10, 10, 10, 10, 10, 10, 10, 10, 11};
-
-static inline int clip3i(int v) { return v < 3 ? v : 3; }
-
-static int nz_map_ctx(const uint8_t *lv, int stride, int pos, int bwl,
-                      int height, int scan_idx, int is_eob, int width,
-                      int tx_class, int shape) {
-    if (is_eob) {
-        if (scan_idx == 0) return 0;
-        if (scan_idx <= (height << bwl) / 8) return 1;
-        if (scan_idx <= (height << bwl) / 4) return 2;
-        return 3;
-    }
-    int row = pos >> bwl, col = pos - (row << bwl);
-    const uint8_t *p = lv + row * stride + col;
-    int mag = clip3i(p[1]) + clip3i(p[stride]);
-    if (tx_class == TX_CLASS_2D)
-        mag += clip3i(p[stride + 1]) + clip3i(p[2]) + clip3i(p[2 * stride]);
-    else if (tx_class == TX_CLASS_VERT)
-        mag += clip3i(p[2 * stride]) + clip3i(p[3 * stride]) + clip3i(p[4 * stride]);
-    else
-        mag += clip3i(p[2]) + clip3i(p[3]) + clip3i(p[4]);
-    if ((tx_class | pos) == 0) return 0;
-    int ctx = (mag + 1) >> 1;
-    if (ctx > 4) ctx = 4;
-    if (tx_class == TX_CLASS_2D) {
-        int off;
-        if (shape == 1 && row < 2) off = 11;
-        else if (shape == 2 && col < 2) off = 16;
-        else if (row + col < 2) off = 1;
-        else if (row + col < 4) off = 6;
-        else off = 21;
-        if (pos == 0) return 0;
-        return ctx + off;
-    }
-    int idx = tx_class == TX_CLASS_HORIZ ? col : row;
-    return ctx + (idx == 0 ? 26 : (idx == 1 ? 31 : 36));
-}
-
-static int br_ctx(const uint8_t *lv, int stride, int pos, int bwl, int tx_class) {
-    int row = pos >> bwl, col = pos - (row << bwl);
-    const uint8_t *p = lv + row * stride + col;
-    int mag = p[1] + p[stride];
-    if (tx_class == TX_CLASS_2D) {
-        mag += p[stride + 1];
-        mag = (mag + 1) >> 1;
-        if (mag > 6) mag = 6;
-        if (pos == 0) return mag;
-        if (row < 2 && col < 2) return mag + 7;
-    } else if (tx_class == TX_CLASS_HORIZ) {
-        mag += p[2];
-        mag = (mag + 1) >> 1;
-        if (mag > 6) mag = 6;
-        if (pos == 0) return mag;
-        if (col == 0) return mag + 7;
-    } else {
-        mag += p[2 * stride];
-        mag = (mag + 1) >> 1;
-        if (mag > 6) mag = 6;
-        if (pos == 0) return mag;
-        if (row == 0) return mag + 7;
-    }
-    return mag + 14;
-}
-
 /*
- * write_coeffs_txb(qcoeff int32[h*w], scan int16[n], eob, w, h, tx_class,
- *                  txb_skip_cdf row, eob_pt_cdf row, eob_extra_cdf row,
- *                  base_cdf [n_ctx][5], base_eob_cdf [n_ctx][4],
- *                  br_cdf [n_ctx][5], dc_sign_cdf row) -> cul_level
- *
- * The txb_skip symbol and tx-type signaling are coded by the caller (the
- * ordering hook sits between them); this writes eob + levels + signs.
+ * write_coeffs(qcoeff int32[h*w], scan int16[n], eob, w, h, tx_class,
+ *              eob_pt_cdf row, eob_extra_cdf row,
+ *              base_cdf [n_ctx][5], base_eob_cdf [n_ctx][4],
+ *              br_cdf [n_ctx][5], dc_sign_cdf row) -> cul_level
  */
 static PyObject *EcEnc_write_coeffs(EcEncObject *self, PyObject *args) {
     Py_buffer qv, sv, ev, xv, bv, bev, brv, dv;
@@ -339,102 +111,14 @@ static PyObject *EcEnc_write_coeffs(EcEncObject *self, PyObject *args) {
                           &ev, &xv, &bv, &base_stride, &bev, &base_eob_stride,
                           &brv, &br_stride, &dv, &shape))
         return NULL;
-    if (shape < 0) shape = w < h ? 1 : (w > h ? 2 : 0);
-    const int32_t *q = (const int32_t *)qv.buf;
-    const int16_t *scan = (const int16_t *)sv.buf;
-    uint16_t *eob_pt_cdf = (uint16_t *)ev.buf;
-    uint16_t *eob_extra_cdf = (uint16_t *)xv.buf;
-    uint16_t *base_cdf = (uint16_t *)bv.buf;
-    uint16_t *base_eob_cdf = (uint16_t *)bev.buf;
-    uint16_t *br_cdf = (uint16_t *)brv.buf;
-    uint16_t *dc_sign_cdf = (uint16_t *)dv.buf;
-
-    int bwl = 0;
-    while ((1 << (bwl + 1)) <= w) bwl++;
-    int stride = w + 4;
-    uint8_t levels_buf[(32 + 4) * (32 + 8)];
-    memset(levels_buf, 0, sizeof(levels_buf));
-    uint8_t *lv = levels_buf;
-    for (int r = 0; r < h; ++r)
-        for (int c2 = 0; c2 < w; ++c2) {
-            int32_t a = q[r * w + c2];
-            if (a < 0) a = -a;
-            lv[r * stride + c2] = a > 127 ? 127 : (uint8_t)a;
-        }
-
-    /* eob token */
-    int eob_pt, eob_extra;
-    if (eob < 33) eob_pt = eob_to_pos_small[eob];
-    else {
-        int t = (eob - 1) >> 5;
-        eob_pt = eob_to_pos_large[t > 16 ? 16 : t];
-    }
-    eob_extra = eob - k_eob_group_start[eob_pt];
-    int ems = 0;
-    {
-        int n = w * h;
-        while ((1 << (ems + 4 + 1)) <= n) ems++;
-    }
-    enc_symbol_adapt(self, eob_pt - 1, eob_pt_cdf, ems + 5);
-    int offset_bits = k_eob_offset_bits[eob_pt];
-    if (offset_bits > 0) {
-        int bit = (eob_extra >> (offset_bits - 1)) & 1;
-        enc_symbol_adapt(self, bit, eob_extra_cdf, 2);
-        for (int i = 1; i < offset_bits; ++i)
-            enc_bit(self, (eob_extra >> (offset_bits - 1 - i)) & 1);
-    }
-
-    /* base + br levels, reverse scan */
-    for (int c = eob - 1; c >= 0; --c) {
-        int pos = scan[c];
-        int32_t v = q[pos];
-        int32_t level = v < 0 ? -v : v;
-        if (c == eob - 1) {
-            int ctx = nz_map_ctx(lv, stride, pos, bwl, h, c, 1, w, tx_class,
-                                 shape);
-            int val = (level < 3 ? level : 3) - 1;
-            enc_symbol_adapt(self, val, base_eob_cdf + ctx * base_eob_stride, 3);
-        } else {
-            int ctx = nz_map_ctx(lv, stride, pos, bwl, h, c, 0, w, tx_class,
-                                 shape);
-            enc_symbol_adapt(self, level < 3 ? level : 3, base_cdf + ctx * base_stride, 4);
-        }
-        if (level > NUM_BASE_LEVELS) {
-            int base_range = level - 1 - NUM_BASE_LEVELS;
-            int bc = br_ctx(lv, stride, pos, bwl, tx_class);
-            uint16_t *cdf = br_cdf + bc * br_stride;
-            for (int idx = 0; idx < COEFF_BASE_RANGE; idx += BR_CDF_SIZE - 1) {
-                int k = base_range - idx;
-                if (k > BR_CDF_SIZE - 1) k = BR_CDF_SIZE - 1;
-                enc_symbol_adapt(self, k, cdf, BR_CDF_SIZE);
-                if (k < BR_CDF_SIZE - 1) break;
-            }
-        }
-    }
-
-    /* signs + golomb */
-    int64_t cul_level = 0;
-    for (int c = 0; c < eob; ++c) {
-        int pos = scan[c];
-        int32_t v = q[pos];
-        int32_t level = v < 0 ? -v : v;
-        cul_level += level;
-        if (level) {
-            if (c == 0)
-                enc_symbol_adapt(self, v < 0, dc_sign_cdf, 2);
-            else
-                enc_bit(self, v < 0);
-            if (level > COEFF_BASE_RANGE + NUM_BASE_LEVELS)
-                enc_golomb(self, level - COEFF_BASE_RANGE - 1 - NUM_BASE_LEVELS);
-        }
-    }
-    if (cul_level > 63) cul_level = 63;
-    {
-        int32_t dc = q[0];
-        if (dc < 0) cul_level |= 1 << 6;
-        else if (dc > 0) cul_level += 2 << 6;
-    }
-
+    long long cul_level = ec_write_coeffs_core(
+        &self->core, (const int32_t *)qv.buf, (const int16_t *)sv.buf,
+        eob, w, h, tx_class,
+        (uint16_t *)ev.buf, (uint16_t *)xv.buf,
+        (uint16_t *)bv.buf, base_stride,
+        (uint16_t *)bev.buf, base_eob_stride,
+        (uint16_t *)brv.buf, br_stride,
+        (uint16_t *)dv.buf, shape);
     PyBuffer_Release(&qv); PyBuffer_Release(&sv);
     PyBuffer_Release(&ev); PyBuffer_Release(&xv); PyBuffer_Release(&bv);
     PyBuffer_Release(&bev); PyBuffer_Release(&brv); PyBuffer_Release(&dv);
