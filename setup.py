@@ -21,5 +21,10 @@ setup(
             sources=["svt_av1_tpu/native/block_native.c"],
             extra_compile_args=["-O3", "-std=c11", "-march=native"],
         ),
+        Extension(
+            "svt_av1_tpu.native.coder_native",
+            sources=["svt_av1_tpu/native/coder_native.c"],
+            extra_compile_args=["-O3", "-std=c11", "-march=native"],
+        ),
     ],
 )

@@ -318,14 +318,52 @@ class Encoder:
         self._sent += 1
         return self._drain(eos=False)
 
+    def _ai_pipeline(self) -> bool:
+        """Keep one picture in flight for all-intra runs: the device
+        decision pass for the newest picture runs on a worker thread
+        while the host packs its predecessor (the SRM picture-
+        parallelism analog; bounded by ``pictures_in_flight``)."""
+        if getattr(self, "_pipeline_off", False):
+            return False
+        if self.pd.key_interval != 1:
+            return False
+        pif = self.cfg.pictures_in_flight
+        if 0 <= pif < 2:
+            return False
+        return hasattr(self._decider_cached(), "prefetch")
+
+    def _prefetch_deferred(self) -> None:
+        """Kick the device decisions for the single deferred picture."""
+        dec = self._decider_cached()
+        display = self._next_display
+        if dec._prefetch and display in dec._prefetch:
+            return
+        qindex = self.rc.peek_qindex(True, 0, display) \
+            if hasattr(self.rc, "peek_qindex") else None
+        if qindex is None:
+            return
+        cfg = self.cfg
+        mi_c = 2 * ((cfg.source_width + 7) >> 3)
+        mi_r = 2 * ((cfg.source_height + 7) >> 3)
+        sb = self.seq.sb_size
+        buf_w = -(-(mi_c * 4) // sb) * sb
+        buf_h = -(-(mi_r * 4) // sb) * sb
+        dec.prefetch(display, np.asarray(self._buffer[0][0]),
+                     buf_w, buf_h, qindex, cfg.encoder_bit_depth)
+
     def flush(self) -> list[bytes]:
         return self._drain(eos=True)
 
     def encode_frame(self, planes) -> bytes:
-        """Zero-latency compatibility wrapper (all-intra / low-delay)."""
+        """Zero-latency compatibility wrapper (all-intra / low-delay);
+        disables the one-picture pipeline that send/flush runs."""
         assert self.pd.gop == 1 or self.pd.key_interval == 1, \
             "reordering configs need send/flush"
-        out = self.send_picture(planes)
+        self._pipeline_off = True
+        try:
+            out = self.send_picture(planes)
+        finally:
+            self._pipeline_off = False
         assert len(out) == 1
         return out[0]
 
@@ -334,6 +372,9 @@ class Encoder:
     def _drain(self, eos: bool) -> list[bytes]:
         packets = []
         while self._buffer:
+            if not eos and len(self._buffer) == 1 and self._ai_pipeline():
+                self._prefetch_deferred()
+                break
             jobs, consumed = self.pd.schedule(
                 self._next_display, len(self._buffer), eos)
             if jobs is None:
@@ -584,8 +625,10 @@ class Encoder:
         codec.obmc_level = self.sig.obmc_level
         codec.aq_map = aq_map
         tile_data = _assemble_tile_group(codec.encode_tiles(decider), fh)
-        codec.apply_loop_filter()
-        codec.search_and_apply_cdef()
+        from .ops.filter_chain import dlf_cdef_chain
+        if not dlf_cdef_chain(codec):
+            codec.apply_loop_filter()
+            codec.search_and_apply_cdef()
         codec.apply_superres()
         if self.seq.enable_restoration:
             from .pipeline.rdo import rd_lambda

@@ -1,0 +1,1116 @@
+/*
+ * Native intra tile coder: replays a precomputed frame plan (partition
+ * tree + per-block modes from the batched TPU decision pass) through
+ * the full conformant coding loop — intra prediction, fused
+ * TX/quant/recon (block_core.h), and all tile syntax through the range
+ * coder (ec_core.h) — in ONE C call per tile.
+ *
+ * This is the serial host stage of the TPU build (SURVEY §7: the one
+ * native component mirroring the reference's encode-pass/entropy hot
+ * loops, EbCodingLoop.c:1987 + EbEntropyCoding.c:6107).  Decisions are
+ * made on the device; this replays them conformantly.  Behavior is
+ * bit-identical to FrameCodec._walk_superblocks for the supported
+ * feature envelope (key frames, 8..32px blocks, no segmentation/CfL/
+ * filter-intra/TX-select), enforced by tests/test_native_coder.py.
+ *
+ * Behavioral parity references: partition/mode syntax write_modes_b
+ * (EbEntropyCoding.c:5440), intra edge prep decode_build_intra_predictors
+ * (EbDecIntraPrediction.c:302); the implementation is a port of this
+ * repo's own Python (pipeline/frame_codec.py, ops/intra.py).
+ */
+#define PY_SSIZE_T_CLEAN
+#include <Python.h>
+#include "ec_core.h"
+#include "block_core.h"
+
+#define MI 4
+#define P_NONE 0
+#define P_HORZ 1
+#define P_VERT 2
+#define P_SPLIT 3
+
+/* PredictionMode values (constants.py) */
+#define M_DC 0
+#define M_V 1
+#define M_H 2
+#define M_D45 3
+#define M_D135 4
+#define M_D113 5
+#define M_D157 6
+#define M_D203 7
+#define M_D67 8
+#define M_SMOOTH 9
+#define M_SMOOTH_V 10
+#define M_SMOOTH_H 11
+#define M_PAETH 12
+
+static const int MODE_ANGLE[13] = {0, 90, 180, 45, 135, 113, 157, 203, 67,
+                                   0, 0, 0, 0};
+static const int INTRA_MODE_CONTEXT[13] =
+    {0, 1, 2, 3, 4, 4, 4, 4, 3, 0, 1, 2, 0};
+
+typedef struct {          /* generic C-contiguous ndarray view */
+    void *data;
+    Py_ssize_t shape[4];
+    int ndim;
+} NB;
+
+typedef struct {
+    /* geometry */
+    int mi_rows, mi_cols, t_r0, t_c0, t_r1, t_c1;
+    int buf_w, buf_h, sb_size, bd, num_planes;
+    int aligned_w, aligned_h, disable_edge_filter;
+    /* planes: [0..2] src, [0..2] rec (int32, stride = plane buf width) */
+    const int32_t *src[3];
+    int32_t *rec[3];
+    int pw_buf[3], ph_buf[3];      /* buffer dims per plane */
+    /* context arrays */
+    int32_t *y_modes, *skips, *above_part, *left_part;
+    int32_t *txb_above[3], *txb_left[3];
+    int32_t *txw[3], *txh[3];
+    uint8_t *bex[3], *bey[3];
+    int grid_w[3], grid_h[3];      /* tx grid dims per plane */
+    /* cdfs */
+    NB cdf_partition, cdf_skip, cdf_kf_y, cdf_angle, cdf_uv;
+    NB cdf_txb_skip, cdf_eob_extra, cdf_base, cdf_base_eob, cdf_br,
+       cdf_dc_sign, cdf_ext_tx, cdf_filter_intra;
+    int enable_filter_intra;
+    NB cdf_eob_flag[7];            /* 16..1024 */
+    /* constant tables */
+    const int32_t *sm_weights;     /* [128] */
+    const int32_t *dr_derivative;  /* [90] */
+    const uint8_t *has_tr[7], *has_bl[7];   /* size-pair tables */
+    const int32_t *tx_w_tab, *tx_h_tab, *txs_ctx_tab, *tx_shape_tab,
+                  *ems_tab;        /* [19] each */
+    const int16_t *scans[19];      /* per tx size (2D class) */
+    /* block plans [plane][ts][tt] */
+    const Plan *plans[3][19][16];
+    /* plan sequences */
+    const int8_t *part_seq;
+    Py_ssize_t part_n, part_i;
+    const int32_t *mode_seq;       /* [n][16] */
+    Py_ssize_t mode_n, mode_i;
+    /* ec */
+    EcCore ec;
+    int cur_part;
+    int err;
+    char errmsg[160];
+} Tile;
+
+static void tile_err(Tile *t, const char *msg) {
+    if (!t->err) {
+        t->err = 1;
+        strncpy(t->errmsg, msg, sizeof(t->errmsg) - 1);
+    }
+}
+
+static inline uint16_t *nb_row2(NB *b, int i) {
+    return (uint16_t *)b->data + (Py_ssize_t)i * b->shape[1];
+}
+static inline uint16_t *nb_row3(NB *b, int i, int j) {
+    return (uint16_t *)b->data + ((Py_ssize_t)i * b->shape[1] + j) * b->shape[2];
+}
+static inline uint16_t *nb_row4(NB *b, int i, int j, int k) {
+    return (uint16_t *)b->data
+        + (((Py_ssize_t)i * b->shape[1] + j) * b->shape[2] + k) * b->shape[3];
+}
+
+static inline int ilog2i(int v) { int r = 0; while (v > 1) { v >>= 1; ++r; } return r; }
+
+/* ------------------------------------------------------------------ */
+/* intra prediction (port of ops/intra.py + FrameCodec.predict)       */
+/* ------------------------------------------------------------------ */
+
+#define EDGE_MAX (2 * (64 + 64 + 16) + 4)
+
+static int size_pair_idx(int bw, int bh) {
+    static const int pairs[7][2] = {{8, 8}, {8, 16}, {16, 8}, {16, 16},
+                                    {16, 32}, {32, 16}, {32, 32}};
+    for (int i = 0; i < 7; ++i)
+        if (pairs[i][0] == bw && pairs[i][1] == bh) return i;
+    return -1;
+}
+
+static int has_top_right(Tile *t, int bw, int bh, int mi_row, int mi_col,
+                         int top_available, int right_available, int txw,
+                         int ss_x, int ss_y) {
+    if (!top_available || !right_available) return 0;
+    int bw_l = bw << ss_x, bh_l = bh << ss_y;
+    int plane_bw_unit = (bw_l >> 2) >> ss_x;
+    if (plane_bw_unit < 1) plane_bw_unit = 1;
+    int tr_count = txw >> 2;
+    /* row_off == col_off == 0 (single tx block per plane block) */
+    if (0 + tr_count < plane_bw_unit) return 1;
+    int bw_mi_log2 = ilog2i(bw_l >> 2);
+    int bh_mi_log2 = ilog2i(bh_l >> 2);
+    int sb_mi = t->sb_size >> 2;
+    int blk_row_in_sb = (mi_row & (sb_mi - 1)) >> bh_mi_log2;
+    int blk_col_in_sb = (mi_col & (sb_mi - 1)) >> bw_mi_log2;
+    if (blk_row_in_sb == 0) return 1;
+    if (((blk_col_in_sb + 1) << bw_mi_log2) >= sb_mi) return 0;
+    int idx = (blk_row_in_sb << (5 - bw_mi_log2)) + blk_col_in_sb;
+    int sp = size_pair_idx(bw_l, bh_l);
+    if (sp < 0) { tile_err(t, "has_tr size"); return 0; }
+    return (t->has_tr[sp][idx / 8] >> (idx % 8)) & 1;
+}
+
+static int has_bottom_left(Tile *t, int bw, int bh, int mi_row, int mi_col,
+                           int bottom_available, int left_available, int txh,
+                           int ss_x, int ss_y) {
+    if (!bottom_available || !left_available) return 0;
+    int bw_l = bw << ss_x, bh_l = bh << ss_y;
+    int plane_bh_unit = (bh_l >> 2) >> ss_y;
+    if (plane_bh_unit < 1) plane_bh_unit = 1;
+    int bl_count = txh >> 2;
+    if (0 + bl_count < plane_bh_unit) return 1;
+    int bw_mi_log2 = ilog2i(bw_l >> 2);
+    int bh_mi_log2 = ilog2i(bh_l >> 2);
+    int sb_mi = t->sb_size >> 2;
+    int blk_row_in_sb = (mi_row & (sb_mi - 1)) >> bh_mi_log2;
+    int blk_col_in_sb = (mi_col & (sb_mi - 1)) >> bw_mi_log2;
+    if (blk_col_in_sb == 0) {
+        int blk_start_row_off = (blk_row_in_sb << bh_mi_log2) >> ss_y;
+        int row_off_in_sb = blk_start_row_off + 0;
+        int sb_height_unit = sb_mi >> ss_y;
+        return row_off_in_sb + bl_count < sb_height_unit;
+    }
+    if (((blk_row_in_sb + 1) << bh_mi_log2) >= sb_mi) return 0;
+    int idx = (blk_row_in_sb << (5 - bw_mi_log2)) + blk_col_in_sb;
+    int sp = size_pair_idx(bw_l, bh_l);
+    if (sp < 0) { tile_err(t, "has_bl size"); return 0; }
+    return (t->has_bl[sp][idx / 8] >> (idx % 8)) & 1;
+}
+
+static int edge_filter_strength(int bs0, int bs1, int delta, int ftype) {
+    int d = delta < 0 ? -delta : delta;
+    int blk_wh = bs0 + bs1;
+    if (ftype == 0) {
+        if (blk_wh <= 8) return d >= 56 ? 1 : 0;
+        if (blk_wh <= 16) return d >= 40 ? 1 : 0;
+        if (blk_wh <= 24)
+            return d >= 32 ? 3 : (d >= 16 ? 2 : (d >= 8 ? 1 : 0));
+        if (blk_wh <= 32)
+            return d >= 32 ? 3 : (d >= 4 ? 2 : (d >= 1 ? 1 : 0));
+        return d >= 1 ? 3 : 0;
+    }
+    if (blk_wh <= 8) return d >= 64 ? 2 : (d >= 40 ? 1 : 0);
+    if (blk_wh <= 16) return d >= 48 ? 2 : (d >= 20 ? 1 : 0);
+    if (blk_wh <= 24) return d >= 4 ? 3 : 0;
+    return d >= 1 ? 3 : 0;
+}
+
+static int use_edge_upsample(int bs0, int bs1, int delta, int ftype) {
+    int d = delta < 0 ? -delta : delta;
+    int blk_wh = bs0 + bs1;
+    if (d <= 0 || d >= 40) return 0;
+    return ftype ? (blk_wh <= 8) : (blk_wh <= 16);
+}
+
+/* in-place smoothing of p[0..sz-1] (svt_av1_filter_intra_edge_c port) */
+static void filter_edge(int32_t *p, int sz, int strength) {
+    static const int kernels[3][5] = {{0, 4, 8, 4, 0}, {0, 5, 6, 5, 0},
+                                      {2, 4, 4, 4, 2}};
+    if (!strength || sz <= 1) return;
+    const int *k = kernels[strength - 1];
+    int32_t e[EDGE_MAX + 4];
+    for (int i = 0; i < sz; ++i) e[i + 2] = p[i];
+    e[0] = e[1] = e[2];
+    e[sz + 2] = e[sz + 3] = e[sz + 1];
+    for (int i = 1; i < sz; ++i) {
+        int s = 0;
+        for (int j = 0; j < 5; ++j)
+            if (k[j]) s += k[j] * e[j + i];
+        p[i] = (s + 8) >> 4;
+    }
+}
+
+/* upsample: in p (topleft at index 0, edge from 1); out gets C index i
+ * at out[i + 2]; returns new offset 2.  n = number of edge samples. */
+static void upsample_edge(const int32_t *p, int sz, int bd, int32_t *out) {
+    int32_t src[EDGE_MAX + 3];
+    src[0] = src[1] = p[0];
+    for (int i = 0; i < sz; ++i) src[i + 2] = p[i + 1];
+    src[sz + 2] = p[sz];
+    int pmax = (1 << bd) - 1;
+    out[0] = src[0];
+    for (int i = 0; i < sz; ++i) {
+        int s = -src[i] + 9 * src[i + 1] + 9 * src[i + 2] - src[i + 3];
+        s = (s + 8) >> 4;
+        out[2 * i + 1] = s < 0 ? 0 : (s > pmax ? pmax : s);
+        out[2 * i + 2] = src[i + 2];
+    }
+    out[2 * sz + 1] = src[sz + 2];
+}
+
+/* Full normative intra prediction for one tx block.  Writes [h][w] into
+ * pred (stride w). */
+static void predict_intra(Tile *t, int plane, int mode, int angle_delta,
+                          int px, int py, int w, int h, int fi_mode,
+                          int filt_type, int32_t *pred) {
+    const int32_t *rec = t->rec[plane];
+    int stride = t->pw_buf[plane];
+    int sub_x = plane ? 1 : 0, sub_y = plane ? 1 : 0;
+    int plane_w = t->aligned_w >> sub_x;
+    int plane_h = t->aligned_h >> sub_y;
+    int bd = t->bd;
+
+    int have_top = py > ((t->t_r0 * MI) >> sub_y);
+    int have_left = px > ((t->t_c0 * MI) >> sub_x);
+    int xr = plane_w - (px + w);
+    int yd = plane_h - (py + h);
+    int mi_row = (py << sub_y) / MI;
+    int mi_col = (px << sub_x) / MI;
+    int right_available = (mi_col + (((w >> 2) << sub_x))) < t->t_c1;
+    int bottom_available = yd > 0 &&
+        (mi_row + (((h >> 2) << sub_y))) < t->t_r1;
+
+    int have_tr = has_top_right(t, w, h, mi_row, mi_col, have_top,
+                                right_available, w, sub_x, sub_y);
+    int have_bl = has_bottom_left(t, w, h, mi_row, mi_col, bottom_available,
+                                  have_left, h, sub_x, sub_y);
+
+    int n_top = have_top ? (w < xr + w ? w : xr + w) : 0;
+    int n_topright = have_tr ? (w < xr ? w : xr) : 0;
+    int n_left = have_left ? (h < yd + h ? h : yd + h) : 0;
+    int n_bottomleft = have_bl ? (h < yd ? h : yd) : 0;
+
+    /* numpy slice clipping at the buffer edge */
+    if (have_top) {
+        int avail = t->pw_buf[plane] - px;
+        if (avail < n_top + n_topright) {
+            n_topright = avail - n_top;
+            if (n_topright < 0) n_topright = 0;
+        }
+    }
+
+    const int32_t *above_ref = have_top ? rec + (py - 1) * stride + px : NULL;
+    /* left_ref strided column at px-1 */
+    int topleft_avail = have_top && have_left;
+    int32_t topleft_px = topleft_avail ? rec[(py - 1) * stride + (px - 1)] : 0;
+
+    int base = 128 << (bd - 8);
+
+    /* mode needs */
+    int is_dr = (mode >= M_V && mode <= M_D67);
+    int p_angle = 0;
+    int need_above, need_left, need_above_left, need_right, need_bottom;
+    switch (mode) {
+    case M_DC: need_above = 1; need_left = 1; need_above_left = 0; break;
+    case M_V: need_above = 1; need_left = 0; need_above_left = 0; break;
+    case M_H: need_above = 0; need_left = 1; need_above_left = 0; break;
+    case M_SMOOTH: case M_SMOOTH_V: case M_SMOOTH_H:
+        need_above = 1; need_left = 1; need_above_left = 0; break;
+    case M_PAETH: need_above = 1; need_left = 1; need_above_left = 1; break;
+    default: need_above = need_left = need_above_left = 0; break;
+    }
+    need_right = (mode == M_D45 || mode == M_D67);
+    need_bottom = (mode == M_D203);
+    if (is_dr) {
+        p_angle = MODE_ANGLE[mode] + angle_delta * 3;
+        if (p_angle <= 90) { need_above = 1; need_left = 0; need_above_left = 1; }
+        else if (p_angle < 180) { need_above = 1; need_left = 1; need_above_left = 1; }
+        else { need_above = 0; need_left = 1; need_above_left = 1; }
+        need_right = p_angle < 90;
+        need_bottom = p_angle > 180;
+    }
+    if (fi_mode >= 0) { tile_err(t, "filter-intra"); return; }
+
+    if ((!need_above && n_left == 0) || (!need_left && n_top == 0)) {
+        int32_t val;
+        if (need_left)
+            val = n_top > 0 ? above_ref[0] : base + 1;
+        else
+            val = n_left > 0 ? rec[py * stride + (px - 1)] : base - 1;
+        for (int i = 0; i < w * h; ++i) pred[i] = val;
+        return;
+    }
+
+    int32_t left_col[EDGE_MAX], above_row[EDGE_MAX];
+    memset(left_col, 0, sizeof(left_col));
+    memset(above_row, 0, sizeof(above_row));
+
+    if (need_left) {
+        int nb = need_bottom;
+        int num_left = h + (nb ? w : 0);
+        if (n_left > 0) {
+            int i;
+            for (i = 0; i < n_left; ++i)
+                left_col[i] = rec[(py + i) * stride + (px - 1)];
+            if (nb && n_bottomleft > 0) {
+                int m = n_bottomleft < num_left - i ? n_bottomleft
+                                                    : num_left - i;
+                for (int k = 0; k < m; ++k)
+                    left_col[i + k] = rec[(py + i + k) * stride + (px - 1)];
+                i += m;
+            }
+            for (; i < num_left; ++i) left_col[i] = left_col[i - 1];
+        } else {
+            int32_t v = n_top > 0 ? above_ref[0] : base + 1;
+            for (int i = 0; i < num_left; ++i) left_col[i] = v;
+        }
+    }
+
+    if (need_above) {
+        int nr = need_right;
+        int num_top = w + (nr ? h : 0);
+        if (n_top > 0) {
+            int i;
+            for (i = 0; i < n_top; ++i) above_row[i] = above_ref[i];
+            if (nr && n_topright > 0) {
+                int m = n_topright < num_top - w ? n_topright : num_top - w;
+                for (int k = 0; k < m; ++k)
+                    above_row[w + k] = above_ref[w + k];
+                i = w + m;
+            }
+            for (; i < num_top; ++i) above_row[i] = above_row[i - 1];
+        } else {
+            int32_t v = n_left > 0 ? rec[py * stride + (px - 1)] : base - 1;
+            for (int i = 0; i < num_top; ++i) above_row[i] = v;
+        }
+    }
+
+    int32_t topleft;
+    if (n_top > 0 && n_left > 0) topleft = topleft_px;
+    else if (n_top > 0) topleft = above_ref[0];
+    else if (n_left > 0) topleft = rec[py * stride + (px - 1)];
+    else topleft = base;
+
+    if (is_dr) {
+        /* edge arrays with topleft at index 0 */
+        int32_t ab[2 * EDGE_MAX + 4], lf[2 * EDGE_MAX + 4];
+        ab[0] = topleft;
+        memcpy(ab + 1, above_row, sizeof(above_row[0]) * (w + h + 14));
+        lf[0] = topleft;
+        memcpy(lf + 1, left_col, sizeof(left_col[0]) * (w + h + 14));
+        int off_a = 1, off_l = 1;
+        int upsample_above = 0, upsample_left = 0;
+        if (!t->disable_edge_filter) {
+            if (p_angle != 90 && p_angle != 180) {
+                int ab_le = need_above_left ? 1 : 0;
+                if (need_above && need_left && (w + h >= 24)) {
+                    int32_t s = (lf[1] * 5 + ab[0] * 6 + ab[1] * 5 + 8) >> 4;
+                    ab[0] = s;
+                    lf[0] = s;
+                }
+                if (need_above && n_top > 0) {
+                    int strength = edge_filter_strength(w, h, p_angle - 90,
+                                                        filt_type);
+                    int n_px = n_top + ab_le + (need_right ? h : 0);
+                    filter_edge(ab + (1 - ab_le), n_px, strength);
+                }
+                if (need_left && n_left > 0) {
+                    int strength = edge_filter_strength(h, w, p_angle - 180,
+                                                        filt_type);
+                    int n_px = n_left + ab_le + (need_bottom ? w : 0);
+                    filter_edge(lf + (1 - ab_le), n_px, strength);
+                }
+            }
+            upsample_above = use_edge_upsample(w, h, p_angle - 90, filt_type);
+            if (need_above && upsample_above) {
+                int n_px = w + (need_right ? h : 0);
+                int32_t up[2 * EDGE_MAX + 4];
+                upsample_edge(ab, n_px, bd, up);
+                memcpy(ab, up, sizeof(int32_t) * (2 * n_px + 2));
+                off_a = 2;
+            }
+            upsample_left = use_edge_upsample(h, w, p_angle - 180, filt_type);
+            if (need_left && upsample_left) {
+                int n_px = h + (need_bottom ? w : 0);
+                int32_t up[2 * EDGE_MAX + 4];
+                upsample_edge(lf, n_px, bd, up);
+                memcpy(lf, up, sizeof(int32_t) * (2 * n_px + 2));
+                off_l = 2;
+            }
+        }
+        const int32_t *abe = ab + off_a;   /* C index 0 */
+        const int32_t *lfe = lf + off_l;
+        if (p_angle == 90) {
+            for (int r = 0; r < h; ++r)
+                for (int c = 0; c < w; ++c) pred[r * w + c] = abe[c];
+            return;
+        }
+        if (p_angle == 180) {
+            for (int r = 0; r < h; ++r)
+                for (int c = 0; c < w; ++c) pred[r * w + c] = lfe[r];
+            return;
+        }
+        const int32_t *dd = t->dr_derivative;
+        int dx = 1, dy = 1;
+        if (p_angle > 0 && p_angle < 90) dx = dd[p_angle];
+        else if (p_angle > 90 && p_angle < 180) dx = dd[180 - p_angle];
+        if (p_angle > 90 && p_angle < 180) dy = dd[p_angle - 90];
+        else if (p_angle > 180 && p_angle < 270) dy = dd[270 - p_angle];
+        if (p_angle < 90) {
+            int ua = upsample_above;
+            int max_base = ((w + h) - 1) << ua;
+            int frac_bits = 6 - ua;
+            for (int r = 0; r < h; ++r) {
+                int x = (r + 1) * dx;
+                for (int c = 0; c < w; ++c) {
+                    int bpos = (x >> frac_bits) + (c << ua);
+                    int shift = ((x << ua) & 0x3F) >> 1;
+                    if (bpos >= max_base)
+                        pred[r * w + c] = abe[max_base];
+                    else {
+                        int b1 = bpos + 1 > max_base ? max_base : bpos + 1;
+                        pred[r * w + c] =
+                            (abe[bpos] * (32 - shift) + abe[b1] * shift + 16)
+                            >> 5;
+                    }
+                }
+            }
+            return;
+        }
+        if (p_angle > 180) {
+            int ul = upsample_left;
+            int max_base = ((w + h) - 1) << ul;
+            int frac_bits = 6 - ul;
+            for (int r = 0; r < h; ++r)
+                for (int c = 0; c < w; ++c) {
+                    int y = (c + 1) * dy;
+                    int bpos = (y >> frac_bits) + (r << ul);
+                    int shift = ((y << ul) & 0x3F) >> 1;
+                    if (bpos >= max_base)
+                        pred[r * w + c] = lfe[max_base];
+                    else {
+                        int b1 = bpos + 1 > max_base ? max_base : bpos + 1;
+                        pred[r * w + c] =
+                            (lfe[bpos] * (32 - shift) + lfe[b1] * shift + 16)
+                            >> 5;
+                    }
+                }
+            return;
+        }
+        /* z2: 90 < angle < 180; arrays with C index i at ptr[i + off] */
+        {
+            int ua = upsample_above, ul = upsample_left;
+            int off_a2 = 1 << ua, off_l2 = 1 << ul;
+            const int32_t *abz = ab + off_a - off_a2;   /* C index -off_a2 at [0] */
+            const int32_t *lfz = lf + off_l - off_l2;
+            int frac_x = 6 - ua, frac_y = 6 - ul;
+            /* python clip limits: len(edge array) - off - 2; the array
+               is the concat (w+h+17) or the upsampled 2*n_px+2 */
+            int ab_len = upsample_above ? 2 * (w + (need_right ? h : 0)) + 2
+                                        : w + h + 17;
+            int lf_len = upsample_left ? 2 * (h + (need_bottom ? w : 0)) + 2
+                                       : w + h + 17;
+            for (int r = 0; r < h; ++r) {
+                int x = -(r + 1) * dx;
+                for (int c = 0; c < w; ++c) {
+                    int base1 = (x >> frac_x) + (c << ua);
+                    int shift1 = ((x * (1 << ua)) & 0x3F) >> 1;
+                    int32_t val;
+                    if (base1 >= -off_a2) {
+                        int b1 = base1;
+                        if (b1 > ab_len - off_a2 - 2) b1 = ab_len - off_a2 - 2;
+                        val = (abz[b1 + off_a2] * (32 - shift1)
+                               + abz[b1 + off_a2 + 1] * shift1 + 16) >> 5;
+                    } else {
+                        int y = (r << 6) - (c + 1) * dy;
+                        int base2 = y >> frac_y;
+                        int shift2 = ((y * (1 << ul)) & 0x3F) >> 1;
+                        int b2 = base2;
+                        if (b2 < -off_l2) b2 = -off_l2;
+                        if (b2 > lf_len - off_l2 - 2) b2 = lf_len - off_l2 - 2;
+                        val = (lfz[b2 + off_l2] * (32 - shift2)
+                               + lfz[b2 + off_l2 + 1] * shift2 + 16) >> 5;
+                    }
+                    pred[r * w + c] = val;
+                }
+            }
+            return;
+        }
+    }
+
+    switch (mode) {
+    case M_DC: {
+        int64_t s = 0;
+        int32_t dcv;
+        if (n_top > 0 && n_left > 0) {
+            for (int i = 0; i < w; ++i) s += above_row[i];
+            for (int i = 0; i < h; ++i) s += left_col[i];
+            dcv = (int32_t)((s + ((w + h) >> 1)) / (w + h));
+        } else if (n_top > 0) {
+            for (int i = 0; i < w; ++i) s += above_row[i];
+            dcv = (int32_t)((s + (w >> 1)) / w);
+        } else if (n_left > 0) {
+            for (int i = 0; i < h; ++i) s += left_col[i];
+            dcv = (int32_t)((s + (h >> 1)) / h);
+        } else {
+            dcv = base;
+        }
+        for (int i = 0; i < w * h; ++i) pred[i] = dcv;
+        return;
+    }
+    case M_V:
+        for (int r = 0; r < h; ++r)
+            for (int c = 0; c < w; ++c) pred[r * w + c] = above_row[c];
+        return;
+    case M_H:
+        for (int r = 0; r < h; ++r)
+            for (int c = 0; c < w; ++c) pred[r * w + c] = left_col[r];
+        return;
+    case M_PAETH:
+        for (int r = 0; r < h; ++r)
+            for (int c = 0; c < w; ++c) {
+                int32_t a = above_row[c], l = left_col[r], tl = topleft;
+                int32_t bse = a + l - tl;
+                int32_t pa = bse - a; if (pa < 0) pa = -pa;
+                int32_t pl = bse - l; if (pl < 0) pl = -pl;
+                int32_t ptl = bse - tl; if (ptl < 0) ptl = -ptl;
+                pred[r * w + c] = (pa <= pl && pa <= ptl) ? a
+                                  : (pl <= ptl ? l : tl);
+            }
+        return;
+    case M_SMOOTH: {
+        const int32_t *sw = t->sm_weights;
+        int32_t below = left_col[h - 1], right = above_row[w - 1];
+        for (int r = 0; r < h; ++r) {
+            int32_t wh = sw[h + r];
+            for (int c = 0; c < w; ++c) {
+                int32_t ww = sw[w + c];
+                int32_t v = above_row[c] * wh + below * (256 - wh)
+                          + left_col[r] * ww + right * (256 - ww);
+                pred[r * w + c] = (v + 256) >> 9;
+            }
+        }
+        return;
+    }
+    case M_SMOOTH_V: {
+        const int32_t *sw = t->sm_weights;
+        int32_t below = left_col[h - 1];
+        for (int r = 0; r < h; ++r) {
+            int32_t wh = sw[h + r];
+            for (int c = 0; c < w; ++c)
+                pred[r * w + c] =
+                    (above_row[c] * wh + below * (256 - wh) + 128) >> 8;
+        }
+        return;
+    }
+    case M_SMOOTH_H: {
+        const int32_t *sw = t->sm_weights;
+        int32_t right = above_row[w - 1];
+        for (int r = 0; r < h; ++r)
+            for (int c = 0; c < w; ++c) {
+                int32_t ww = t->sm_weights[w + c];
+                pred[r * w + c] =
+                    (left_col[r] * ww + right * (256 - ww) + 128) >> 8;
+            }
+        return;
+    }
+    default:
+        tile_err(t, "mode");
+    }
+}
+
+/* edge-filter type: above/left neighbor y_mode smooth family */
+static int filt_type_for(Tile *t, int plane, int px, int py) {
+    int sub = plane ? 1 : 0;
+    int mi_row = (py << sub) / MI;
+    int mi_col = (px << sub) / MI;
+    int ab = 0, le = 0;
+    if (mi_row - 1 >= t->t_r0) {
+        int m = t->y_modes[(Py_ssize_t)(mi_row - 1) * t->mi_cols + mi_col];
+        ab = (m >= 9 && m <= 11);
+    }
+    if (mi_col - 1 >= t->t_c0) {
+        int m = t->y_modes[(Py_ssize_t)mi_row * t->mi_cols + (mi_col - 1)];
+        le = (m >= 9 && m <= 11);
+    }
+    return (ab || le) ? 1 : 0;
+}
+
+/* ------------------------------------------------------------------ */
+/* residual + block syntax                                            */
+/* ------------------------------------------------------------------ */
+
+typedef struct {
+    int plane, ts, tt, eob, px, py, w, h;
+    int32_t qc[32 * 32];
+} Txb;
+
+static void txb_ctx_for(Tile *t, int plane, int px, int py, int ts,
+                        int bsize_eq_tx, int *sk_ctx, int *dc_ctx) {
+    const int32_t *above = t->txb_above[plane];
+    const int32_t *left = t->txb_left[plane];
+    int x4 = px >> 2, y4 = py >> 2;
+    int plane_w = t->aligned_w >> (plane ? 1 : 0);
+    int plane_h = t->aligned_h >> (plane ? 1 : 0);
+    int tw4 = t->tx_w_tab[ts] >> 2, th4 = t->tx_h_tab[ts] >> 2;
+    int wu = (plane_w - px) >> 2; if (tw4 < wu) wu = tw4;
+    int hu = (plane_h - py) >> 2; if (th4 < hu) hu = th4;
+    static const int signs[3] = {0, -1, 1};
+    int dc_sign = 0;
+    for (int k = 0; k < wu; ++k)
+        dc_sign += signs[above[x4 + k] >> 6];
+    for (int k = 0; k < hu; ++k)
+        dc_sign += signs[left[y4 + k] >> 6];
+    *dc_ctx = dc_sign > 0 ? 2 : (dc_sign < 0 ? 1 : 0);
+
+    if (plane == 0) {
+        if (bsize_eq_tx) { *sk_ctx = 0; return; }
+        static const int skip_contexts[5][5] = {
+            {1, 2, 2, 2, 3}, {1, 4, 4, 4, 5}, {1, 4, 4, 4, 5},
+            {1, 4, 4, 4, 5}, {1, 4, 4, 4, 6}};
+        int top = 0, lft = 0;
+        for (int k = 0; k < wu; ++k) top |= above[x4 + k];
+        for (int k = 0; k < hu; ++k) lft |= left[y4 + k];
+        top &= 63;
+        lft &= 63;
+        int mx = top | lft; if (mx > 4) mx = 4;
+        int mn = top < lft ? top : lft; if (mn > 4) mn = 4;
+        *sk_ctx = skip_contexts[mn][mx];
+        return;
+    }
+    int any_a = 0, any_l = 0;
+    for (int k = 0; k < wu; ++k) if (above[x4 + k]) { any_a = 1; break; }
+    for (int k = 0; k < hu; ++k) if (left[y4 + k]) { any_l = 1; break; }
+    /* chroma blocks here always have tx == block (single txb) */
+    *sk_ctx = any_a + any_l + 7;
+}
+
+static void update_txb_ctx(Tile *t, int plane, int px, int py, int ts,
+                           int cul) {
+    int x4 = px >> 2, y4 = py >> 2;
+    int wu = t->tx_w_tab[ts] >> 2, hu = t->tx_h_tab[ts] >> 2;
+    for (int k = 0; k < wu; ++k) t->txb_above[plane][x4 + k] = cul;
+    for (int k = 0; k < hu; ++k) t->txb_left[plane][y4 + k] = cul;
+}
+
+static void record_tx_geometry(Tile *t, int plane, int px, int py, int ts) {
+    int x4 = px >> 2, y4 = py >> 2;
+    int w4 = t->tx_w_tab[ts] >> 2, h4 = t->tx_h_tab[ts] >> 2;
+    int gw = t->grid_w[plane];
+    for (int r = 0; r < h4; ++r)
+        for (int c = 0; c < w4; ++c) {
+            t->txw[plane][(Py_ssize_t)(y4 + r) * gw + x4 + c] = t->tx_w_tab[ts];
+            t->txh[plane][(Py_ssize_t)(y4 + r) * gw + x4 + c] = t->tx_h_tab[ts];
+        }
+    for (int r = 0; r < h4; ++r)
+        t->bex[plane][(Py_ssize_t)(y4 + r) * gw + x4] = 1;
+    for (int c = 0; c < w4; ++c)
+        t->bey[plane][(Py_ssize_t)y4 * gw + x4 + c] = 1;
+}
+
+/* write one txb's residual syntax (txb_skip + optional tx-type + coeffs) */
+static void write_txb(Tile *t, Txb *x, int y_mode_ctx, int sk_ctx, int dc_ctx,
+                      int sig_nset, int sig_eset, int sig_sq, int sig_ind) {
+    int ts_ctx = t->txs_ctx_tab[x->ts];
+    int plane_type = x->plane > 0;
+    uint16_t *skip_cdf = nb_row3(&t->cdf_txb_skip, ts_ctx, sk_ctx);
+    enc_symbol_adapt(&t->ec, x->eob == 0, skip_cdf, 2);
+    if (x->eob == 0) {
+        update_txb_ctx(t, x->plane, x->px, x->py, x->ts, 0);
+        return;
+    }
+    if (x->plane == 0 && sig_nset > 1) {
+        NB *b = &t->cdf_ext_tx;
+        uint16_t *cdf = (uint16_t *)b->data
+            + (((Py_ssize_t)sig_eset * b->shape[1] + sig_sq) * b->shape[2]
+               + y_mode_ctx) * b->shape[3];
+        enc_symbol_adapt(&t->ec, sig_ind, cdf, sig_nset);
+    }
+    int ems = t->ems_tab[x->ts];
+    NB *ef = &t->cdf_eob_flag[ems];
+    uint16_t *eob_cdf = nb_row3(ef, plane_type, 0);   /* eob_ctx 0 (2D) */
+    int eob_pt;
+    if (x->eob < 33) eob_pt = eob_to_pos_small[x->eob];
+    else {
+        int q = (x->eob - 1) >> 5;
+        eob_pt = eob_to_pos_large[q > 16 ? 16 : q];
+    }
+    uint16_t *eob_extra_cdf = nb_row4(&t->cdf_eob_extra, ts_ctx, plane_type,
+                                      eob_pt);
+    uint16_t *base = nb_row4(&t->cdf_base, ts_ctx, plane_type, 0);
+    uint16_t *base_eob = nb_row4(&t->cdf_base_eob, ts_ctx, plane_type, 0);
+    int br_idx = ts_ctx < 3 ? ts_ctx : 3;
+    uint16_t *br = nb_row4(&t->cdf_br, br_idx, plane_type, 0);
+    uint16_t *dc_sign = nb_row3(&t->cdf_dc_sign, plane_type, dc_ctx);
+    long long cul = ec_write_coeffs_core(
+        &t->ec, x->qc, t->scans[x->ts], x->eob, x->w, x->h, TX_CLASS_2D,
+        eob_cdf, eob_extra_cdf,
+        base, (int)t->cdf_base.shape[3],
+        base_eob, (int)t->cdf_base_eob.shape[3],
+        br, (int)t->cdf_br.shape[3],
+        dc_sign, t->tx_shape_tab[x->ts]);
+    update_txb_ctx(t, x->plane, x->px, x->py, x->ts, (int)cul);
+}
+
+/* ------------------------------------------------------------------ */
+/* block + partition walk                                             */
+/* ------------------------------------------------------------------ */
+
+static void tile_block(Tile *t, int bw, int bh, int mi_row, int mi_col) {
+    if (t->err) return;
+    if (t->mode_i >= t->mode_n) { tile_err(t, "mode_seq exhausted"); return; }
+    const int32_t *md = t->mode_seq + t->mode_i * 16;
+    t->mode_i++;
+    int y_mode = md[0], ad_y = md[1], uv_mode = md[2], ad_uv = md[3];
+    int fi_mode = md[4];
+    int ts_y = md[6], ts_uv = md[7], tt_y = md[8], tt_uv = md[9];
+    int sig_nset = md[10], sig_eset = md[11], sig_sq = md[12],
+        sig_ind = md[13];
+    if (fi_mode >= 0 || uv_mode == 13) { tile_err(t, "fi/cfl"); return; }
+
+    int x = mi_col * MI, y = mi_row * MI;
+    int w4 = bw / MI, h4 = bh / MI;
+    int up_avail = mi_row > t->t_r0;
+    int left_avail = mi_col > t->t_c0;
+
+    /* ---- compute all tx blocks (prediction + fused coding) ---- */
+    Txb txbs[3];
+    int n_txb = 0;
+    int32_t pred[32 * 32], resid[32 * 32], rec[32 * 32];
+    for (int plane = 0; plane < t->num_planes; ++plane) {
+        int sub = plane ? 1 : 0;
+        int px = x >> sub, py = y >> sub;
+        int ts = plane == 0 ? ts_y : ts_uv;
+        int tt = plane == 0 ? tt_y : tt_uv;
+        int tw = t->tx_w_tab[ts], th = t->tx_h_tab[ts];
+        int mode = plane == 0 ? y_mode : uv_mode;
+        int ad = plane == 0 ? ad_y : ad_uv;
+        int ftype = filt_type_for(t, plane, px, py);
+        predict_intra(t, plane, mode, ad, px, py, tw, th, fi_mode,
+                      ftype, pred);
+        if (t->err) return;
+        const int32_t *src = t->src[plane];
+        int stride = t->pw_buf[plane];
+        for (int r = 0; r < th; ++r)
+            for (int c = 0; c < tw; ++c)
+                resid[r * tw + c] =
+                    src[(Py_ssize_t)(py + r) * stride + px + c]
+                    - pred[r * tw + c];
+        const Plan *plan = t->plans[plane][ts][tt];
+        if (!plan) { tile_err(t, "missing plan"); return; }
+        Txb *tb = &txbs[n_txb++];
+        tb->plane = plane; tb->ts = ts; tb->tt = tt;
+        tb->px = px; tb->py = py; tb->w = tw; tb->h = th;
+        tb->eob = block_code_core(plan, resid, pred, tb->qc, rec);
+        int32_t *rp = t->rec[plane];
+        for (int r = 0; r < th; ++r)
+            memcpy(rp + (Py_ssize_t)(py + r) * stride + px, rec + r * tw,
+                   tw * sizeof(int32_t));
+        record_tx_geometry(t, plane, px, py, ts);
+    }
+    int skip = 1;
+    for (int i = 0; i < n_txb; ++i)
+        if (txbs[i].eob) { skip = 0; break; }
+
+    /* ---- mode syntax ---- */
+    int skip_ctx = 0;
+    if (up_avail)
+        skip_ctx += t->skips[(Py_ssize_t)(mi_row - 1) * t->mi_cols + mi_col];
+    if (left_avail)
+        skip_ctx += t->skips[(Py_ssize_t)mi_row * t->mi_cols + (mi_col - 1)];
+    enc_symbol_adapt(&t->ec, skip, nb_row2(&t->cdf_skip, skip_ctx), 2);
+
+    int above_mode = up_avail
+        ? t->y_modes[(Py_ssize_t)(mi_row - 1) * t->mi_cols + mi_col] : 0;
+    int left_mode = left_avail
+        ? t->y_modes[(Py_ssize_t)mi_row * t->mi_cols + (mi_col - 1)] : 0;
+    uint16_t *kf_cdf = nb_row3(&t->cdf_kf_y, INTRA_MODE_CONTEXT[above_mode],
+                               INTRA_MODE_CONTEXT[left_mode]);
+    enc_symbol_adapt(&t->ec, y_mode, kf_cdf, 13);
+    int use_delta = bw >= 8 && bh >= 8;    /* av1_use_angle_delta */
+    if (use_delta && y_mode >= M_V && y_mode <= M_D67)
+        enc_symbol_adapt(&t->ec, ad_y + 3,
+                         nb_row2(&t->cdf_angle, y_mode - 1), 7);
+
+    if (t->num_planes > 1) {
+        int cfl_allowed = bw <= 32 && bh <= 32;
+        uint16_t *uv_cdf = nb_row3(&t->cdf_uv, cfl_allowed, y_mode);
+        enc_symbol_adapt(&t->ec, uv_mode, uv_cdf, cfl_allowed ? 14 : 13);
+        if (use_delta && uv_mode >= M_V && uv_mode <= M_D67)
+            enc_symbol_adapt(&t->ec, ad_uv + 3,
+                             nb_row2(&t->cdf_angle, uv_mode - 1), 7);
+    }
+
+    /* filter_intra flag (plans never select it, so always 0) */
+    if (t->enable_filter_intra && y_mode == M_DC && bw <= 32 && bh <= 32) {
+        int bs_enum = md[14];
+        enc_symbol_adapt(&t->ec, 0,
+                         nb_row2(&t->cdf_filter_intra, bs_enum), 2);
+    }
+
+    /* record mode info */
+    int r1 = mi_row + h4 < t->mi_rows ? mi_row + h4 : t->mi_rows;
+    int c1 = mi_col + w4 < t->mi_cols ? mi_col + w4 : t->mi_cols;
+    for (int r = mi_row; r < r1; ++r)
+        for (int c = mi_col; c < c1; ++c) {
+            t->y_modes[(Py_ssize_t)r * t->mi_cols + c] = y_mode;
+            t->skips[(Py_ssize_t)r * t->mi_cols + c] = skip;
+        }
+
+    /* ---- residual syntax ---- */
+    if (skip) {
+        for (int i = 0; i < n_txb; ++i)
+            update_txb_ctx(t, txbs[i].plane, txbs[i].px, txbs[i].py,
+                           txbs[i].ts, 0);
+        return;
+    }
+    for (int i = 0; i < n_txb; ++i) {
+        Txb *tb = &txbs[i];
+        int sk_ctx, dc_ctx;
+        txb_ctx_for(t, tb->plane, tb->px, tb->py, tb->ts, 1, &sk_ctx,
+                    &dc_ctx);
+        write_txb(t, tb, y_mode, sk_ctx, dc_ctx,
+                  tb->plane == 0 ? sig_nset : 0, sig_eset, sig_sq, sig_ind);
+    }
+}
+
+static void part_ctx_set(Tile *t, int bw, int bh, int mi_col, int mi_row,
+                         int w_mi, int h_mi) {
+    int above = (31 << ilog2i(bw >> 2)) & 31;
+    int left = (31 << ilog2i(bh >> 2)) & 31;
+    for (int i = 0; i < w_mi; ++i) t->above_part[mi_col + i] = above;
+    for (int i = 0; i < h_mi; ++i) t->left_part[mi_row + i] = left;
+}
+
+static void tile_partition(Tile *t, int bsize, int mi_row, int mi_col) {
+    if (t->err) return;
+    if (mi_row >= t->mi_rows || mi_col >= t->mi_cols) return;
+    int bs_mi = bsize / MI;
+    int hbs = bs_mi / 2;
+    int has_rows = mi_row + hbs < t->mi_rows;
+    int has_cols = mi_col + hbs < t->mi_cols;
+    int part = P_NONE;
+    if (bsize >= 8) {
+        if (t->part_i >= t->part_n) { tile_err(t, "part_seq exhausted"); return; }
+        part = t->part_seq[t->part_i++];
+        /* _code_partition */
+        int bsl = ilog2i(bsize >> 3);
+        int above = (t->above_part[mi_col] >> bsl) & 1;
+        int left = (t->left_part[mi_row] >> bsl) & 1;
+        int ctx = (left * 2 + above) + bsl * 4;
+        int n = bsize == 8 ? 4 : (bsize == 128 ? 8 : 10);
+        uint16_t *cdf = nb_row2(&t->cdf_partition, ctx);
+        if (!has_rows && !has_cols) {
+            if (part != P_SPLIT) { tile_err(t, "boundary part"); return; }
+            /* no symbol */
+        } else if (has_rows && has_cols) {
+            enc_symbol_adapt(&t->ec, part, cdf, n);
+        } else {
+            if (part != P_SPLIT) { tile_err(t, "boundary part"); return; }
+            /* gather split-alike probability into a 2-symbol cdf */
+            int items[6];
+            int ni = 0;
+            if (!has_rows) {   /* vert-alike gather */
+                items[ni++] = 2; items[ni++] = 3; items[ni++] = 4;
+                items[ni++] = 6; items[ni++] = 7;
+                if (bsize != 128) items[ni++] = 9;
+            } else {           /* !has_cols -> horz-alike gather */
+                items[ni++] = 1; items[ni++] = 3; items[ni++] = 4;
+                items[ni++] = 5; items[ni++] = 6;
+                if (bsize != 128) items[ni++] = 8;
+            }
+            int top = 32768;
+            for (int k = 0; k < ni; ++k) {
+                int e = items[k];
+                int prev = e == 0 ? 32768 : cdf[e - 1];
+                top -= prev - cdf[e];
+            }
+            uint16_t g[3];
+            g[0] = (uint16_t)(32768 - top);
+            g[1] = 0;
+            g[2] = 0;
+            enc_symbol_adapt(&t->ec, 1, g, 2);
+        }
+    }
+    int half = bsize / 2;
+
+    switch (part) {
+    case P_NONE:
+        tile_block(t, bsize, bsize, mi_row, mi_col);
+        part_ctx_set(t, bsize, bsize, mi_col, mi_row, bs_mi, bs_mi);
+        break;
+    case P_SPLIT:
+        tile_partition(t, half, mi_row, mi_col);
+        tile_partition(t, half, mi_row, mi_col + hbs);
+        tile_partition(t, half, mi_row + hbs, mi_col);
+        tile_partition(t, half, mi_row + hbs, mi_col + hbs);
+        break;
+    case P_HORZ:
+        tile_block(t, bsize, half, mi_row, mi_col);
+        if (has_rows)
+            tile_block(t, bsize, half, mi_row + hbs, mi_col);
+        part_ctx_set(t, bsize, half, mi_col, mi_row, bs_mi, bs_mi);
+        break;
+    case P_VERT:
+        tile_block(t, half, bsize, mi_row, mi_col);
+        if (has_cols)
+            tile_block(t, half, bsize, mi_row, mi_col + hbs);
+        part_ctx_set(t, half, bsize, mi_col, mi_row, bs_mi, bs_mi);
+        break;
+    default:
+        tile_err(t, "partition kind");
+    }
+}
+
+/* ------------------------------------------------------------------ */
+/* module entry                                                       */
+/* ------------------------------------------------------------------ */
+
+static int nb_get(PyObject *seq, Py_ssize_t i, NB *out) {
+    PyObject *o = PyTuple_GET_ITEM(seq, i);
+    Py_buffer v;
+    if (PyObject_GetBuffer(o, &v, PyBUF_STRIDES) < 0) return -1;
+    out->data = v.buf;
+    out->ndim = v.ndim;
+    for (int d = 0; d < v.ndim && d < 4; ++d) out->shape[d] = v.shape[d];
+    PyBuffer_Release(&v);   /* caller keeps the args tuple alive */
+    return 0;
+}
+
+static void *pbuf(PyObject *seq, Py_ssize_t i) {
+    NB b;
+    if (nb_get(seq, i, &b) < 0) return NULL;
+    return b.data;
+}
+
+/*
+ * code_intra_tile(ints, planes, ctxs, cdfs, consts, scans, plans,
+ *                 part_seq, mode_seq) -> bytes
+ */
+static PyObject *code_intra_tile(PyObject *self, PyObject *args) {
+    PyObject *ints, *planes, *ctxs, *cdfs, *consts, *scans, *plans;
+    Py_buffer part_v, mode_v;
+    if (!PyArg_ParseTuple(args, "OOOOOOOy*y*", &ints, &planes, &ctxs, &cdfs,
+                          &consts, &scans, &plans, &part_v, &mode_v))
+        return NULL;
+    Tile t;
+    memset(&t, 0, sizeof(t));
+    long iv[16];
+    for (int i = 0; i < 16; ++i)
+        iv[i] = PyLong_AsLong(PyTuple_GET_ITEM(ints, i));
+    t.mi_rows = iv[0]; t.mi_cols = iv[1];
+    t.t_r0 = iv[2]; t.t_c0 = iv[3]; t.t_r1 = iv[4]; t.t_c1 = iv[5];
+    t.buf_w = iv[6]; t.buf_h = iv[7]; t.sb_size = iv[8]; t.bd = iv[9];
+    t.num_planes = iv[10];
+    t.aligned_w = iv[12]; t.aligned_h = iv[13];
+    t.disable_edge_filter = iv[14];
+    t.enable_filter_intra = iv[15];
+
+    for (int p = 0; p < 3; ++p) {
+        t.src[p] = (const int32_t *)pbuf(planes, p);
+        t.rec[p] = (int32_t *)pbuf(planes, 3 + p);
+        t.pw_buf[p] = p ? t.buf_w >> 1 : t.buf_w;
+        t.ph_buf[p] = p ? t.buf_h >> 1 : t.buf_h;
+    }
+    t.y_modes = (int32_t *)pbuf(ctxs, 0);
+    t.skips = (int32_t *)pbuf(ctxs, 1);
+    t.above_part = (int32_t *)pbuf(ctxs, 2);
+    t.left_part = (int32_t *)pbuf(ctxs, 3);
+    for (int p = 0; p < 3; ++p) {
+        t.txb_above[p] = (int32_t *)pbuf(ctxs, 4 + p);
+        t.txb_left[p] = (int32_t *)pbuf(ctxs, 7 + p);
+        NB g;
+        nb_get(ctxs, 10 + p, &g);
+        t.txw[p] = (int32_t *)g.data;
+        t.grid_h[p] = (int)g.shape[0];
+        t.grid_w[p] = (int)g.shape[1];
+        t.txh[p] = (int32_t *)pbuf(ctxs, 13 + p);
+        t.bex[p] = (uint8_t *)pbuf(ctxs, 16 + p);
+        t.bey[p] = (uint8_t *)pbuf(ctxs, 19 + p);
+    }
+    nb_get(cdfs, 0, &t.cdf_partition);
+    nb_get(cdfs, 1, &t.cdf_skip);
+    nb_get(cdfs, 2, &t.cdf_kf_y);
+    nb_get(cdfs, 3, &t.cdf_angle);
+    nb_get(cdfs, 4, &t.cdf_uv);
+    nb_get(cdfs, 5, &t.cdf_ext_tx);
+    nb_get(cdfs, 6, &t.cdf_txb_skip);
+    for (int k = 0; k < 7; ++k) nb_get(cdfs, 7 + k, &t.cdf_eob_flag[k]);
+    nb_get(cdfs, 14, &t.cdf_eob_extra);
+    nb_get(cdfs, 15, &t.cdf_base);
+    nb_get(cdfs, 16, &t.cdf_base_eob);
+    nb_get(cdfs, 17, &t.cdf_br);
+    nb_get(cdfs, 18, &t.cdf_dc_sign);
+    nb_get(cdfs, 19, &t.cdf_filter_intra);
+
+    t.sm_weights = (const int32_t *)pbuf(consts, 0);
+    t.dr_derivative = (const int32_t *)pbuf(consts, 1);
+    for (int k = 0; k < 7; ++k) {
+        t.has_tr[k] = (const uint8_t *)pbuf(consts, 2 + k);
+        t.has_bl[k] = (const uint8_t *)pbuf(consts, 9 + k);
+    }
+    t.tx_w_tab = (const int32_t *)pbuf(consts, 16);
+    t.tx_h_tab = (const int32_t *)pbuf(consts, 17);
+    t.txs_ctx_tab = (const int32_t *)pbuf(consts, 18);
+    t.tx_shape_tab = (const int32_t *)pbuf(consts, 19);
+    t.ems_tab = (const int32_t *)pbuf(consts, 20);
+
+    for (int ts = 0; ts < 19; ++ts) {
+        PyObject *o = PyTuple_GET_ITEM(scans, ts);
+        if (o == Py_None) { t.scans[ts] = NULL; continue; }
+        Py_buffer v;
+        if (PyObject_GetBuffer(o, &v, PyBUF_SIMPLE) < 0) return NULL;
+        t.scans[ts] = (const int16_t *)v.buf;
+        PyBuffer_Release(&v);
+    }
+    Py_ssize_t n_plans = PyTuple_GET_SIZE(plans);
+    for (Py_ssize_t k = 0; k < n_plans; ++k) {
+        PyObject *o = PyTuple_GET_ITEM(plans, k);
+        if (o == Py_None) continue;
+        Plan *pl = (Plan *)PyCapsule_GetPointer(o, "block_plan");
+        if (!pl) return NULL;
+        int plane = (int)(k / (19 * 16));
+        int ts = (int)((k / 16) % 19);
+        int tt = (int)(k % 16);
+        t.plans[plane][ts][tt] = pl;
+    }
+
+    t.part_seq = (const int8_t *)part_v.buf;
+    t.part_n = part_v.len;
+    t.mode_seq = (const int32_t *)mode_v.buf;
+    t.mode_n = mode_v.len / (16 * 4);
+
+    if (ec_core_init(&t.ec) < 0) {
+        PyBuffer_Release(&part_v); PyBuffer_Release(&mode_v);
+        return PyErr_NoMemory();
+    }
+
+    /* the walk */
+    int sb_mi = t.sb_size / MI;
+    for (int mi_row = t.t_r0; mi_row < t.t_r1 && !t.err; mi_row += sb_mi)
+        for (int mi_col = t.t_c0; mi_col < t.t_c1 && !t.err;
+             mi_col += sb_mi)
+            tile_partition(&t, t.sb_size, mi_row, mi_col);
+
+    PyObject *out = NULL;
+    if (t.err) {
+        PyErr_Format(PyExc_ValueError, "coder_native: %s", t.errmsg);
+    } else if (t.part_i != t.part_n || t.mode_i != t.mode_n) {
+        PyErr_Format(PyExc_ValueError,
+                     "coder_native: plan mismatch (%zd/%zd parts, %zd/%zd"
+                     " modes)", t.part_i, t.part_n, t.mode_i, t.mode_n);
+    } else {
+        size_t cap = t.ec.offs + 8;
+        unsigned char *tmp = (unsigned char *)malloc(cap);
+        if (!tmp) {
+            PyErr_NoMemory();
+        } else {
+            size_t total = ec_core_done(&t.ec, tmp);
+            out = PyBytes_FromStringAndSize((const char *)tmp,
+                                            (Py_ssize_t)total);
+            free(tmp);
+        }
+    }
+    ec_core_free(&t.ec);
+    PyBuffer_Release(&part_v);
+    PyBuffer_Release(&mode_v);
+    return out;
+}
+
+static PyMethodDef methods[] = {
+    {"code_intra_tile", code_intra_tile, METH_VARARGS, NULL},
+    {NULL, NULL, 0, NULL},
+};
+
+static PyModuleDef mod = {
+    PyModuleDef_HEAD_INIT, "coder_native",
+    "Native intra tile coder (plan replay)", -1, methods,
+};
+
+PyMODINIT_FUNC PyInit_coder_native(void) {
+    return PyModule_Create(&mod);
+}

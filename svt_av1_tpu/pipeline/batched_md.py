@@ -53,6 +53,10 @@ class BatchedIntraDecider(ModeDecider):
     Non-key frames fall back to the base per-block path (the batched
     inter pass lands separately)."""
 
+    # decisions are a pure function of the precomputed plan, so the
+    # native tile coder may dry-run + replay them (native/tile_coder.py)
+    plan_replayable = True
+
     def __init__(self, use_jax: bool | None = None):
         super().__init__(block_size=32)
         if use_jax is None:
@@ -83,6 +87,9 @@ class BatchedIntraDecider(ModeDecider):
             BatchedIntraDecider._executor =                 cf.ThreadPoolExecutor(max_workers=1)
         if self._prefetch is None:
             self._prefetch = {}
+        if display in self._prefetch \
+                and self._prefetch[display][0] == qindex:
+            return
         lam = rd_lambda(qindex, bd)
         mode_bits = default_mode_bits(FrameCdfs(qindex))
         fut = BatchedIntraDecider._executor.submit(
@@ -130,53 +137,72 @@ class BatchedIntraDecider(ModeDecider):
         self._plan = {}
         mi_rows, mi_cols = codec.mi_rows, codec.mi_cols
 
-        def visited(r, c):
-            return r < mi_rows and c < mi_cols
+        # Vectorized bottom-up DP over the partition tree (the host
+        # twin of FrameCodec._partition's recursion).  Arithmetic
+        # mirrors the scalar form exactly: pair sums for HORZ/VERT stay
+        # in the cost maps' float32 before widening, everything else
+        # accumulates in float64.
+        def pad_to(a, hh, ww):
+            out = np.zeros((hh, ww), np.float64)
+            h0 = min(a.shape[0], hh)
+            w0 = min(a.shape[1], ww)
+            out[:h0, :w0] = a[:h0, :w0]
+            return out
 
-        def eval_node(bsize, r, c) -> float:
-            """Mirrors FrameCodec._partition: returns subtree cost and
-            records the choice in the plan."""
-            if not visited(r, c):
-                return 0.0
-            if bsize == 8:
-                return float(cost[(8, 8)][r // 2, c // 2])
+        # leaf level: 8x8 cost where the node origin is inside the frame
+        c8 = np.asarray(cost[(8, 8)])
+        h8 = -(-mi_rows // 2)
+        w8 = -(-mi_cols // 2)
+        best = np.zeros(c8.shape, np.float64)
+        best[:h8, :w8] = c8[:h8, :w8].astype(np.float64)
+        # zero out-of-frame leaves
+        best[h8:, :] = 0.0
+        best[:, w8:] = 0.0
+
+        for bsize in (16, 32):
             bs_mi = bsize // 4
             hbs = bs_mi // 2
             half = bsize // 2
-            boundary = not (r + hbs < mi_rows and c + hbs < mi_cols)
             pb = pbits[bsize]
-
-            def split_cost():
-                return sum(eval_node(half, rr, cc) for rr, cc in
-                           ((r, c), (r, c + hbs), (r + hbs, c),
-                            (r + hbs, c + hbs)))
-
-            if boundary:
-                self._plan[(bsize, r, c)] = PARTITION_SPLIT
-                return split_cost()
-
-            bi, bj = r // bs_mi, c // bs_mi           # block index at size
-            none_c = float(cost[(bsize, bsize)][bi, bj]) \
-                + lam * pb[PARTITION_NONE]
-            horz = cost[(bsize, half)]                 # (w=bsize, h=half)
-            horz_c = float(horz[2 * bi, bj] + horz[2 * bi + 1, bj]) \
+            nr = -(-mi_rows // bs_mi)      # valid node rows
+            nc = -(-mi_cols // bs_mi)
+            nh = best.shape[0] // 2        # node grid from child grid
+            nw = best.shape[1] // 2
+            chb = pad_to(best, nh * 2, nw * 2)
+            s = chb[0::2, 0::2] + chb[0::2, 1::2]
+            s = s + chb[1::2, 0::2]
+            split_raw = s + chb[1::2, 1::2]
+            none_c = pad_to(np.asarray(cost[(bsize, bsize)], np.float64),
+                            nh, nw) + lam * pb[PARTITION_NONE]
+            hmap = np.asarray(cost[(bsize, half)])
+            hp = (hmap[0::2, :] + hmap[1::2, :])       # f32 pair sum
+            horz_c = pad_to(hp.astype(np.float64), nh, nw) \
                 + lam * pb[PARTITION_HORZ]
-            vert = cost[(half, bsize)]
-            vert_c = float(vert[bi, 2 * bj] + vert[bi, 2 * bj + 1]) \
+            vmap = np.asarray(cost[(half, bsize)])
+            vp = (vmap[:, 0::2] + vmap[:, 1::2])
+            vert_c = pad_to(vp.astype(np.float64), nh, nw) \
                 + lam * pb[PARTITION_VERT]
-            # evaluate children first (recursion fills sub-plan); the
-            # plan entries below this node are only read when SPLIT wins
-            split_c = split_cost() + lam * pb[PARTITION_SPLIT]
-            best = min((none_c, PARTITION_NONE), (horz_c, PARTITION_HORZ),
-                       (vert_c, PARTITION_VERT), (split_c, PARTITION_SPLIT))
-            self._plan[(bsize, r, c)] = best[1]
-            return best[0]
-
-        # evaluate every 32-aligned root node (8 mi apart) — the walk
-        # splits 64/128 superblocks down to them
-        for r in range(0, mi_rows, 8):
-            for c in range(0, mi_cols, 8):
-                eval_node(32, r, c)
+            split_c = split_raw + lam * pb[PARTITION_SPLIT]
+            stacked = np.stack([none_c, horz_c, vert_c, split_c])
+            part = np.argmin(stacked, axis=0).astype(np.int8)
+            bestv = np.take_along_axis(stacked, part[None].astype(np.int64),
+                                       0)[0]
+            # boundary nodes: forced SPLIT, children only (no bits)
+            rr = np.arange(nh) * bs_mi
+            cc = np.arange(nw) * bs_mi
+            bound = (rr[:, None] + hbs >= mi_rows) | \
+                    (cc[None, :] + hbs >= mi_cols)
+            part = np.where(bound, np.int8(PARTITION_SPLIT), part)
+            bestv = np.where(bound, split_raw, bestv)
+            # out-of-frame nodes contribute 0 to their parents
+            valid = (rr[:, None] < mi_rows) & (cc[None, :] < mi_cols)
+            bestv = np.where(valid, bestv, 0.0)
+            for i in range(min(nr, nh)):
+                base_r = i * bs_mi
+                row = part[i]
+                for j in range(min(nc, nw)):
+                    self._plan[(bsize, base_r, j * bs_mi)] = int(row[j])
+            best = bestv
 
     # -- replay interface ----------------------------------------------
 

@@ -561,6 +561,10 @@ class FrameCodec:
         neighbor state — EbEntropyCodingProcess.c:357 per-tile reset)."""
         self.decider = decider
         self._init_lr_state()
+        from ..native import tile_coder
+        got = tile_coder.try_encode_tiles_native(self, decider)
+        if got is not None:
+            return got
         blobs = []
         for rect in self.tile_rects():
             self.tile = rect
@@ -1657,7 +1661,7 @@ class FrameCodec:
             return
         import os
         if (self.source is not None and _device_filters()
-                and os.environ.get("SVT_TPU_DLF_DEVICE", "0") == "1"
+                and os.environ.get("SVT_TPU_DLF_DEVICE", "1") == "1"
                 and not getattr(fh, "dlf_level_searched", False)
                 and max(fh.filter_level) > 0 and self.num_planes == 3):
             # encoder: fused level search + apply on the device
