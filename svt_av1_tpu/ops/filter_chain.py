@@ -88,14 +88,15 @@ def _jit_chain(shapes: tuple, vis: tuple, sharpness: int, bd: int,
         uvstr = pick(err_uv) if nplanes > 1 else jnp.int32(0)
         cdef_out = cdef_ops._cdef_apply_traced(rec, nonskip, ystr, uvstr,
                                                damping, fw, fh, bd, jnp)
+        odt = jnp.uint8 if bd == 8 else jnp.uint16
         outs = []
         for i in range(nplanes):
             full = dlf_out[i].at[: fh >> (1 if i else 0),
                                  : fw >> (1 if i else 0)].set(cdef_out[i])
-            outs.append(full.astype(jnp.uint16).ravel())
-        outs.append(level.astype(jnp.uint16)[None])
-        outs.append(ystr.astype(jnp.uint16)[None])
-        outs.append(uvstr.astype(jnp.uint16)[None])
+            outs.append(full.astype(odt).ravel())
+        outs.append(level.astype(odt)[None])
+        outs.append(ystr.astype(odt)[None])
+        outs.append(uvstr.astype(odt)[None])
         return jnp.concatenate(outs)
 
     return jax.jit(run)
