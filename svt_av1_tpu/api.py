@@ -260,6 +260,14 @@ class Encoder:
         if self._decider_arg is not None:
             return self._decider_arg
         cfg, sig = self.cfg, self.sig
+        # honest tool toggles: the intra candidate set follows the
+        # derived signals (signal_derivation_* analog)
+        modes = [m for m in range(13)
+                 if (sig.enable_paeth or m != 12)
+                 and (sig.enable_smooth or m not in (9, 10, 11))]
+        uv_modes = [m for m in (0, 1, 2, 9, 12)
+                    if (sig.enable_paeth or m != 12)
+                    and (sig.enable_smooth or m != 9)]
         if cfg.enc_mode <= 4:
             from .pipeline.rdo import PartitionRdoDecider
             return PartitionRdoDecider(
@@ -267,11 +275,15 @@ class Encoder:
                 max_rd_bsize=64,
                 ext_shapes=cfg.enc_mode <= 3,
                 n_full_rd=sig.md_stage_nics[2],
-                try_angle_delta=cfg.enc_mode <= 4)
+                modes=tuple(modes), uv_modes=tuple(uv_modes),
+                try_cfl=sig.enable_cfl,
+                try_angle_delta=sig.intra_angle_delta)
         if cfg.enc_mode <= 6:
             from .pipeline.rdo import RdoDecider
             return RdoDecider(n_full_rd=sig.md_stage_nics[2],
-                              try_angle_delta=False)
+                              modes=tuple(modes), uv_modes=tuple(uv_modes),
+                              try_cfl=sig.enable_cfl,
+                              try_angle_delta=sig.intra_angle_delta)
         if cfg.enc_mode == 7:
             # batched intra plan + per-block inter search (slower inter
             # frames, better RD)
@@ -623,6 +635,16 @@ class Encoder:
         codec.sign_bias = sign_bias
         codec.lr_source = lr_source
         codec.obmc_level = self.sig.obmc_level
+        codec.compound_level = self.sig.compound_level
+        codec.search_area = (
+            48 if self.cfg.search_area_width == -1
+            else self.cfg.search_area_width,
+            48 if self.cfg.search_area_height == -1
+            else self.cfg.search_area_height)
+        codec.hme_controls = (self.cfg.enable_hme
+                              and self.cfg.enable_hme_level0,
+                              self.sig.enable_hme_level1,
+                              self.sig.enable_hme_level2)
         codec.aq_map = aq_map
         tile_data = _assemble_tile_group(codec.encode_tiles(decider), fh)
         from .ops.filter_chain import dlf_cdef_chain
@@ -641,6 +663,9 @@ class Encoder:
                                     refs=refs)
                 codec2.sign_bias = sign_bias
                 codec2.obmc_level = self.sig.obmc_level
+                codec2.compound_level = self.sig.compound_level
+                codec2.search_area = codec.search_area
+                codec2.hme_controls = codec.hme_controls
                 codec2.aq_map = aq_map
                 codec2.lr_plan = codec.lr_plan
                 tile_data = _assemble_tile_group(

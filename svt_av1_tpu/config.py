@@ -120,8 +120,9 @@ class EncoderConfig:
     enable_hme_level0: bool = True
     enable_hme_level1: int = -1
     enable_hme_level2: int = -1
-    search_area_width: int = 16
-    search_area_height: int = 7
+    # -1 = auto (use_default_me_hme analog: preset-derived area)
+    search_area_width: int = -1
+    search_area_height: int = -1
 
     # --- Alt-ref ---
     tf_level: int = -1
@@ -209,11 +210,24 @@ def validate_config(cfg: EncoderConfig) -> None:
                          ("intrabc_mode", "intra block copy"),
                          ("screen_content_mode", "screen content tools"),
                          ("pic_based_rate_est", "picture-based rate "
-                          "estimation")):
+                          "estimation"),
+                         ("rdoq_level", "trellis/RDOQ"),
+                         ("enable_mfmv", "temporal MV prediction"),
+                         ("inter_intra_compound", "inter-intra compound")):
         v = getattr(cfg, field)
         if v not in (-1, 0):
             raise ConfigError(f"{field}={v}: {label} is not implemented "
                               "yet (use -1 or 0)")
+    if cfg.enable_overlays:
+        raise ConfigError("enable_overlays: overlay pictures are not "
+                          "implemented yet")
+    if cfg.active_channel_count != 1:
+        raise ConfigError("active_channel_count must be 1 (run one "
+                          "Encoder per channel)")
+    for v in (cfg.search_area_width, cfg.search_area_height):
+        if v != -1 and not (1 <= v <= 256):
+            raise ConfigError("search_area dimensions out of range "
+                              "[1, 256] (-1 = auto)")
     if cfg.superres_mode:
         # scaled-reference MC is not implemented, so super-resolution is
         # only usable on all-intra configs (intra period -2/0); silently
@@ -238,7 +252,6 @@ class DerivedSignals:
 
     enable_hme_level1: bool
     enable_hme_level2: bool
-    tx_search_level: int          # 0 full set, 1 pruned, 2 DCT only
     enable_paeth: bool
     enable_smooth: bool
     enable_cfl: bool
@@ -251,10 +264,8 @@ class DerivedSignals:
     enable_adaptive_quantization: bool
     obmc_level: int
     compound_level: int
-    rdoq_level: int
     tf_level: int
     md_stage_nics: tuple[int, int, int, int]   # candidates kept per MD stage
-    max_partition_depth: int
 
 
 def derive_signals(cfg: EncoderConfig) -> DerivedSignals:
@@ -276,7 +287,6 @@ def derive_signals(cfg: EncoderConfig) -> DerivedSignals:
     return DerivedSignals(
         enable_hme_level1=auto(cfg.enable_hme_level1, True),
         enable_hme_level2=auto(cfg.enable_hme_level2, m <= 6),
-        tx_search_level=0 if m <= 3 else (1 if m <= 6 else 2),
         enable_paeth=auto(cfg.enable_paeth, m <= 7),
         enable_smooth=auto(cfg.enable_smooth, m <= 7),
         enable_cfl=auto(cfg.enable_cfl, m <= 6),
@@ -294,10 +304,8 @@ def derive_signals(cfg: EncoderConfig) -> DerivedSignals:
                           1 if m <= 5 and cfg.encoder_bit_depth == 8
                           else 0),
         compound_level=cfg.compound_level if cfg.compound_level != -1 else (1 if m <= 5 else 0),
-        rdoq_level=cfg.rdoq_level if cfg.rdoq_level != -1 else (1 if m <= 7 else 0),
         tf_level=cfg.tf_level if cfg.tf_level != -1 else (1 if m <= 7 else 0),
         md_stage_nics=(64, 16, 8, 4) if m <= 2 else ((32, 12, 6, 3) if m <= 5 else (16, 8, 4, 2)),
-        max_partition_depth=4 if m <= 4 else 3,
     )
 
 

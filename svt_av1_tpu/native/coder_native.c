@@ -95,6 +95,7 @@ typedef struct {
     int cur_part;
     int err;
     char errmsg[160];
+    void *inter;                   /* InterState* on inter frames */
 } Tile;
 
 static void tile_err(Tile *t, const char *msg) {
@@ -740,8 +741,12 @@ static void write_txb(Tile *t, Txb *x, int y_mode_ctx, int sk_ctx, int dc_ctx,
 /* block + partition walk                                             */
 /* ------------------------------------------------------------------ */
 
+static void tile_block_inter(Tile *t, int bw, int bh, int mi_row,
+                             int mi_col);
+
 static void tile_block(Tile *t, int bw, int bh, int mi_row, int mi_col) {
     if (t->err) return;
+    if (t->inter) { tile_block_inter(t, bw, bh, mi_row, mi_col); return; }
     if (t->mode_i >= t->mode_n) { tile_err(t, "mode_seq exhausted"); return; }
     const int32_t *md = t->mode_seq + t->mode_i * 16;
     t->mode_i++;
@@ -946,6 +951,1020 @@ static void tile_partition(Tile *t, int bsize, int mi_row, int mi_col) {
     }
 }
 
+/* ================================================================== */
+/* Inter-frame path: MV stack, MC, decision replay, inter syntax      */
+/* (ports of pipeline/mv_pred.py find_mv_stack, ops/inter.py          */
+/*  convolve_2d_sr, pipeline/batched_inter.py decide_inter and        */
+/*  frame_codec._block_inter — single-reference preset-8 envelope:    */
+/*  no compound, no motion modes, identity global motion)             */
+/* ================================================================== */
+
+#define MAX_REF_MV_STACK 8
+#define MAX_MV_REF_CANDIDATES 2
+#define MVREF_ROW_COLS 3
+#define REF_CAT_LEVEL 640
+#define MV_BORDER (16 << 3)
+#define GLOBALMV_OFFSET 3
+#define REFMV_OFFSET 4
+#define NEWMV_CTX_MASK ((1 << GLOBALMV_OFFSET) - 1)
+#define GLOBALMV_CTX_MASK ((1 << (REFMV_OFFSET - GLOBALMV_OFFSET)) - 1)
+#define REFMV_CTX_MASK ((1 << (8 - REFMV_OFFSET)) - 1)
+#define NEARESTMV 13
+#define NEARMV 14
+#define GLOBALMV_MODE 15
+#define NEWMV 16
+#define NEW_NEWMV 24   /* any NEW-bearing compound (has_newmv check) */
+
+typedef struct {
+    /* mi grid state (written as blocks code) */
+    int32_t *mi_ref, *mi_ref1, *mi_mode, *mi_mvr, *mi_mvc;
+    int32_t *mi_mv1r, *mi_mv1c, *mi_bw4, *mi_bh4;
+    uint8_t *skip_grid[3];
+    /* reference planes (padded by ref_pad), indexed by named ref 1..7 */
+    const int32_t *ref_y[8], *ref_u[8], *ref_v[8];
+    int ref_w[8], ref_h[8];           /* padded luma dims */
+    int ref_cw[8], ref_ch[8];         /* padded chroma dims */
+    int ref_pad;
+    int frame_w, frame_h;             /* visible dims */
+    /* decision maps (per shape) + per-16 MVs (1/8 pel) */
+    const uint8_t *is_inter_map[7];   /* shapes: see SHAPE_LIST */
+    const int8_t *mode_map[7];
+    int map_w[7], map_h[7];
+    const int32_t *mv16_r, *mv16_c;   /* [nr16][nc16] */
+    int nc16;
+    /* inter cdfs */
+    NB cdf_intra_inter, cdf_single_ref, cdf_newmv, cdf_zeromv, cdf_refmv,
+       cdf_drl, cdf_y_mode, cdf_inter_ext_tx, cdf_comp_inter;
+    /* nmv cdfs: joints + per-comp arrays */
+    uint16_t *nmv_joints;
+    uint16_t *nmv_classes[2], *nmv_class0_fp[2], *nmv_fp[2], *nmv_sign[2],
+             *nmv_class0_hp[2], *nmv_hp[2], *nmv_class0[2], *nmv_bits[2];
+    /* per-ts signaling consts */
+    const int32_t *sig_inter;         /* [19][4]: nset, eset, sq, ind_dct */
+    const int32_t *sig_intra;         /* [19][4] */
+    const int32_t *tt_uv_tab;         /* [19][13] chroma tt per uv mode */
+    const int32_t *interp_taps;       /* [16][8] REGULAR 8-tap kernels */
+    const int32_t *sign_bias;         /* [8] per named ref */
+    int reference_select;
+} InterState;
+
+static const int SHAPE_LIST[7][2] = {{8, 8}, {16, 16}, {32, 32}, {16, 8},
+                                     {8, 16}, {32, 16}, {16, 32}};
+
+static int shape_idx(int w, int h) {
+    for (int i = 0; i < 7; ++i)
+        if (SHAPE_LIST[i][0] == w && SHAPE_LIST[i][1] == h) return i;
+    return -1;
+}
+
+static int bsize_enum_of(int bw, int bh) {
+    static const int tab[7][3] = {{8, 8, 3}, {8, 16, 4}, {16, 8, 5},
+                                  {16, 16, 6}, {16, 32, 7}, {32, 16, 8},
+                                  {32, 32, 9}};
+    for (int i = 0; i < 7; ++i)
+        if (tab[i][0] == bw && tab[i][1] == bh) return tab[i][2];
+    return -1;
+}
+
+static const int SIZE_GROUP_BY_ENUM[22] = {0, 0, 0, 1, 1, 1, 2, 2, 2, 3, 3,
+                                           3, 3, 3, 3, 3, 0, 0, 1, 1, 2, 2};
+
+/* ---- MV stack (find_mv_stack, single-ref, identity GM) ----------- */
+
+typedef struct {
+    int32_t mv[MAX_REF_MV_STACK][2];
+    int32_t weight[MAX_REF_MV_STACK];
+    int n;
+    int mode_context;
+    int32_t ref_list[2][2];           /* lowered-precision nearest/near */
+} MvStack;
+
+static int has_newmv_mode(int mode) {
+    return mode == NEWMV || (mode >= 17 && mode <= 24);
+}
+
+
+static void mv_stack_find(Tile *t, InterState *st, int mi_row, int mi_col,
+                          int bw4, int bh4, int ref, MvStack *out) {
+    int mi_rows = t->mi_rows, mi_cols = t->mi_cols;
+    int t_r0 = t->t_r0, t_c0 = t->t_c0, t_r1 = t->t_r1, t_c1 = t->t_c1;
+    int sb_mi = t->sb_size / 4;
+    int n = 0;
+    int32_t smv[MAX_REF_MV_STACK][2];
+    int32_t swt[MAX_REF_MV_STACK];
+    int found_above = 0, found_left = 0, newmv_count = 0;
+    Py_ssize_t S = mi_cols;
+
+#define INSIDE(r, c) ((c) >= t_c0 && (c) < t_c1 && (r) >= t_r0 && (r) < t_r1)
+
+    /* add_ref_mv (single-ref) */
+#define ADD_REF_MV(r, c, wgt, found_var)                                     \
+    do {                                                                     \
+        int _found = 0;                                                      \
+        int32_t _refs[2] = {st->mi_ref[(r) * S + (c)],                       \
+                            st->mi_ref1[(r) * S + (c)]};                     \
+        int32_t _mvs[2][2] = {{st->mi_mvr[(r) * S + (c)],                    \
+                               st->mi_mvc[(r) * S + (c)]},                   \
+                              {st->mi_mv1r[(r) * S + (c)],                   \
+                               st->mi_mv1c[(r) * S + (c)]}};                 \
+        for (int _j = 0; _j < 2; ++_j) {                                     \
+            if (_refs[_j] != ref) continue;                                  \
+            int _hit = 0;                                                    \
+            for (int _k = 0; _k < n; ++_k)                                   \
+                if (smv[_k][0] == _mvs[_j][0]                                \
+                    && smv[_k][1] == _mvs[_j][1]) {                          \
+                    swt[_k] += (wgt);                                        \
+                    _hit = 1;                                                \
+                    break;                                                   \
+                }                                                            \
+            if (!_hit && n < MAX_REF_MV_STACK) {                             \
+                smv[n][0] = _mvs[_j][0];                                     \
+                smv[n][1] = _mvs[_j][1];                                     \
+                swt[n] = (wgt);                                              \
+                ++n;                                                         \
+            }                                                                \
+            if (has_newmv_mode(st->mi_mode[(r) * S + (c)])) ++newmv_count;   \
+            _found = 1;                                                      \
+        }                                                                    \
+        found_var += _found;                                                 \
+    } while (0)
+
+    int row_adj = (bh4 < 2) && (mi_row & 1);
+    int col_adj = (bw4 < 2) && (mi_col & 1);
+    int up_avail = mi_row > t_r0;
+    int left_avail = mi_col > t_c0;
+    int max_row_offset = 0, max_col_offset = 0;
+    if (up_avail) {
+        max_row_offset = -(MVREF_ROW_COLS << 1) + row_adj;
+        if (bh4 < 2) max_row_offset = -(2 << 1) + row_adj;
+        int lo = t_r0 - mi_row, hi = t_r1 - mi_row - 1;
+        if (max_row_offset < lo) max_row_offset = lo;
+        if (max_row_offset > hi) max_row_offset = hi;
+    }
+    if (left_avail) {
+        max_col_offset = -(MVREF_ROW_COLS << 1) + col_adj;
+        if (bw4 < 2) max_col_offset = -(2 << 1) + col_adj;
+        int lo = t_c0 - mi_col, hi = t_c1 - mi_col - 1;
+        if (max_col_offset < lo) max_col_offset = lo;
+        if (max_col_offset > hi) max_col_offset = hi;
+    }
+    int processed_rows = 0, processed_cols = 0;
+
+#define SCAN_ROW(delta_row)                                                  \
+    do {                                                                     \
+        int end4 = bw4 < mi_cols - mi_col ? bw4 : mi_cols - mi_col;          \
+        if (end4 > 16) end4 = 16;                                            \
+        int delta_col = 0;                                                   \
+        int use_step_16 = bw4 >= 16;                                         \
+        if ((delta_row) < -1 || (delta_row) > 1) {                           \
+            delta_col = 1;                                                   \
+            if ((mi_col & 1) && bw4 < 2) delta_col -= 1;                     \
+        }                                                                    \
+        int i = 0;                                                           \
+        while (i < end4) {                                                   \
+            int mr = mi_row + (delta_row);                                   \
+            int mc = mi_col + delta_col + i;                                 \
+            if (!INSIDE(mr, mc)) break;                                      \
+            int cand_bw4 = st->mi_bw4[mr * S + mc];                          \
+            int cand_bh4 = st->mi_bh4[mr * S + mc];                          \
+            int length = bw4 < cand_bw4 ? bw4 : cand_bw4;                    \
+            if (use_step_16) { if (length < 4) length = 4; }                 \
+            else if ((delta_row) < -1 || (delta_row) > 1) {                  \
+                if (length < 2) length = 2;                                  \
+            }                                                                \
+            int weight = 2;                                                  \
+            if (bw4 >= 2 && bw4 <= cand_bw4) {                               \
+                int inc = -max_row_offset + (delta_row) + 1;                 \
+                if (inc > cand_bh4) inc = cand_bh4;                          \
+                if (inc > weight) weight = inc;                              \
+                processed_rows = inc - (delta_row) - 1;                      \
+            }                                                                \
+            ADD_REF_MV(mr, mc, length * weight, found_above);                \
+            i += length;                                                     \
+        }                                                                    \
+    } while (0)
+
+#define SCAN_COL(delta_col)                                                  \
+    do {                                                                     \
+        int end4 = bh4 < mi_rows - mi_row ? bh4 : mi_rows - mi_row;          \
+        if (end4 > 16) end4 = 16;                                            \
+        int delta_row = 0;                                                   \
+        int use_step_16 = bh4 >= 16;                                         \
+        if ((delta_col) < -1 || (delta_col) > 1) {                           \
+            delta_row = 1;                                                   \
+            if ((mi_row & 1) && bh4 < 2) delta_row -= 1;                     \
+        }                                                                    \
+        int i = 0;                                                           \
+        while (i < end4) {                                                   \
+            int mr = mi_row + delta_row + i;                                 \
+            int mc = mi_col + (delta_col);                                   \
+            if (!INSIDE(mr, mc)) break;                                      \
+            int cand_bw4 = st->mi_bw4[mr * S + mc];                          \
+            int cand_bh4 = st->mi_bh4[mr * S + mc];                          \
+            int length = bh4 < cand_bh4 ? bh4 : cand_bh4;                    \
+            if ((delta_col) < -1 || (delta_col) > 1) {                       \
+                if (length < 2) length = 2;                                  \
+            }                                                                \
+            if (use_step_16) { if (length < 4) length = 4; }                 \
+            int weight = 2;                                                  \
+            if (bh4 >= 2 && bh4 <= cand_bh4) {                               \
+                int inc = -max_col_offset + (delta_col) + 1;                 \
+                if (inc > cand_bw4) inc = cand_bw4;                          \
+                if (inc > weight) weight = inc;                              \
+                processed_cols = inc - (delta_col) - 1;                      \
+            }                                                                \
+            ADD_REF_MV(mr, mc, length * weight, found_left);                 \
+            i += length;                                                     \
+        }                                                                    \
+    } while (0)
+
+    if (max_row_offset <= -1 || max_row_offset >= 1) SCAN_ROW(-1);
+    if (max_col_offset <= -1 || max_col_offset >= 1) SCAN_COL(-1);
+    /* has_top_right for the MV scan */
+    {
+        int bs = bw4 > bh4 ? bw4 : bh4;
+        int mask_row = mi_row & (sb_mi - 1);
+        int mask_col = mi_col & (sb_mi - 1);
+        int has_tr = !((mask_row & bs) && (mask_col & bs));
+        if (bs > 16) has_tr = 0;
+        else {
+            int b = bs;
+            while (b < sb_mi) {
+                if (mask_col & b) {
+                    if ((mask_col & (2 * b)) && (mask_row & (2 * b))) {
+                        has_tr = 0;
+                        break;
+                    }
+                } else break;
+                b <<= 1;
+            }
+            int is_sec_rect = 0;
+            if (bw4 < bh4 && (mi_col & (bh4 - 1))) is_sec_rect = 1;
+            if (bw4 > bh4 && (mi_row & (bw4 - 1))) is_sec_rect = 1;
+            if (bw4 < bh4 && !is_sec_rect) has_tr = 1;
+            if (bw4 > bh4 && is_sec_rect) has_tr = 0;
+        }
+        if (has_tr) {
+            int mr = mi_row - 1, mc = mi_col + bw4;
+            if (INSIDE(mr, mc)) ADD_REF_MV(mr, mc, 4, found_above);
+        }
+    }
+
+    int nearest_match = (found_above > 0) + (found_left > 0);
+    int num_nearest = n;
+    int num_new = newmv_count;
+    for (int k = 0; k < n; ++k) swt[k] += REF_CAT_LEVEL;
+    int mode_context = 0;
+
+    {   /* scan_blk(-1, -1) */
+        int mr = mi_row - 1, mc = mi_col - 1;
+        if (INSIDE(mr, mc)) ADD_REF_MV(mr, mc, 4, found_above);
+    }
+    for (int idx = 2; idx <= MVREF_ROW_COLS; ++idx) {
+        int row_offset = -(idx << 1) + 1 + row_adj;
+        int col_offset = -(idx << 1) + 1 + col_adj;
+        int aro = row_offset < 0 ? -row_offset : row_offset;
+        int amo = max_row_offset < 0 ? -max_row_offset : max_row_offset;
+        if (aro <= amo && aro > processed_rows) SCAN_ROW(row_offset);
+        int aco = col_offset < 0 ? -col_offset : col_offset;
+        int amc = max_col_offset < 0 ? -max_col_offset : max_col_offset;
+        if (aco <= amc && aco > processed_cols) SCAN_COL(col_offset);
+    }
+
+    /* stable partial bubble sorts */
+#define SORT_SPAN(start_, end_)                                              \
+    do {                                                                     \
+        int end = (end_);                                                    \
+        int start = (start_);                                                \
+        while (end > start) {                                                \
+            int new_end = start;                                             \
+            for (int idx = start + 1; idx < end; ++idx)                      \
+                if (swt[idx - 1] < swt[idx]) {                               \
+                    int32_t tr = smv[idx - 1][0], tc = smv[idx - 1][1];      \
+                    int32_t tw = swt[idx - 1];                               \
+                    smv[idx - 1][0] = smv[idx][0];                           \
+                    smv[idx - 1][1] = smv[idx][1];                           \
+                    swt[idx - 1] = swt[idx];                                 \
+                    smv[idx][0] = tr; smv[idx][1] = tc; swt[idx] = tw;       \
+                    new_end = idx;                                           \
+                }                                                            \
+            end = new_end;                                                   \
+        }                                                                    \
+    } while (0)
+
+    SORT_SPAN(0, num_nearest);
+    SORT_SPAN(num_nearest, n);
+
+    /* extra search: neighbor mvs from any ref, sign-flipped (sign_bias
+     * all zero for the supported configs -> no flip; still scan) */
+    if (n < MAX_MV_REF_CANDIDATES) {
+        int mi_width = bw4 < 16 ? bw4 : 16;
+        if (mi_width > mi_cols - mi_col) mi_width = mi_cols - mi_col;
+        int mi_height = bh4 < 16 ? bh4 : 16;
+        if (mi_height > mi_rows - mi_row) mi_height = mi_rows - mi_row;
+        int mi_size = mi_width < mi_height ? mi_width : mi_height;
+        for (int pass = 0; pass < 2; ++pass) {
+            int idx = 0;
+            while (idx < mi_size && n < MAX_MV_REF_CANDIDATES) {
+                int mr, mc;
+                if (pass == 0) { mr = mi_row - 1; mc = mi_col + idx; }
+                else { mr = mi_row + idx; mc = mi_col - 1; }
+                if (!INSIDE(mr, mc)) break;
+                const int32_t *rfs[2] = {st->mi_ref, st->mi_ref1};
+                const int32_t *mrr[2] = {st->mi_mvr, st->mi_mv1r};
+                const int32_t *mcc[2] = {st->mi_mvc, st->mi_mv1c};
+                for (int k = 0; k < 2; ++k) {
+                    int cand_ref = rfs[k][mr * S + mc];
+                    if (cand_ref <= 0) continue;
+                    int32_t amr = mrr[k][mr * S + mc];
+                    int32_t amc2 = mcc[k][mr * S + mc];
+                    if (st->sign_bias[cand_ref] != st->sign_bias[ref]) {
+                        amr = -amr;
+                        amc2 = -amc2;
+                    }
+                    int dup = 0;
+                    for (int e = 0; e < n; ++e)
+                        if (smv[e][0] == amr && smv[e][1] == amc2) {
+                            dup = 1;
+                            break;
+                        }
+                    if (!dup) {
+                        smv[n][0] = amr;
+                        smv[n][1] = amc2;
+                        swt[n] = 2;
+                        ++n;
+                    }
+                }
+                idx += pass ? st->mi_bh4[mr * S + mc]
+                            : st->mi_bw4[mr * S + mc];
+            }
+        }
+    }
+
+    /* clamp */
+    {
+        int bw_px = bw4 * 4, bh_px = bh4 * 4;
+        int mb_to_left = -(mi_col * 4) * 8;
+        int mb_to_right = ((mi_cols - bw4 - mi_col) * 4) * 8;
+        int mb_to_top = -(mi_row * 4) * 8;
+        int mb_to_bottom = ((mi_rows - bh4 - mi_row) * 4) * 8;
+        int lo_c = mb_to_left - bw_px * 8 - MV_BORDER;
+        int hi_c = mb_to_right + bw_px * 8 + MV_BORDER;
+        int lo_r = mb_to_top - bh_px * 8 - MV_BORDER;
+        int hi_r = mb_to_bottom + bh_px * 8 + MV_BORDER;
+        for (int k = 0; k < n; ++k) {
+            if (smv[k][0] < lo_r) smv[k][0] = lo_r;
+            if (smv[k][0] > hi_r) smv[k][0] = hi_r;
+            if (smv[k][1] < lo_c) smv[k][1] = lo_c;
+            if (smv[k][1] > hi_c) smv[k][1] = hi_c;
+        }
+    }
+
+    int ref_match_count = (found_above > 0) + (found_left > 0);
+    if (nearest_match == 0) {
+        if (ref_match_count >= 1) mode_context |= 1;
+        if (ref_match_count == 1) mode_context |= 1 << REFMV_OFFSET;
+        else if (ref_match_count >= 2) mode_context |= 2 << REFMV_OFFSET;
+    } else if (nearest_match == 1) {
+        mode_context |= num_new > 0 ? 2 : 3;
+        if (ref_match_count == 1) mode_context |= 3 << REFMV_OFFSET;
+        else if (ref_match_count >= 2) mode_context |= 4 << REFMV_OFFSET;
+    } else {
+        mode_context |= num_new >= 1 ? 4 : 5;
+        mode_context |= 5 << REFMV_OFFSET;
+    }
+
+    out->n = n;
+    for (int k = 0; k < n; ++k) {
+        out->mv[k][0] = smv[k][0];
+        out->mv[k][1] = smv[k][1];
+        out->weight[k] = swt[k];
+    }
+    out->mode_context = mode_context;
+    for (int idx = 0; idx < MAX_MV_REF_CANDIDATES; ++idx) {
+        int32_t r = 0, c = 0;
+        if (idx < n) { r = smv[idx][0]; c = smv[idx][1]; }
+        /* lower_mv_precision (allow_hp = force_int = 0) */
+        if (r & 1) r += r > 0 ? -1 : 1;
+        if (c & 1) c += c > 0 ? -1 : 1;
+        out->ref_list[idx][0] = r;
+        out->ref_list[idx][1] = c;
+    }
+#undef INSIDE
+#undef ADD_REF_MV
+#undef SCAN_ROW
+#undef SCAN_COL
+#undef SORT_SPAN
+}
+
+/* ---- motion compensation (convolve_2d_sr, REGULAR filter) -------- */
+
+/* mv_window_in_frame: MC read windows (luma + chroma, 8-tap margins)
+ * stay inside the visible frame */
+static int mv_window_ok(InterState *st, int mv_r, int mv_c, int x, int y,
+                        int bw, int bh) {
+    for (int plane = 0; plane < 2; ++plane) {
+        int sh = plane ? 1 : 0;
+        int px = x >> sh, py = y >> sh;
+        int pw = bw >> sh, ph = bh >> sh;
+        int vw = st->frame_w >> sh, vh = st->frame_h >> sh;
+        int pos_x = (px << 4) + (mv_c << (1 - sh));
+        int pos_y = (py << 4) + (mv_r << (1 - sh));
+        int ix = pos_x >> 4, iy = pos_y >> 4;
+        int sub_x = pos_x & 15, sub_y = pos_y & 15;
+        int mx0 = sub_x ? 3 : 0, mx1 = sub_x ? 4 : 0;
+        int my0 = sub_y ? 3 : 0, my1 = sub_y ? 4 : 0;
+        if (ix - mx0 < 0 || iy - my0 < 0) return 0;
+        if (ix + pw + mx1 > vw || iy + ph + my1 > vh) return 0;
+    }
+    return 1;
+}
+
+#define FILTER_BITS 7
+#define ROUND0_BITS 3
+
+/* single-ref convolve into pred[h][w] (int32), bd-generic */
+static void mc_predict(InterState *st, const int32_t *ref, int ref_w,
+                       int ref_h, int plane, int mv_r, int mv_c, int px,
+                       int py, int pw, int ph, int bd, int32_t *pred) {
+    int sh = plane ? 1 : 0;
+    int pos_x = (px << 4) + (mv_c << (1 - sh));
+    int pos_y = (py << 4) + (mv_r << (1 - sh));
+    int int_x = (pos_x >> 4) + st->ref_pad;
+    int int_y = (pos_y >> 4) + st->ref_pad;
+    if (int_x < 4) int_x = 4;
+    if (int_x > ref_w - pw - 8) int_x = ref_w - pw - 8;
+    if (int_y < 4) int_y = 4;
+    if (int_y > ref_h - ph - 8) int_y = ref_h - ph - 8;
+    int sub_x = pos_x & 15, sub_y = pos_y & 15;
+    const int32_t *xf = st->interp_taps + sub_x * 8;
+    const int32_t *yf = st->interp_taps + sub_y * 8;
+    int round_0 = ROUND0_BITS;
+    int round_1 = 2 * FILTER_BITS - round_0;
+
+    if (!sub_x && !sub_y) {
+        for (int r = 0; r < ph; ++r)
+            for (int c = 0; c < pw; ++c)
+                pred[r * pw + c] = ref[(Py_ssize_t)(int_y + r) * ref_w
+                                       + int_x + c];
+        return;
+    }
+    if (sub_x && sub_y) {
+        int im_h = ph + 7;
+        int32_t im[72 * 40];
+        int off0 = 1 << (bd + FILTER_BITS - 1);
+        for (int r = 0; r < im_h; ++r)
+            for (int c = 0; c < pw; ++c) {
+                int32_t acc = off0;
+                const int32_t *row = ref
+                    + (Py_ssize_t)(int_y - 3 + r) * ref_w + int_x - 3 + c;
+                for (int k = 0; k < 8; ++k) acc += xf[k] * row[k];
+                im[r * pw + c] = (acc + (1 << (round_0 - 1))) >> round_0;
+            }
+        int offset_bits = bd + 2 * FILTER_BITS - round_0;
+        int sub = (1 << (offset_bits - round_1))
+                + (1 << (offset_bits - round_1 - 1));
+        int pmax = (1 << bd) - 1;
+        for (int r = 0; r < ph; ++r)
+            for (int c = 0; c < pw; ++c) {
+                int32_t acc2 = 1 << offset_bits;
+                for (int k = 0; k < 8; ++k)
+                    acc2 += yf[k] * im[(r + k) * pw + c];
+                int32_t v = ((acc2 + (1 << (round_1 - 1))) >> round_1) - sub;
+                pred[r * pw + c] = clampi(v, 0, pmax);
+            }
+        return;
+    }
+    if (sub_x) {
+        int bits = FILTER_BITS - round_0;
+        int pmax = (1 << bd) - 1;
+        for (int r = 0; r < ph; ++r)
+            for (int c = 0; c < pw; ++c) {
+                int32_t acc = 0;
+                const int32_t *row = ref
+                    + (Py_ssize_t)(int_y + r) * ref_w + int_x - 3 + c;
+                for (int k = 0; k < 8; ++k) acc += xf[k] * row[k];
+                acc = (acc + (1 << (round_0 - 1))) >> round_0;
+                int32_t v = (acc + (1 << (bits - 1))) >> bits;
+                pred[r * pw + c] = clampi(v, 0, pmax);
+            }
+        return;
+    }
+    {
+        int pmax = (1 << bd) - 1;
+        for (int r = 0; r < ph; ++r)
+            for (int c = 0; c < pw; ++c) {
+                int32_t acc = 0;
+                const int32_t *col = ref
+                    + (Py_ssize_t)(int_y - 3 + r) * ref_w + int_x + c;
+                for (int k = 0; k < 8; ++k)
+                    acc += yf[k] * col[(Py_ssize_t)k * ref_w];
+                int32_t v = (acc + (1 << (FILTER_BITS - 1))) >> FILTER_BITS;
+                pred[r * pw + c] = clampi(v, 0, pmax);
+            }
+        return;
+    }
+}
+
+/* ---- MV residual coding (entropy/mv.py encode_mv) ---------------- */
+
+static void enc_mv_component(Tile *t, InterState *st, int comp, int ci) {
+    int sign = comp < 0;
+    int mag = sign ? -comp : comp;
+    int z = mag - 1;
+    int v = z >> 3;
+    int mv_class = 0;
+    while (v > 1) { v >>= 1; ++mv_class; }   /* max(bit_length-1, 0) */
+    if (z >= 2 * 4096) mv_class = 10;
+    int base = mv_class == 0 ? 0 : (2 << (mv_class + 2));
+    int offset = z - base;
+    int d = offset >> 3;
+    int fr = (offset >> 1) & 3;
+    enc_symbol_adapt(&t->ec, sign, st->nmv_sign[ci], 2);
+    enc_symbol_adapt(&t->ec, mv_class, st->nmv_classes[ci], 11);
+    if (mv_class == 0) {
+        enc_symbol_adapt(&t->ec, d, st->nmv_class0[ci], 2);
+    } else {
+        int nb = mv_class + 1 - 1;   /* CLASS0_BITS = 1 */
+        for (int i = 0; i < nb; ++i)
+            enc_symbol_adapt(&t->ec, (d >> i) & 1,
+                             st->nmv_bits[ci] + i * 3, 2);
+    }
+    /* precision MV_SUBPEL_LOW_PRECISION: fp coded, hp not */
+    uint16_t *fp_cdf = mv_class == 0 ? st->nmv_class0_fp[ci] + d * 5
+                                     : st->nmv_fp[ci];
+    enc_symbol_adapt(&t->ec, fr, fp_cdf, 4);
+}
+
+static void enc_mv(Tile *t, InterState *st, int mv_r, int mv_c, int ref_r,
+                   int ref_c) {
+    int dr = mv_r - ref_r, dc = mv_c - ref_c;
+    int j = dr == 0 ? (dc == 0 ? 0 : 1) : (dc == 0 ? 2 : 3);
+    enc_symbol_adapt(&t->ec, j, st->nmv_joints, 4);
+    if (j == 2 || j == 3) enc_mv_component(t, st, dr, 0);
+    if (j == 1 || j == 3) enc_mv_component(t, st, dc, 1);
+}
+
+/* ---- neighbor contexts ------------------------------------------- */
+
+static int intra_inter_ctx(Tile *t, InterState *st, int mi_row, int mi_col) {
+    Py_ssize_t S = t->mi_cols;
+    int up = mi_row > t->t_r0;
+    int left = mi_col > t->t_c0;
+    int above_intra = up && st->mi_ref[(Py_ssize_t)(mi_row - 1) * S
+                                       + mi_col] == 0;
+    int left_intra = left && st->mi_ref[(Py_ssize_t)mi_row * S
+                                        + (mi_col - 1)] == 0;
+    if (up && left)
+        return (above_intra && left_intra) ? 3
+                                           : (above_intra || left_intra);
+    if (up || left) return 2 * (up ? above_intra : left_intra);
+    return 0;
+}
+
+static inline int ctx3(int a, int b) {
+    return a == b ? 1 : (a < b ? 0 : 2);
+}
+
+static void neighbor_ref_counts(Tile *t, InterState *st, int mi_row,
+                                int mi_col, int *counts) {
+    Py_ssize_t S = t->mi_cols;
+    for (int k = 0; k < 8; ++k) counts[k] = 0;
+    int poss[2][2] = {{mi_row - 1, mi_col}, {mi_row, mi_col - 1}};
+    for (int p = 0; p < 2; ++p) {
+        int r = poss[p][0], c = poss[p][1];
+        if (r < t->t_r0 || c < t->t_c0) continue;
+        int rf = st->mi_ref[(Py_ssize_t)r * S + c];
+        if (rf > 0) {
+            counts[rf] += 1;
+            int rf1 = st->mi_ref1[(Py_ssize_t)r * S + c];
+            if (rf1 > 0) counts[rf1] += 1;
+        }
+    }
+}
+
+static int reference_mode_ctx(Tile *t, InterState *st, int mi_row,
+                              int mi_col) {
+    Py_ssize_t S = t->mi_cols;
+    /* (avail, is_inter, rf0, has_second) per above/left */
+    int av[2] = {0, 0}, inter_[2], rf0[2], snd[2];
+    int poss[2][2] = {{mi_row - 1, mi_col}, {mi_row, mi_col - 1}};
+    for (int p = 0; p < 2; ++p) {
+        int r = poss[p][0], c = poss[p][1];
+        if (r < t->t_r0 || c < t->t_c0) continue;
+        av[p] = 1;
+        rf0[p] = st->mi_ref[(Py_ssize_t)r * S + c];
+        inter_[p] = rf0[p] > 0;
+        snd[p] = st->mi_ref1[(Py_ssize_t)r * S + c] > 0;
+    }
+#define BWD(rf) ((rf) >= 5)
+    if (av[0] && av[1]) {
+        if (!snd[0] && !snd[1]) return BWD(rf0[0]) ^ BWD(rf0[1]);
+        if (!snd[0]) return 2 + (BWD(rf0[0]) || !inter_[0]);
+        if (!snd[1]) return 2 + (BWD(rf0[1]) || !inter_[1]);
+        return 4;
+    }
+    if (av[0] || av[1]) {
+        int p = av[0] ? 0 : 1;
+        return snd[p] ? 3 : BWD(rf0[p]);
+    }
+    return 1;
+#undef BWD
+}
+
+/* single-reference signaling tree (_code_ref_frames) */
+static void write_single_ref(Tile *t, InterState *st, int mi_row,
+                             int mi_col, int ref) {
+    int rc[8];
+    neighbor_ref_counts(t, st, mi_row, mi_col, rc);
+    NB *sr = &st->cdf_single_ref;
+#define SRBIT(v, ctx, idx)                                                   \
+    enc_symbol_adapt(&t->ec, (v),                                            \
+                     (uint16_t *)sr->data                                    \
+                         + ((Py_ssize_t)(ctx) * sr->shape[1] + (idx))        \
+                               * sr->shape[2],                               \
+                     2)
+    int fwd = rc[1] + rc[2] + rc[3] + rc[4];
+    int bwd = rc[5] + rc[6] + rc[7];
+    int bit0 = ref >= 5;
+    SRBIT(bit0, ctx3(fwd, bwd), 0);
+    if (bit0) {
+        int bit1 = ref == 7;
+        SRBIT(bit1, ctx3(rc[5] + rc[6], rc[7]), 1);
+        if (!bit1) SRBIT(ref == 6, ctx3(rc[5], rc[6]), 5);
+        return;
+    }
+    int bit2 = (ref == 3 || ref == 4);
+    SRBIT(bit2, ctx3(rc[1] + rc[2], rc[3] + rc[4]), 2);
+    if (bit2) {
+        SRBIT(ref == 4, ctx3(rc[3], rc[4]), 4);
+        return;
+    }
+    SRBIT(ref == 2, ctx3(rc[1], rc[2]), 3);
+#undef SRBIT
+}
+
+static void record_mi_inter(Tile *t, InterState *st, int mi_row, int mi_col,
+                            int w4, int h4, int is_inter, int ref, int mode,
+                            int mv_r, int mv_c, int y_mode, int skip) {
+    Py_ssize_t S = t->mi_cols;
+    int r1 = mi_row + h4 < t->mi_rows ? mi_row + h4 : t->mi_rows;
+    int c1 = mi_col + w4 < t->mi_cols ? mi_col + w4 : t->mi_cols;
+    for (int r = mi_row; r < r1; ++r)
+        for (int c = mi_col; c < c1; ++c) {
+            Py_ssize_t o = (Py_ssize_t)r * S + c;
+            if (is_inter) {
+                st->mi_ref[o] = ref;
+                st->mi_mvr[o] = mv_r;
+                st->mi_mvc[o] = mv_c;
+                st->mi_mode[o] = mode;
+            } else {
+                st->mi_ref[o] = 0;
+                st->mi_mvr[o] = 0;
+                st->mi_mvc[o] = 0;
+                st->mi_mode[o] = y_mode;
+            }
+            st->mi_ref1[o] = 0;
+            st->mi_mv1r[o] = 0;
+            st->mi_mv1c[o] = 0;
+            st->mi_bw4[o] = w4;
+            st->mi_bh4[o] = h4;
+            t->y_modes[o] = is_inter ? 0 : y_mode;
+            t->skips[o] = skip;
+        }
+    int dlf_skip = skip && is_inter;
+    for (int plane = 0; plane < t->num_planes; ++plane) {
+        int sh = plane ? 1 : 0;
+        int y4a = ((mi_row * MI) >> sh) >> 2;
+        int x4a = ((mi_col * MI) >> sh) >> 2;
+        int gh = ((h4 * MI) >> sh) >> 2; if (gh < 1) gh = 1;
+        int gw = ((w4 * MI) >> sh) >> 2; if (gw < 1) gw = 1;
+        int gwid = t->grid_w[plane];
+        for (int r = 0; r < gh; ++r)
+            for (int c = 0; c < gw; ++c)
+                st->skip_grid[plane][(Py_ssize_t)(y4a + r) * gwid
+                                     + x4a + c] = dlf_skip;
+    }
+}
+
+/* the inter-frame leaf: decide (plan replay) + compute + syntax */
+static void tile_block_inter(Tile *t, int bw, int bh, int mi_row,
+                             int mi_col) {
+    InterState *st = (InterState *)t->inter;
+    int x = mi_col * MI, y = mi_row * MI;
+    int w4 = bw / MI, h4 = bh / MI;
+    int si = shape_idx(bw, bh);
+    if (si < 0) { tile_err(t, "inter shape"); return; }
+    int bi = y / bh, bj = x / bw;
+    int is_inter = st->is_inter_map[si][(Py_ssize_t)bi * st->map_w[si] + bj];
+    int y_mode = st->mode_map[si][(Py_ssize_t)bi * st->map_w[si] + bj];
+    int bse = bsize_enum_of(bw, bh);
+
+    /* ---- decide (port of BatchedDecider.decide_inter) ---- */
+    MvStack stk;
+    int mode = 0, mv_r = 0, mv_c = 0, ref = 1;
+    int need_stack = 1;
+    mv_stack_find(t, st, mi_row, mi_col, w4, h4, 1, &stk);
+    (void)need_stack;
+    if (is_inter) {
+        int pmv_r = st->mv16_r[(Py_ssize_t)(y / 16) * st->nc16 + x / 16];
+        int pmv_c = st->mv16_c[(Py_ssize_t)(y / 16) * st->nc16 + x / 16];
+        int nearest_r = stk.ref_list[0][0], nearest_c = stk.ref_list[0][1];
+        int near_r = stk.ref_list[1][0], near_c = stk.ref_list[1][1];
+        /* candidates in python order: NEW, NEAREST, NEAR, GLOBAL */
+        int cmv[4][2], cmode[4], cpen[4];
+        int nc = 0;
+        if (mv_window_ok(st, pmv_r, pmv_c, x, y, bw, bh)) {
+            cmv[nc][0] = pmv_r; cmv[nc][1] = pmv_c;
+            cmode[nc] = NEWMV; cpen[nc] = 96; ++nc;
+        }
+        if (mv_window_ok(st, nearest_r, nearest_c, x, y, bw, bh)) {
+            cmv[nc][0] = nearest_r; cmv[nc][1] = nearest_c;
+            cmode[nc] = NEARESTMV; cpen[nc] = 0; ++nc;
+        }
+        if (stk.n >= 2 && (near_r != nearest_r || near_c != nearest_c)
+            && mv_window_ok(st, near_r, near_c, x, y, bw, bh)) {
+            cmv[nc][0] = near_r; cmv[nc][1] = near_c;
+            cmode[nc] = NEARMV; cpen[nc] = 16; ++nc;
+        }
+        if (mv_window_ok(st, 0, 0, x, y, bw, bh)) {
+            cmv[nc][0] = 0; cmv[nc][1] = 0;
+            cmode[nc] = GLOBALMV_MODE; cpen[nc] = 32; ++nc;
+        }
+        if (nc == 0) {
+            is_inter = 0;           /* python: falls back to decide() */
+        } else {
+            int32_t pred[32 * 32];
+            long best_sad = 0;
+            int best_i = -1;
+            const int32_t *src = t->src[0];
+            int stride = t->pw_buf[0];
+            for (int k = 0; k < nc; ++k) {
+                mc_predict(st, st->ref_y[1], st->ref_w[1], st->ref_h[1], 0,
+                           cmv[k][0], cmv[k][1], x, y, bw, bh, t->bd, pred);
+                long sad = cpen[k];
+                for (int r = 0; r < bh; ++r)
+                    for (int c = 0; c < bw; ++c) {
+                        int32_t d = src[(Py_ssize_t)(y + r) * stride + x + c]
+                                    - pred[r * bw + c];
+                        sad += d < 0 ? -d : d;
+                    }
+                if (best_i < 0 || sad < best_sad) {
+                    best_sad = sad;
+                    best_i = k;
+                }
+            }
+            mode = cmode[best_i];
+            mv_r = cmv[best_i][0];
+            mv_c = cmv[best_i][1];
+            if (mode == NEWMV && mv_r == nearest_r && mv_c == nearest_c)
+                mode = NEARESTMV;
+        }
+    }
+
+    /* ---- compute all tx blocks ---- */
+    Txb txbs[3];
+    int n_txb = 0;
+    int32_t pred_buf[3][32 * 32];
+    int32_t resid[32 * 32], rec[32 * 32];
+    int ts_of[3], tt_of[3];
+    for (int plane = 0; plane < t->num_planes; ++plane) {
+        int sub = plane ? 1 : 0;
+        int px = x >> sub, py = y >> sub;
+        int pw = bw >> sub, ph = bh >> sub;
+        int ts, tt;
+        int32_t *pred = pred_buf[plane];
+        if (is_inter) {
+            /* max_txsize_rect of plane dims, all <= 32 */
+            ts = -1;
+            for (int k = 0; k < 19; ++k)
+                if (t->tx_w_tab[k] == pw && t->tx_h_tab[k] == ph) {
+                    ts = k;
+                    break;
+                }
+            if (ts < 0) { tile_err(t, "inter ts"); return; }
+            tt = 0;    /* DCT_DCT */
+            const int32_t *rp = plane == 0 ? st->ref_y[ref]
+                               : (plane == 1 ? st->ref_u[ref]
+                                             : st->ref_v[ref]);
+            int rpw = plane ? st->ref_cw[ref] : st->ref_w[ref];
+            int rph = plane ? st->ref_ch[ref] : st->ref_h[ref];
+            mc_predict(st, rp, rpw, rph, plane, mv_r, mv_c, px, py, pw, ph,
+                       t->bd, pred);
+        } else {
+            int ts_y2 = -1, ts_uv2 = -1;
+            for (int k = 0; k < 19; ++k) {
+                if (t->tx_w_tab[k] == bw && t->tx_h_tab[k] == bh) ts_y2 = k;
+                if (t->tx_w_tab[k] == (bw >> 1)
+                    && t->tx_h_tab[k] == (bh >> 1)) ts_uv2 = k;
+            }
+            ts = plane == 0 ? ts_y2 : ts_uv2;
+            if (ts < 0) { tile_err(t, "intra ts"); return; }
+            tt = plane == 0 ? 0 : (int)st->tt_uv_tab[ts * 13 + y_mode];
+            int ftype = filt_type_for(t, plane, px, py);
+            predict_intra(t, plane, y_mode, 0, px, py, pw, ph, -1, ftype,
+                          pred);
+            if (t->err) return;
+        }
+        ts_of[plane] = ts;
+        tt_of[plane] = tt;
+        const int32_t *srcp = t->src[plane];
+        int stride = t->pw_buf[plane];
+        for (int r = 0; r < ph; ++r)
+            for (int c = 0; c < pw; ++c)
+                resid[r * pw + c] =
+                    srcp[(Py_ssize_t)(py + r) * stride + px + c]
+                    - pred[r * pw + c];
+        const Plan *plan = t->plans[plane][ts][tt];
+        if (!plan) { tile_err(t, "missing plan"); return; }
+        Txb *tb = &txbs[n_txb++];
+        tb->plane = plane; tb->ts = ts; tb->tt = tt;
+        tb->px = px; tb->py = py; tb->w = pw; tb->h = ph;
+        tb->eob = block_code_core(plan, resid, pred, tb->qc, rec);
+        int32_t *rpn = t->rec[plane];
+        if (tb->eob == 0 && is_inter) {
+            /* skip recon = the MC pred itself (already clipped) */
+            for (int r = 0; r < ph; ++r)
+                memcpy(rpn + (Py_ssize_t)(py + r) * stride + px,
+                       pred + r * pw, pw * sizeof(int32_t));
+        } else {
+            for (int r = 0; r < ph; ++r)
+                memcpy(rpn + (Py_ssize_t)(py + r) * stride + px,
+                       rec + r * pw, pw * sizeof(int32_t));
+        }
+        record_tx_geometry(t, plane, px, py, ts);
+    }
+    int skip = 1;
+    for (int i = 0; i < n_txb; ++i)
+        if (txbs[i].eob) { skip = 0; break; }
+
+    /* ---- syntax ---- */
+    int skip_ctx = 0;
+    Py_ssize_t S = t->mi_cols;
+    if (mi_row > t->t_r0)
+        skip_ctx += t->skips[(Py_ssize_t)(mi_row - 1) * S + mi_col];
+    if (mi_col > t->t_c0)
+        skip_ctx += t->skips[(Py_ssize_t)mi_row * S + (mi_col - 1)];
+    enc_symbol_adapt(&t->ec, skip, nb_row2(&t->cdf_skip, skip_ctx), 2);
+
+    int ii_ctx = intra_inter_ctx(t, st, mi_row, mi_col);
+    enc_symbol_adapt(&t->ec, is_inter,
+                     nb_row2(&st->cdf_intra_inter, ii_ctx), 2);
+
+    if (is_inter) {
+        if (st->reference_select && (bw < bh ? bw : bh) >= 8) {
+            int rm_ctx = reference_mode_ctx(t, st, mi_row, mi_col);
+            enc_symbol_adapt(&t->ec, 0,
+                             nb_row2(&st->cdf_comp_inter, rm_ctx), 2);
+        }
+        write_single_ref(t, st, mi_row, mi_col, ref);
+        /* inter mode ladder */
+        int mc_ctx = stk.mode_context;
+        int newmv_ctx = mc_ctx & NEWMV_CTX_MASK;
+        enc_symbol_adapt(&t->ec, mode != NEWMV,
+                         nb_row2(&st->cdf_newmv, newmv_ctx), 2);
+        if (mode != NEWMV) {
+            int zero_ctx = (mc_ctx >> GLOBALMV_OFFSET) & GLOBALMV_CTX_MASK;
+            enc_symbol_adapt(&t->ec, mode != GLOBALMV_MODE,
+                             nb_row2(&st->cdf_zeromv, zero_ctx), 2);
+            if (mode != GLOBALMV_MODE) {
+                int ref_ctx = (mc_ctx >> REFMV_OFFSET) & REFMV_CTX_MASK;
+                enc_symbol_adapt(&t->ec, mode == NEARMV,
+                                 nb_row2(&st->cdf_refmv, ref_ctx), 2);
+            }
+        }
+        /* drl (ref_mv_idx == 0) */
+        if (mode == NEWMV) {
+            for (int idx = 0; idx < 2; ++idx) {
+                if (stk.n > idx + 1) {
+                    int w0 = stk.weight[idx], w1 = stk.weight[idx + 1];
+                    int ctx = (w0 >= REF_CAT_LEVEL && w1 >= REF_CAT_LEVEL)
+                                  ? 0
+                                  : (w0 >= REF_CAT_LEVEL ? 1
+                                     : (w1 < REF_CAT_LEVEL ? 2 : 0));
+                    enc_symbol_adapt(&t->ec, 0,
+                                     nb_row2(&st->cdf_drl, ctx), 2);
+                    break;   /* bit == 0 stops the ladder */
+                }
+            }
+        } else if (mode == NEARMV) {
+            for (int idx = 1; idx < 3; ++idx) {
+                if (stk.n > idx + 1) {
+                    int w0 = stk.weight[idx], w1 = stk.weight[idx + 1];
+                    int ctx = (w0 >= REF_CAT_LEVEL && w1 >= REF_CAT_LEVEL)
+                                  ? 0
+                                  : (w0 >= REF_CAT_LEVEL ? 1
+                                     : (w1 < REF_CAT_LEVEL ? 2 : 0));
+                    enc_symbol_adapt(&t->ec, 0,
+                                     nb_row2(&st->cdf_drl, ctx), 2);
+                    break;
+                }
+            }
+        }
+        if (mode == NEWMV) {
+            int rr = stk.ref_list[0][0], rc2 = stk.ref_list[0][1];
+            if (stk.n > 1) { rr = stk.mv[0][0]; rc2 = stk.mv[0][1]; }
+            enc_mv(t, st, mv_r, mv_c, rr, rc2);
+        }
+    } else {
+        /* intra mode syntax inside an inter frame */
+        int grp = SIZE_GROUP_BY_ENUM[bse];
+        enc_symbol_adapt(&t->ec, y_mode,
+                         nb_row2(&st->cdf_y_mode, grp), 13);
+        int use_delta = bw >= 8 && bh >= 8;
+        if (use_delta && y_mode >= M_V && y_mode <= M_D67)
+            enc_symbol_adapt(&t->ec, 0 + 3,
+                             nb_row2(&t->cdf_angle, y_mode - 1), 7);
+        if (t->num_planes > 1) {
+            int cfl_allowed = bw <= 32 && bh <= 32;
+            enc_symbol_adapt(&t->ec, y_mode,
+                             nb_row3(&t->cdf_uv, cfl_allowed, y_mode),
+                             cfl_allowed ? 14 : 13);
+            if (use_delta && y_mode >= M_V && y_mode <= M_D67)
+                enc_symbol_adapt(&t->ec, 0 + 3,
+                                 nb_row2(&t->cdf_angle, y_mode - 1), 7);
+        }
+        if (t->enable_filter_intra && y_mode == M_DC && bw <= 32
+            && bh <= 32)
+            enc_symbol_adapt(&t->ec, 0,
+                             nb_row2(&t->cdf_filter_intra, bse), 2);
+    }
+
+    record_mi_inter(t, st, mi_row, mi_col, w4, h4, is_inter, ref, mode,
+                    mv_r, mv_c, y_mode, skip);
+
+    /* ---- residual ---- */
+    if (skip) {
+        for (int i = 0; i < n_txb; ++i)
+            update_txb_ctx(t, txbs[i].plane, txbs[i].px, txbs[i].py,
+                           txbs[i].ts, 0);
+        return;
+    }
+    for (int i = 0; i < n_txb; ++i) {
+        Txb *tb = &txbs[i];
+        int sk_ctx, dc_ctx;
+        txb_ctx_for(t, tb->plane, tb->px, tb->py, tb->ts, 1, &sk_ctx,
+                    &dc_ctx);
+        int sig_nset = 0, sig_eset = 0, sig_sq = 0, sig_ind = 0;
+        int ymc = y_mode;
+        if (tb->plane == 0) {
+            const int32_t *sig = is_inter ? st->sig_inter : st->sig_intra;
+            sig_nset = sig[tb->ts * 4 + 0];
+            sig_eset = sig[tb->ts * 4 + 1];
+            sig_sq = sig[tb->ts * 4 + 2];
+            sig_ind = sig[tb->ts * 4 + 3];
+        }
+        if (is_inter && tb->plane == 0 && sig_nset > 1) {
+            /* inter tx-type signaling: cdf has no mode dim */
+            int ts_ctx2 = t->txs_ctx_tab[tb->ts];
+            uint16_t *skip_cdf = nb_row3(&t->cdf_txb_skip, ts_ctx2, sk_ctx);
+            enc_symbol_adapt(&t->ec, tb->eob == 0, skip_cdf, 2);
+            if (tb->eob == 0) {
+                update_txb_ctx(t, tb->plane, tb->px, tb->py, tb->ts, 0);
+                continue;
+            }
+            NB *b = &st->cdf_inter_ext_tx;
+            uint16_t *cdf = (uint16_t *)b->data
+                + ((Py_ssize_t)sig_eset * b->shape[1] + sig_sq)
+                      * b->shape[2];
+            enc_symbol_adapt(&t->ec, sig_ind, cdf, sig_nset);
+            /* coeffs without re-writing txb_skip: inline the tail */
+            int plane_type = tb->plane > 0;
+            int ems = t->ems_tab[tb->ts];
+            NB *ef = &t->cdf_eob_flag[ems];
+            uint16_t *eob_cdf = nb_row3(ef, plane_type, 0);
+            int eob_pt;
+            if (tb->eob < 33) eob_pt = eob_to_pos_small[tb->eob];
+            else {
+                int q = (tb->eob - 1) >> 5;
+                eob_pt = eob_to_pos_large[q > 16 ? 16 : q];
+            }
+            uint16_t *eob_extra_cdf = nb_row4(&t->cdf_eob_extra, ts_ctx2,
+                                              plane_type, eob_pt);
+            uint16_t *base = nb_row4(&t->cdf_base, ts_ctx2, plane_type, 0);
+            uint16_t *base_eob = nb_row4(&t->cdf_base_eob, ts_ctx2,
+                                         plane_type, 0);
+            int br_idx = ts_ctx2 < 3 ? ts_ctx2 : 3;
+            uint16_t *br = nb_row4(&t->cdf_br, br_idx, plane_type, 0);
+            uint16_t *dc_sign = nb_row3(&t->cdf_dc_sign, plane_type,
+                                        dc_ctx);
+            long long cul = ec_write_coeffs_core(
+                &t->ec, tb->qc, t->scans[tb->ts], tb->eob, tb->w, tb->h,
+                TX_CLASS_2D, eob_cdf, eob_extra_cdf,
+                base, (int)t->cdf_base.shape[3],
+                base_eob, (int)t->cdf_base_eob.shape[3],
+                br, (int)t->cdf_br.shape[3],
+                dc_sign, t->tx_shape_tab[tb->ts]);
+            update_txb_ctx(t, tb->plane, tb->px, tb->py, tb->ts, (int)cul);
+        } else {
+            write_txb(t, tb, ymc, sk_ctx, dc_ctx,
+                      tb->plane == 0 && !is_inter ? sig_nset : 0, sig_eset,
+                      sig_sq, sig_ind);
+        }
+    }
+    (void)ts_of; (void)tt_of;
+}
+
 /* ------------------------------------------------------------------ */
 /* module entry                                                       */
 /* ------------------------------------------------------------------ */
@@ -967,6 +1986,124 @@ static void *pbuf(PyObject *seq, Py_ssize_t i) {
     return b.data;
 }
 
+/* shared setup for both entries; returns 0 on success */
+static int tile_setup(Tile *t, PyObject *ints, PyObject *planes,
+                      PyObject *ctxs, PyObject *cdfs, PyObject *consts,
+                      PyObject *scans, PyObject *plans) {
+    long iv[16];
+    for (int i = 0; i < 16; ++i)
+        iv[i] = PyLong_AsLong(PyTuple_GET_ITEM(ints, i));
+    t->mi_rows = iv[0]; t->mi_cols = iv[1];
+    t->t_r0 = iv[2]; t->t_c0 = iv[3]; t->t_r1 = iv[4]; t->t_c1 = iv[5];
+    t->buf_w = iv[6]; t->buf_h = iv[7]; t->sb_size = iv[8]; t->bd = iv[9];
+    t->num_planes = iv[10];
+    t->aligned_w = iv[12]; t->aligned_h = iv[13];
+    t->disable_edge_filter = iv[14];
+    t->enable_filter_intra = iv[15];
+
+    for (int p = 0; p < 3; ++p) {
+        t->src[p] = (const int32_t *)pbuf(planes, p);
+        t->rec[p] = (int32_t *)pbuf(planes, 3 + p);
+        t->pw_buf[p] = p ? t->buf_w >> 1 : t->buf_w;
+        t->ph_buf[p] = p ? t->buf_h >> 1 : t->buf_h;
+    }
+    t->y_modes = (int32_t *)pbuf(ctxs, 0);
+    t->skips = (int32_t *)pbuf(ctxs, 1);
+    t->above_part = (int32_t *)pbuf(ctxs, 2);
+    t->left_part = (int32_t *)pbuf(ctxs, 3);
+    for (int p = 0; p < 3; ++p) {
+        t->txb_above[p] = (int32_t *)pbuf(ctxs, 4 + p);
+        t->txb_left[p] = (int32_t *)pbuf(ctxs, 7 + p);
+        NB g;
+        nb_get(ctxs, 10 + p, &g);
+        t->txw[p] = (int32_t *)g.data;
+        t->grid_h[p] = (int)g.shape[0];
+        t->grid_w[p] = (int)g.shape[1];
+        t->txh[p] = (int32_t *)pbuf(ctxs, 13 + p);
+        t->bex[p] = (uint8_t *)pbuf(ctxs, 16 + p);
+        t->bey[p] = (uint8_t *)pbuf(ctxs, 19 + p);
+    }
+    nb_get(cdfs, 0, &t->cdf_partition);
+    nb_get(cdfs, 1, &t->cdf_skip);
+    nb_get(cdfs, 2, &t->cdf_kf_y);
+    nb_get(cdfs, 3, &t->cdf_angle);
+    nb_get(cdfs, 4, &t->cdf_uv);
+    nb_get(cdfs, 5, &t->cdf_ext_tx);
+    nb_get(cdfs, 6, &t->cdf_txb_skip);
+    for (int k = 0; k < 7; ++k) nb_get(cdfs, 7 + k, &t->cdf_eob_flag[k]);
+    nb_get(cdfs, 14, &t->cdf_eob_extra);
+    nb_get(cdfs, 15, &t->cdf_base);
+    nb_get(cdfs, 16, &t->cdf_base_eob);
+    nb_get(cdfs, 17, &t->cdf_br);
+    nb_get(cdfs, 18, &t->cdf_dc_sign);
+    nb_get(cdfs, 19, &t->cdf_filter_intra);
+
+    t->sm_weights = (const int32_t *)pbuf(consts, 0);
+    t->dr_derivative = (const int32_t *)pbuf(consts, 1);
+    for (int k = 0; k < 7; ++k) {
+        t->has_tr[k] = (const uint8_t *)pbuf(consts, 2 + k);
+        t->has_bl[k] = (const uint8_t *)pbuf(consts, 9 + k);
+    }
+    t->tx_w_tab = (const int32_t *)pbuf(consts, 16);
+    t->tx_h_tab = (const int32_t *)pbuf(consts, 17);
+    t->txs_ctx_tab = (const int32_t *)pbuf(consts, 18);
+    t->tx_shape_tab = (const int32_t *)pbuf(consts, 19);
+    t->ems_tab = (const int32_t *)pbuf(consts, 20);
+
+    for (int ts = 0; ts < 19; ++ts) {
+        PyObject *o = PyTuple_GET_ITEM(scans, ts);
+        if (o == Py_None) { t->scans[ts] = NULL; continue; }
+        Py_buffer v;
+        if (PyObject_GetBuffer(o, &v, PyBUF_SIMPLE) < 0) return -1;
+        t->scans[ts] = (const int16_t *)v.buf;
+        PyBuffer_Release(&v);
+    }
+    Py_ssize_t n_plans = PyTuple_GET_SIZE(plans);
+    for (Py_ssize_t k = 0; k < n_plans; ++k) {
+        PyObject *o = PyTuple_GET_ITEM(plans, k);
+        if (o == Py_None) continue;
+        Plan *pl = (Plan *)PyCapsule_GetPointer(o, "block_plan");
+        if (!pl) return -1;
+        int plane = (int)(k / (19 * 16));
+        int ts = (int)((k / 16) % 19);
+        int tt = (int)(k % 16);
+        t->plans[plane][ts][tt] = pl;
+    }
+    return 0;
+}
+
+static PyObject *tile_run(Tile *t) {
+    if (ec_core_init(&t->ec) < 0) return PyErr_NoMemory();
+    int sb_mi = t->sb_size / MI;
+    for (int mi_row = t->t_r0; mi_row < t->t_r1 && !t->err; mi_row += sb_mi)
+        for (int mi_col = t->t_c0; mi_col < t->t_c1 && !t->err;
+             mi_col += sb_mi)
+            tile_partition(t, t->sb_size, mi_row, mi_col);
+
+    PyObject *out = NULL;
+    if (t->err) {
+        PyErr_Format(PyExc_ValueError, "coder_native: %s", t->errmsg);
+    } else if (t->part_i != t->part_n
+               || (!t->inter && t->mode_i != t->mode_n)) {
+        PyErr_Format(PyExc_ValueError,
+                     "coder_native: plan mismatch (%zd/%zd parts, %zd/%zd"
+                     " modes)", t->part_i, t->part_n, t->mode_i, t->mode_n);
+    } else {
+        size_t cap = t->ec.offs + 8;
+        unsigned char *tmp = (unsigned char *)malloc(cap);
+        if (!tmp) {
+            PyErr_NoMemory();
+        } else {
+            size_t total = ec_core_done(&t->ec, tmp);
+            out = PyBytes_FromStringAndSize((const char *)tmp,
+                                            (Py_ssize_t)total);
+            free(tmp);
+        }
+    }
+    ec_core_free(&t->ec);
+    return out;
+}
+
 /*
  * code_intra_tile(ints, planes, ctxs, cdfs, consts, scans, plans,
  *                 part_seq, mode_seq) -> bytes
@@ -979,130 +2116,136 @@ static PyObject *code_intra_tile(PyObject *self, PyObject *args) {
         return NULL;
     Tile t;
     memset(&t, 0, sizeof(t));
-    long iv[16];
-    for (int i = 0; i < 16; ++i)
-        iv[i] = PyLong_AsLong(PyTuple_GET_ITEM(ints, i));
-    t.mi_rows = iv[0]; t.mi_cols = iv[1];
-    t.t_r0 = iv[2]; t.t_c0 = iv[3]; t.t_r1 = iv[4]; t.t_c1 = iv[5];
-    t.buf_w = iv[6]; t.buf_h = iv[7]; t.sb_size = iv[8]; t.bd = iv[9];
-    t.num_planes = iv[10];
-    t.aligned_w = iv[12]; t.aligned_h = iv[13];
-    t.disable_edge_filter = iv[14];
-    t.enable_filter_intra = iv[15];
-
-    for (int p = 0; p < 3; ++p) {
-        t.src[p] = (const int32_t *)pbuf(planes, p);
-        t.rec[p] = (int32_t *)pbuf(planes, 3 + p);
-        t.pw_buf[p] = p ? t.buf_w >> 1 : t.buf_w;
-        t.ph_buf[p] = p ? t.buf_h >> 1 : t.buf_h;
+    if (tile_setup(&t, ints, planes, ctxs, cdfs, consts, scans, plans) < 0) {
+        PyBuffer_Release(&part_v); PyBuffer_Release(&mode_v);
+        return NULL;
     }
-    t.y_modes = (int32_t *)pbuf(ctxs, 0);
-    t.skips = (int32_t *)pbuf(ctxs, 1);
-    t.above_part = (int32_t *)pbuf(ctxs, 2);
-    t.left_part = (int32_t *)pbuf(ctxs, 3);
-    for (int p = 0; p < 3; ++p) {
-        t.txb_above[p] = (int32_t *)pbuf(ctxs, 4 + p);
-        t.txb_left[p] = (int32_t *)pbuf(ctxs, 7 + p);
-        NB g;
-        nb_get(ctxs, 10 + p, &g);
-        t.txw[p] = (int32_t *)g.data;
-        t.grid_h[p] = (int)g.shape[0];
-        t.grid_w[p] = (int)g.shape[1];
-        t.txh[p] = (int32_t *)pbuf(ctxs, 13 + p);
-        t.bex[p] = (uint8_t *)pbuf(ctxs, 16 + p);
-        t.bey[p] = (uint8_t *)pbuf(ctxs, 19 + p);
-    }
-    nb_get(cdfs, 0, &t.cdf_partition);
-    nb_get(cdfs, 1, &t.cdf_skip);
-    nb_get(cdfs, 2, &t.cdf_kf_y);
-    nb_get(cdfs, 3, &t.cdf_angle);
-    nb_get(cdfs, 4, &t.cdf_uv);
-    nb_get(cdfs, 5, &t.cdf_ext_tx);
-    nb_get(cdfs, 6, &t.cdf_txb_skip);
-    for (int k = 0; k < 7; ++k) nb_get(cdfs, 7 + k, &t.cdf_eob_flag[k]);
-    nb_get(cdfs, 14, &t.cdf_eob_extra);
-    nb_get(cdfs, 15, &t.cdf_base);
-    nb_get(cdfs, 16, &t.cdf_base_eob);
-    nb_get(cdfs, 17, &t.cdf_br);
-    nb_get(cdfs, 18, &t.cdf_dc_sign);
-    nb_get(cdfs, 19, &t.cdf_filter_intra);
-
-    t.sm_weights = (const int32_t *)pbuf(consts, 0);
-    t.dr_derivative = (const int32_t *)pbuf(consts, 1);
-    for (int k = 0; k < 7; ++k) {
-        t.has_tr[k] = (const uint8_t *)pbuf(consts, 2 + k);
-        t.has_bl[k] = (const uint8_t *)pbuf(consts, 9 + k);
-    }
-    t.tx_w_tab = (const int32_t *)pbuf(consts, 16);
-    t.tx_h_tab = (const int32_t *)pbuf(consts, 17);
-    t.txs_ctx_tab = (const int32_t *)pbuf(consts, 18);
-    t.tx_shape_tab = (const int32_t *)pbuf(consts, 19);
-    t.ems_tab = (const int32_t *)pbuf(consts, 20);
-
-    for (int ts = 0; ts < 19; ++ts) {
-        PyObject *o = PyTuple_GET_ITEM(scans, ts);
-        if (o == Py_None) { t.scans[ts] = NULL; continue; }
-        Py_buffer v;
-        if (PyObject_GetBuffer(o, &v, PyBUF_SIMPLE) < 0) return NULL;
-        t.scans[ts] = (const int16_t *)v.buf;
-        PyBuffer_Release(&v);
-    }
-    Py_ssize_t n_plans = PyTuple_GET_SIZE(plans);
-    for (Py_ssize_t k = 0; k < n_plans; ++k) {
-        PyObject *o = PyTuple_GET_ITEM(plans, k);
-        if (o == Py_None) continue;
-        Plan *pl = (Plan *)PyCapsule_GetPointer(o, "block_plan");
-        if (!pl) return NULL;
-        int plane = (int)(k / (19 * 16));
-        int ts = (int)((k / 16) % 19);
-        int tt = (int)(k % 16);
-        t.plans[plane][ts][tt] = pl;
-    }
-
     t.part_seq = (const int8_t *)part_v.buf;
     t.part_n = part_v.len;
     t.mode_seq = (const int32_t *)mode_v.buf;
     t.mode_n = mode_v.len / (16 * 4);
-
-    if (ec_core_init(&t.ec) < 0) {
-        PyBuffer_Release(&part_v); PyBuffer_Release(&mode_v);
-        return PyErr_NoMemory();
-    }
-
-    /* the walk */
-    int sb_mi = t.sb_size / MI;
-    for (int mi_row = t.t_r0; mi_row < t.t_r1 && !t.err; mi_row += sb_mi)
-        for (int mi_col = t.t_c0; mi_col < t.t_c1 && !t.err;
-             mi_col += sb_mi)
-            tile_partition(&t, t.sb_size, mi_row, mi_col);
-
-    PyObject *out = NULL;
-    if (t.err) {
-        PyErr_Format(PyExc_ValueError, "coder_native: %s", t.errmsg);
-    } else if (t.part_i != t.part_n || t.mode_i != t.mode_n) {
-        PyErr_Format(PyExc_ValueError,
-                     "coder_native: plan mismatch (%zd/%zd parts, %zd/%zd"
-                     " modes)", t.part_i, t.part_n, t.mode_i, t.mode_n);
-    } else {
-        size_t cap = t.ec.offs + 8;
-        unsigned char *tmp = (unsigned char *)malloc(cap);
-        if (!tmp) {
-            PyErr_NoMemory();
-        } else {
-            size_t total = ec_core_done(&t.ec, tmp);
-            out = PyBytes_FromStringAndSize((const char *)tmp,
-                                            (Py_ssize_t)total);
-            free(tmp);
-        }
-    }
-    ec_core_free(&t.ec);
+    PyObject *out = tile_run(&t);
     PyBuffer_Release(&part_v);
     PyBuffer_Release(&mode_v);
     return out;
 }
 
+/*
+ * code_inter_tile(ints, planes, ctxs, cdfs, consts, scans, plans,
+ *                 part_seq, inter_ints, mi_arrays, skip_grids, refs,
+ *                 maps, mvs, inter_cdfs, nmv, sig) -> bytes
+ */
+static PyObject *code_inter_tile(PyObject *self, PyObject *args) {
+    PyObject *ints, *planes, *ctxs, *cdfs, *consts, *scans, *plans;
+    PyObject *iints, *mia, *sgrids, *refs, *maps, *mvs, *icdfs, *nmv, *sig;
+    Py_buffer part_v;
+    if (!PyArg_ParseTuple(args, "OOOOOOOy*OOOOOOOOO", &ints, &planes, &ctxs,
+                          &cdfs, &consts, &scans, &plans, &part_v, &iints,
+                          &mia, &sgrids, &refs, &maps, &mvs, &icdfs, &nmv,
+                          &sig))
+        return NULL;
+    Tile t;
+    InterState st;
+    memset(&t, 0, sizeof(t));
+    memset(&st, 0, sizeof(st));
+    if (tile_setup(&t, ints, planes, ctxs, cdfs, consts, scans, plans) < 0) {
+        PyBuffer_Release(&part_v);
+        return NULL;
+    }
+    t.part_seq = (const int8_t *)part_v.buf;
+    t.part_n = part_v.len;
+    t.inter = &st;
+
+    st.frame_w = (int)PyLong_AsLong(PyTuple_GET_ITEM(iints, 0));
+    st.frame_h = (int)PyLong_AsLong(PyTuple_GET_ITEM(iints, 1));
+    st.ref_pad = (int)PyLong_AsLong(PyTuple_GET_ITEM(iints, 2));
+    st.reference_select = (int)PyLong_AsLong(PyTuple_GET_ITEM(iints, 3));
+
+    st.mi_ref = (int32_t *)pbuf(mia, 0);
+    st.mi_ref1 = (int32_t *)pbuf(mia, 1);
+    st.mi_mode = (int32_t *)pbuf(mia, 2);
+    st.mi_mvr = (int32_t *)pbuf(mia, 3);
+    st.mi_mvc = (int32_t *)pbuf(mia, 4);
+    st.mi_mv1r = (int32_t *)pbuf(mia, 5);
+    st.mi_mv1c = (int32_t *)pbuf(mia, 6);
+    st.mi_bw4 = (int32_t *)pbuf(mia, 7);
+    st.mi_bh4 = (int32_t *)pbuf(mia, 8);
+    for (int p = 0; p < 3; ++p)
+        st.skip_grid[p] = (uint8_t *)pbuf(sgrids, p);
+
+    /* refs: tuple of (name, y, u, v) */
+    Py_ssize_t n_refs = PyTuple_GET_SIZE(refs);
+    for (Py_ssize_t k = 0; k < n_refs; ++k) {
+        PyObject *ent = PyTuple_GET_ITEM(refs, k);
+        int name = (int)PyLong_AsLong(PyTuple_GET_ITEM(ent, 0));
+        if (name < 1 || name > 7) continue;
+        NB y, u, v;
+        nb_get(ent, 1, &y);
+        nb_get(ent, 2, &u);
+        nb_get(ent, 3, &v);
+        st.ref_y[name] = (const int32_t *)y.data;
+        st.ref_u[name] = (const int32_t *)u.data;
+        st.ref_v[name] = (const int32_t *)v.data;
+        st.ref_h[name] = (int)y.shape[0];
+        st.ref_w[name] = (int)y.shape[1];
+        st.ref_ch[name] = (int)u.shape[0];
+        st.ref_cw[name] = (int)u.shape[1];
+    }
+
+    /* decision maps: 7 pairs (is_inter uint8, mode int8) */
+    for (int k = 0; k < 7; ++k) {
+        NB a, b;
+        nb_get(maps, 2 * k, &a);
+        nb_get(maps, 2 * k + 1, &b);
+        st.is_inter_map[k] = (const uint8_t *)a.data;
+        st.mode_map[k] = (const int8_t *)b.data;
+        st.map_h[k] = (int)a.shape[0];
+        st.map_w[k] = (int)a.shape[1];
+    }
+    {
+        NB a, b;
+        nb_get(mvs, 0, &a);
+        nb_get(mvs, 1, &b);
+        st.mv16_r = (const int32_t *)a.data;
+        st.mv16_c = (const int32_t *)b.data;
+        st.nc16 = (int)a.shape[1];
+    }
+    nb_get(icdfs, 0, &st.cdf_intra_inter);
+    nb_get(icdfs, 1, &st.cdf_single_ref);
+    nb_get(icdfs, 2, &st.cdf_newmv);
+    nb_get(icdfs, 3, &st.cdf_zeromv);
+    nb_get(icdfs, 4, &st.cdf_refmv);
+    nb_get(icdfs, 5, &st.cdf_drl);
+    nb_get(icdfs, 6, &st.cdf_y_mode);
+    nb_get(icdfs, 7, &st.cdf_inter_ext_tx);
+    nb_get(icdfs, 8, &st.cdf_comp_inter);
+
+    st.nmv_joints = (uint16_t *)pbuf(nmv, 0);
+    for (int ci = 0; ci < 2; ++ci) {
+        int off = 1 + ci * 8;
+        st.nmv_classes[ci] = (uint16_t *)pbuf(nmv, off + 0);
+        st.nmv_class0_fp[ci] = (uint16_t *)pbuf(nmv, off + 1);
+        st.nmv_fp[ci] = (uint16_t *)pbuf(nmv, off + 2);
+        st.nmv_sign[ci] = (uint16_t *)pbuf(nmv, off + 3);
+        st.nmv_class0_hp[ci] = (uint16_t *)pbuf(nmv, off + 4);
+        st.nmv_hp[ci] = (uint16_t *)pbuf(nmv, off + 5);
+        st.nmv_class0[ci] = (uint16_t *)pbuf(nmv, off + 6);
+        st.nmv_bits[ci] = (uint16_t *)pbuf(nmv, off + 7);
+    }
+    st.sig_inter = (const int32_t *)pbuf(sig, 0);
+    st.sig_intra = (const int32_t *)pbuf(sig, 1);
+    st.tt_uv_tab = (const int32_t *)pbuf(sig, 2);
+    st.interp_taps = (const int32_t *)pbuf(sig, 3);
+    st.sign_bias = (const int32_t *)pbuf(sig, 4);
+
+    PyObject *out = tile_run(&t);
+    PyBuffer_Release(&part_v);
+    return out;
+}
+
 static PyMethodDef methods[] = {
     {"code_intra_tile", code_intra_tile, METH_VARARGS, NULL},
+    {"code_inter_tile", code_inter_tile, METH_VARARGS, NULL},
     {NULL, NULL, 0, NULL},
 };
 

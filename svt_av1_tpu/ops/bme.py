@@ -226,6 +226,67 @@ def frame_me(src, ref, xp=np):
     return out
 
 
+SUBPEL_DELTAS = (-4, -2, 0, 2, 4)       # quarter-pel grid in 1/8 units
+
+
+def subpel_refine16(src, ref, mv_r16, mv_c16, buf_w, buf_h, bd=8, xp=np):
+    """Quarter-pel refinement per 16x16 block around the full-pel ME
+    winner, using the exact REGULAR 8-tap interpolation the conformant
+    MC codes (ops/inter.py convolve_2d_sr) — the batched twin of the
+    reference's half/quarter-pel stage (EbMotionEstimation.c:2912).
+
+    src: [buf_h, buf_w]; mv_r16/mv_c16: [nr16, nc16] full-pel MVs.
+    Returns (mvq8_r, mvq8_c, pred) with MVs in 1/8-pel units and pred
+    the assembled best-candidate prediction plane."""
+    from . import inter as inter_ops
+
+    PRS = REFINE_R + 8                  # full-pel range + tap context
+    refp = xp.pad(xp.asarray(ref), PRS, mode="edge")
+    nr16, nc16 = buf_h // 16, buf_w // 16
+    n16 = nr16 * nc16
+    gy, gx = np.meshgrid(np.arange(nr16) * 16, np.arange(nc16) * 16,
+                         indexing="ij")
+    base_y = xp.asarray(gy.ravel()) + mv_r16.reshape(-1)
+    base_x = xp.asarray(gx.ravel()) + mv_c16.reshape(-1)
+    oy = xp.clip(base_y - 4 + PRS, 0, buf_h + 2 * PRS - 25)
+    ox = xp.clip(base_x - 4 + PRS, 0, buf_w + 2 * PRS - 25)
+    rows = oy[:, None, None] + xp.asarray(np.arange(25))[None, :, None]
+    cols = ox[:, None, None] + xp.asarray(np.arange(25))[None, None, :]
+    patch = refp[rows, cols]            # [n16, 25, 25]
+    src16 = xp.asarray(src).reshape(nr16, 16, nc16, 16) \
+        .transpose(0, 2, 1, 3).reshape(n16, 16, 16).astype(xp.int32)
+
+    best_sad = None
+    best_dy = best_dx = None
+    best_pred = None
+    for dy8 in SUBPEL_DELTAS:
+        for dx8 in SUBPEL_DELTAS:
+            sy = 4 + (dy8 >> 3)         # arithmetic shift: floor
+            sx = 4 + (dx8 >> 3)
+            p = inter_ops.convolve_2d_sr(patch, sx, sy, 16, 16,
+                                         (dx8 & 7) * 2, (dy8 & 7) * 2,
+                                         bd=bd, xp=xp)
+            sad = xp.abs(src16 - p).sum((-1, -2)) \
+                + 2 * (abs(dy8) + abs(dx8))
+            if best_sad is None:
+                best_sad = sad
+                best_dy = xp.full(sad.shape, dy8, xp.int32)
+                best_dx = xp.full(sad.shape, dx8, xp.int32)
+                best_pred = p
+            else:
+                take = sad < best_sad
+                best_sad = xp.where(take, sad, best_sad)
+                best_dy = xp.where(take, dy8, best_dy)
+                best_dx = xp.where(take, dx8, best_dx)
+                best_pred = xp.where(take[:, None, None], p, best_pred)
+
+    mvq8_r = (mv_r16 * 8 + best_dy.reshape(nr16, nc16)).astype(xp.int32)
+    mvq8_c = (mv_c16 * 8 + best_dx.reshape(nr16, nc16)).astype(xp.int32)
+    pred = best_pred.reshape(nr16, nc16, 16, 16).transpose(0, 2, 1, 3) \
+        .reshape(buf_h, buf_w)
+    return mvq8_r, mvq8_c, pred
+
+
 def to_block_maps(me_out, buf_w: int, buf_h: int):
     """Reorder frame_me's per-SB-nested results into frame block grids:
     {(w, h): (mv_r [nr, nc], mv_c, sad)} as numpy arrays."""

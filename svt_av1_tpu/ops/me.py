@@ -108,7 +108,9 @@ def hme_search(src_block, ref_plane, center_x: int, center_y: int,
 def hierarchical_me(src_plane, ref_plane, block_x: int, block_y: int,
                     block_size: int = 64,
                     level0_area: int = 48, level1_area: int = 16,
-                    level2_area: int = 7):
+                    level2_area: int = 7,
+                    level1: bool = True, level2: bool = True,
+                    pyr=None):
     """3-level hierarchical motion estimation for one block.
 
     Level 0 searches the 1/16-resolution pyramid over a wide area,
@@ -116,8 +118,10 @@ def hierarchical_me(src_plane, ref_plane, block_x: int, block_y: int,
     hme_level_0/1/2 flow with one candidate carried between levels).
     Returns (mv_x, mv_y, sad) in full-pel units at full resolution.
     """
-    src16 = decimate(src_plane, 4)
-    ref16 = decimate(ref_plane, 4)
+    if pyr is None:
+        pyr = (decimate(src_plane, 4), decimate(ref_plane, 4),
+               decimate(src_plane, 2), decimate(ref_plane, 2))
+    src16, ref16, src4_p, ref4_p = pyr
     b16 = max(block_size // 4, 4)
     bx16, by16 = block_x // 4, block_y // 4
     blk = src16[by16:by16 + b16, bx16:bx16 + b16]
@@ -126,20 +130,24 @@ def hierarchical_me(src_plane, ref_plane, block_x: int, block_y: int,
                            max(level0_area // 4, 4))
     mv_x, mv_y = dx * 2, dy * 2            # to 1/4-res (decimate-2) units
 
-    src4 = decimate(src_plane, 2)
-    ref4 = decimate(ref_plane, 2)
-    b4 = block_size // 2
-    bx4, by4 = block_x // 2, block_y // 2
-    blk = src4[by4:by4 + b4, bx4:bx4 + b4]
-    dx, dy, _ = hme_search(blk, ref4, bx4 + mv_x, by4 + mv_y,
-                           level1_area // 2, level1_area // 2)
-    # accumulate: hme_search reports relative to its own center
-    mv_x = (mv_x + dx) * 2                 # to full-res units
-    mv_y = (mv_y + dy) * 2
+    if level1:
+        src4, ref4 = src4_p, ref4_p
+        b4 = block_size // 2
+        bx4, by4 = block_x // 2, block_y // 2
+        blk = src4[by4:by4 + b4, bx4:bx4 + b4]
+        dx, dy, _ = hme_search(blk, ref4, bx4 + mv_x, by4 + mv_y,
+                               level1_area // 2, level1_area // 2)
+        # accumulate: hme_search reports relative to its own center
+        mv_x = (mv_x + dx) * 2             # to full-res units
+        mv_y = (mv_y + dy) * 2
+    else:
+        mv_x *= 2
+        mv_y *= 2
 
     blk = src_plane[block_y:block_y + block_size,
                     block_x:block_x + block_size]
+    area = level2_area if level2 else 1
     dx, dy, sad = hme_search(blk, ref_plane,
                              block_x + mv_x, block_y + mv_y,
-                             level2_area, level2_area)
+                             area, area)
     return mv_x + dx, mv_y + dy, sad

@@ -57,61 +57,51 @@ def _mc_cost_maps(resid_padded, buf_w, buf_h, qindex, lam, bd, xp):
     return out
 
 
+def _nested_to_grid(a, n_sby, n_sbx, oy, ox, xp):
+    """[N, oy, ox] per-SB nested -> frame grid [n_sby*oy, n_sbx*ox]."""
+    return a.reshape(n_sby, n_sbx, oy, ox).transpose(0, 2, 1, 3) \
+        .reshape(n_sby * oy, n_sbx * ox)
+
+
 def inter_frame_maps(src_plane, ref_plane, buf_w, buf_h, qindex, lam,
                      mode_bits, bd=8, xp=np):
-    """(intra_maps, inter_cost_maps, mv16, mvbits16): the full open-loop
-    decision state for one inter frame against one reference."""
+    """(intra_maps, inter_cost_maps, mv16_q8, mvbits16): the full
+    open-loop decision state for one inter frame against one reference.
+    MVs are quarter-pel (1/8-unit values, multiples of 2): full-pel
+    frame ME (ops/bme.frame_me) + exact-filter subpel refinement
+    (bme.subpel_refine16)."""
     src = xp.asarray(src_plane).astype(xp.int32)
     ref = xp.asarray(ref_plane).astype(xp.int32)
     me = bme.frame_me(src, ref, xp)
     n_sby, n_sbx = me["grid"]
+    nr16, nc16 = buf_h // 16, buf_w // 16
 
-    # 16x16-granular MC prediction, built offset-by-offset per refine
-    # candidate (static slices + masked accumulate; no gathers)
     mv16_dy, mv16_dx, _ = me[(16, 16)]           # [N, 4, 4] pixel MVs
-    win16 = me["win16"]                          # winning candidate
-    src_sbs = src.reshape(n_sby, bme.SB, n_sbx, bme.SB) \
-        .transpose(0, 2, 1, 3).reshape(-1, bme.SB, bme.SB)
-    if xp is not np:
-        src_sbs = xp.asarray(src_sbs)
-    pos_y = xp.asarray((np.arange(n_sby) * bme.SB).repeat(n_sbx)
-                       .reshape(-1))
-    pos_x = xp.asarray(np.tile(np.arange(n_sbx) * bme.SB, n_sby))
-    R2 = 2 * bme.REFINE_R
-    pred = xp.zeros(src_sbs.shape, xp.int32)
-    for k, (origins, windows) in enumerate(zip(me["origins"],
-                                               me["windows"])):
-        oy16 = mv16_dy + (pos_y[:, None, None]
-                          - origins[:, 0][:, None, None])
-        ox16 = mv16_dx + (pos_x[:, None, None]
-                          - origins[:, 1][:, None, None])
-        for dy in range(R2 + 1):
-            for dx in range(R2 + 1):
-                sel = (win16 == k) & (oy16 == dy) & (ox16 == dx)
-                m = xp.repeat(xp.repeat(sel, 16, axis=1), 16, axis=2)
-                pred = xp.where(m, windows[:, dy:dy + bme.SB,
-                                           dx:dx + bme.SB]
-                                .astype(xp.int32), pred)
-    resid_sbs = src_sbs - pred
+    mv_r16 = _nested_to_grid(mv16_dy, n_sby, n_sbx, 4, 4, xp)
+    mv_c16 = _nested_to_grid(mv16_dx, n_sby, n_sbx, 4, 4, xp)
+    mvq8_r, mvq8_c, pred = bme.subpel_refine16(
+        src, ref, mv_r16, mv_c16, buf_w, buf_h, bd, xp)
 
-    # back to a frame-shaped residual plane, padded for grid_blocks
-    resid = resid_sbs.reshape(n_sby, n_sbx, bme.SB, bme.SB) \
-        .transpose(0, 2, 1, 3).reshape(buf_h, buf_w)
+    resid = src - pred
     resid_padded = xp.pad(resid, omd.PAD, mode="edge")
     inter_cost = _mc_cost_maps(resid_padded, buf_w, buf_h, qindex, lam,
                                bd, xp)
 
     # mv signaling proxy: distance from the SB-level coarse predictor
-    sbmv = me[(64, 64)]
-    d_r = xp.abs(mv16_dy - sbmv[0])
-    d_c = xp.abs(mv16_dx - sbmv[1])
-    mvbits16 = MV_BIT_SCALE * (xp.log2(1.0 + d_r.astype(xp.float32))
-                               + xp.log2(1.0 + d_c.astype(xp.float32)))
+    sb_r, sb_c, _ = me[(64, 64)]                 # [N, 1, 1]
+    sb_r16 = xp.repeat(xp.repeat(
+        sb_r.reshape(n_sby, n_sbx), 4, 0), 4, 1)
+    sb_c16 = xp.repeat(xp.repeat(
+        sb_c.reshape(n_sby, n_sbx), 4, 0), 4, 1)
+    d_r = xp.abs(mvq8_r - sb_r16 * 8).astype(xp.float32)
+    d_c = xp.abs(mvq8_c - sb_c16 * 8).astype(xp.float32)
+    mvbits16 = MV_BIT_SCALE * (xp.log2(1.0 + d_r / 8.0)
+                               + xp.log2(1.0 + d_c / 8.0))
 
     padded_src = omd.pad_plane(src, xp)
     intra = omd.intra_decision_arrays(padded_src, buf_w, buf_h, qindex,
                                       lam, mode_bits, bd, xp)
-    return intra, inter_cost, (mv16_dy, mv16_dx), mvbits16
+    return intra, inter_cost, (mvq8_r, mvq8_c), mvbits16
 
 
 import functools
@@ -166,25 +156,18 @@ def inter_maps_dispatch(src, ref, buf_w, buf_h, qindex, lam, mode_bits,
                 nr, nc = buf_h // h, buf_w // w
                 inter_cost[s] = flat[off:off + nr * nc].reshape(nr, nc)
                 off += nr * nc
-            N = (buf_h // bme.SB) * (buf_w // bme.SB)
-            mvdy = flat[off:off + N * 16].reshape(N, 4, 4).astype(np.int32)
-            off += N * 16
-            mvdx = flat[off:off + N * 16].reshape(N, 4, 4).astype(np.int32)
-            off += N * 16
-            mvb = flat[off:off + N * 16].reshape(N, 4, 4)
+            nr16, nc16 = buf_h // 16, buf_w // 16
+            n = nr16 * nc16
+            mvdy = flat[off:off + n].reshape(nr16, nc16).astype(np.int32)
+            off += n
+            mvdx = flat[off:off + n].reshape(nr16, nc16).astype(np.int32)
+            off += n
+            mvb = flat[off:off + n].reshape(nr16, nc16)
             return intra, inter_cost, (mvdy, mvdx), mvb
         except ImportError:
             pass
     return inter_frame_maps(src, ref, buf_w, buf_h, qindex, lam,
                             mode_bits, bd, np)
-
-
-def _expand_sb(a, n_sby, n_sbx):
-    """[N, oy, ox] (per-SB nested) -> frame grid [n_sby*oy, n_sbx*ox]."""
-    a = np.asarray(a)
-    n, oy, ox = a.shape
-    return a.reshape(n_sby, n_sbx, oy, ox).transpose(0, 2, 1, 3) \
-        .reshape(n_sby * oy, n_sbx * ox)
 
 
 class BatchedDecider(BatchedIntraDecider):
@@ -233,10 +216,9 @@ class BatchedDecider(BatchedIntraDecider):
             codec.source[0], ref_y, codec.buf_w, codec.buf_h,
             codec.fh.base_q_idx, lam, mode_bits, codec.seq.bit_depth,
             self.use_jax)
-        n_sby, n_sbx = codec.buf_h // bme.SB, codec.buf_w // bme.SB
-        mv_r = _expand_sb(mvdy, n_sby, n_sbx)
-        mv_c = _expand_sb(mvdx, n_sby, n_sbx)
-        mvb = _expand_sb(mvbits16, n_sby, n_sbx)
+        mv_r = np.asarray(mvdy)                  # [nr16, nc16], 1/8-pel
+        mv_c = np.asarray(mvdx)
+        mvb = np.asarray(mvbits16)
         self._mv16 = np.stack([mv_r, mv_c], axis=-1)
 
         # per-shape combined cost + choice (vectorized over the grids):
@@ -266,54 +248,13 @@ class BatchedDecider(BatchedIntraDecider):
         self._build_plan(codec, cost, lam)
 
     def _build_plan(self, codec, cost, lam):
-        """Partition DP over the combined cost maps (same recursion as
-        the intra plan)."""
-        from .batched_md import _partition_bits, PARTITION_NONE, \
-            PARTITION_HORZ, PARTITION_VERT, PARTITION_SPLIT
+        """Partition DP over the combined cost maps (shared vectorized
+        form, batched_md.partition_dp)."""
+        from .batched_md import _partition_bits, partition_dp
 
         pbits = {b: _partition_bits(codec.fc, b) for b in (8, 16, 32)}
-        self._plan = {}
-        mi_rows, mi_cols = codec.mi_rows, codec.mi_cols
-
-        def eval_node(bsize, r, c):
-            if r >= mi_rows or c >= mi_cols:
-                return 0.0
-            if bsize == 8:
-                return float(cost[(8, 8)][r // 2, c // 2])
-            bs_mi = bsize // 4
-            hbs = bs_mi // 2
-            half = bsize // 2
-            boundary = not (r + hbs < mi_rows and c + hbs < mi_cols)
-            pb = pbits[bsize]
-
-            def split_cost():
-                return sum(eval_node(half, rr, cc) for rr, cc in
-                           ((r, c), (r, c + hbs), (r + hbs, c),
-                            (r + hbs, c + hbs)))
-
-            if boundary:
-                self._plan[(bsize, r, c)] = PARTITION_SPLIT
-                return split_cost()
-            bi, bj = r // bs_mi, c // bs_mi
-            none_c = float(cost[(bsize, bsize)][bi, bj]) \
-                + lam * pb[PARTITION_NONE]
-            horz = cost[(bsize, half)]
-            horz_c = float(horz[2 * bi, bj] + horz[2 * bi + 1, bj]) \
-                + lam * pb[PARTITION_HORZ]
-            vert = cost[(half, bsize)]
-            vert_c = float(vert[bi, 2 * bj] + vert[bi, 2 * bj + 1]) \
-                + lam * pb[PARTITION_VERT]
-            split_c = split_cost() + lam * pb[PARTITION_SPLIT]
-            best = min((none_c, PARTITION_NONE), (horz_c, PARTITION_HORZ),
-                       (vert_c, PARTITION_VERT), (split_c, PARTITION_SPLIT))
-            self._plan[(bsize, r, c)] = best[1]
-            return best[0]
-
-        # evaluate every 32-aligned root node (8 mi apart) — the walk
-        # splits 64/128 superblocks down to them
-        for r in range(0, mi_rows, 8):
-            for c in range(0, mi_cols, 8):
-                eval_node(32, r, c)
+        self._plan = partition_dp(cost, lam, pbits, codec.mi_rows,
+                                  codec.mi_cols)
 
     # -- replay ---------------------------------------------------------
 
@@ -328,7 +269,7 @@ class BatchedDecider(BatchedIntraDecider):
         if not self._inter[(bw, bh)][bi, bj]:
             return self.decide(codec, x, y, bw, bh)
         mv16 = self._mv16[y // 16, x // 16]
-        mv = (int(mv16[0]) * 8, int(mv16[1]) * 8)
+        mv = (int(mv16[0]), int(mv16[1]))        # already 1/8-pel
         ref = 1                                  # LAST
         stack_res = mp.find_mv_stack(
             codec.mi, mi_row, mi_col, w4, h4, ref,

@@ -47,6 +47,78 @@ def _partition_bits(fc, bsize: int) -> dict:
              PARTITION_SPLIT)}
 
 
+def partition_dp(cost, lam: float, pbits: dict, mi_rows: int,
+                 mi_cols: int) -> dict:
+    """Vectorized bottom-up DP over the partition tree (the host twin
+    of FrameCodec._partition's recursion).  Arithmetic mirrors the
+    scalar form exactly: pair sums for HORZ/VERT stay in the cost maps'
+    float32 before widening, everything else accumulates in float64.
+    Returns {(bsize, mi_row, mi_col): partition}."""
+    plan = {}
+
+    def pad_to(a, hh, ww):
+        out = np.zeros((hh, ww), np.float64)
+        h0 = min(a.shape[0], hh)
+        w0 = min(a.shape[1], ww)
+        out[:h0, :w0] = a[:h0, :w0]
+        return out
+
+    # leaf level: 8x8 cost where the node origin is inside the frame
+    c8 = np.asarray(cost[(8, 8)])
+    h8 = -(-mi_rows // 2)
+    w8 = -(-mi_cols // 2)
+    best = np.zeros(c8.shape, np.float64)
+    best[:h8, :w8] = c8[:h8, :w8].astype(np.float64)
+    best[h8:, :] = 0.0
+    best[:, w8:] = 0.0
+
+    for bsize in (16, 32):
+        bs_mi = bsize // 4
+        hbs = bs_mi // 2
+        half = bsize // 2
+        pb = pbits[bsize]
+        nr = -(-mi_rows // bs_mi)      # valid node rows
+        nc = -(-mi_cols // bs_mi)
+        nh = best.shape[0] // 2        # node grid from child grid
+        nw = best.shape[1] // 2
+        chb = pad_to(best, nh * 2, nw * 2)
+        s = chb[0::2, 0::2] + chb[0::2, 1::2]
+        s = s + chb[1::2, 0::2]
+        split_raw = s + chb[1::2, 1::2]
+        none_c = pad_to(np.asarray(cost[(bsize, bsize)], np.float64),
+                        nh, nw) + lam * pb[PARTITION_NONE]
+        hmap = np.asarray(cost[(bsize, half)])
+        hp = (hmap[0::2, :] + hmap[1::2, :])       # f32 pair sum
+        horz_c = pad_to(hp.astype(np.float64), nh, nw) \
+            + lam * pb[PARTITION_HORZ]
+        vmap = np.asarray(cost[(half, bsize)])
+        vp = (vmap[:, 0::2] + vmap[:, 1::2])
+        vert_c = pad_to(vp.astype(np.float64), nh, nw) \
+            + lam * pb[PARTITION_VERT]
+        split_c = split_raw + lam * pb[PARTITION_SPLIT]
+        stacked = np.stack([none_c, horz_c, vert_c, split_c])
+        part = np.argmin(stacked, axis=0).astype(np.int8)
+        bestv = np.take_along_axis(stacked, part[None].astype(np.int64),
+                                   0)[0]
+        # boundary nodes: forced SPLIT, children only (no bits)
+        rr = np.arange(nh) * bs_mi
+        cc = np.arange(nw) * bs_mi
+        bound = (rr[:, None] + hbs >= mi_rows) | \
+                (cc[None, :] + hbs >= mi_cols)
+        part = np.where(bound, np.int8(PARTITION_SPLIT), part)
+        bestv = np.where(bound, split_raw, bestv)
+        # out-of-frame nodes contribute 0 to their parents
+        valid = (rr[:, None] < mi_rows) & (cc[None, :] < mi_cols)
+        bestv = np.where(valid, bestv, 0.0)
+        for i in range(min(nr, nh)):
+            base_r = i * bs_mi
+            row = part[i]
+            for j in range(min(nc, nw)):
+                plan[(bsize, base_r, j * bs_mi)] = int(row[j])
+        best = bestv
+    return plan
+
+
 class BatchedIntraDecider(ModeDecider):
     """Key-frame decider driven by the batched open-loop device pass.
 
@@ -134,75 +206,8 @@ class BatchedIntraDecider(ModeDecider):
         self._modes = {s: m for s, (m, _) in maps.items()}
         cost = {s: c for s, (_, c) in maps.items()}
         pbits = {b: _partition_bits(codec.fc, b) for b in (8, 16, 32)}
-        self._plan = {}
-        mi_rows, mi_cols = codec.mi_rows, codec.mi_cols
-
-        # Vectorized bottom-up DP over the partition tree (the host
-        # twin of FrameCodec._partition's recursion).  Arithmetic
-        # mirrors the scalar form exactly: pair sums for HORZ/VERT stay
-        # in the cost maps' float32 before widening, everything else
-        # accumulates in float64.
-        def pad_to(a, hh, ww):
-            out = np.zeros((hh, ww), np.float64)
-            h0 = min(a.shape[0], hh)
-            w0 = min(a.shape[1], ww)
-            out[:h0, :w0] = a[:h0, :w0]
-            return out
-
-        # leaf level: 8x8 cost where the node origin is inside the frame
-        c8 = np.asarray(cost[(8, 8)])
-        h8 = -(-mi_rows // 2)
-        w8 = -(-mi_cols // 2)
-        best = np.zeros(c8.shape, np.float64)
-        best[:h8, :w8] = c8[:h8, :w8].astype(np.float64)
-        # zero out-of-frame leaves
-        best[h8:, :] = 0.0
-        best[:, w8:] = 0.0
-
-        for bsize in (16, 32):
-            bs_mi = bsize // 4
-            hbs = bs_mi // 2
-            half = bsize // 2
-            pb = pbits[bsize]
-            nr = -(-mi_rows // bs_mi)      # valid node rows
-            nc = -(-mi_cols // bs_mi)
-            nh = best.shape[0] // 2        # node grid from child grid
-            nw = best.shape[1] // 2
-            chb = pad_to(best, nh * 2, nw * 2)
-            s = chb[0::2, 0::2] + chb[0::2, 1::2]
-            s = s + chb[1::2, 0::2]
-            split_raw = s + chb[1::2, 1::2]
-            none_c = pad_to(np.asarray(cost[(bsize, bsize)], np.float64),
-                            nh, nw) + lam * pb[PARTITION_NONE]
-            hmap = np.asarray(cost[(bsize, half)])
-            hp = (hmap[0::2, :] + hmap[1::2, :])       # f32 pair sum
-            horz_c = pad_to(hp.astype(np.float64), nh, nw) \
-                + lam * pb[PARTITION_HORZ]
-            vmap = np.asarray(cost[(half, bsize)])
-            vp = (vmap[:, 0::2] + vmap[:, 1::2])
-            vert_c = pad_to(vp.astype(np.float64), nh, nw) \
-                + lam * pb[PARTITION_VERT]
-            split_c = split_raw + lam * pb[PARTITION_SPLIT]
-            stacked = np.stack([none_c, horz_c, vert_c, split_c])
-            part = np.argmin(stacked, axis=0).astype(np.int8)
-            bestv = np.take_along_axis(stacked, part[None].astype(np.int64),
-                                       0)[0]
-            # boundary nodes: forced SPLIT, children only (no bits)
-            rr = np.arange(nh) * bs_mi
-            cc = np.arange(nw) * bs_mi
-            bound = (rr[:, None] + hbs >= mi_rows) | \
-                    (cc[None, :] + hbs >= mi_cols)
-            part = np.where(bound, np.int8(PARTITION_SPLIT), part)
-            bestv = np.where(bound, split_raw, bestv)
-            # out-of-frame nodes contribute 0 to their parents
-            valid = (rr[:, None] < mi_rows) & (cc[None, :] < mi_cols)
-            bestv = np.where(valid, bestv, 0.0)
-            for i in range(min(nr, nh)):
-                base_r = i * bs_mi
-                row = part[i]
-                for j in range(min(nc, nw)):
-                    self._plan[(bsize, base_r, j * bs_mi)] = int(row[j])
-            best = bestv
+        self._plan = partition_dp(cost, lam, pbits, codec.mi_rows,
+                                  codec.mi_cols)
 
     # -- replay interface ----------------------------------------------
 

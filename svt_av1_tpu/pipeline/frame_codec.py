@@ -315,11 +315,37 @@ class ModeDecider:
                                          REF_PAD:REF_PAD + vis_w]
             if bw <= vis_w and bh <= vis_h and x + bw <= vis_w \
                     and y + bh <= vis_h:
+                # predictor-centered integer search over the configured
+                # area (search_area_width/height; EbSvtAv1Enc.h:669)
+                sa_w, sa_h = getattr(codec, "search_area", (48, 48))
+                rx = max(sa_w // 2, 4)
+                ry = max(sa_h // 2, 4)
                 cx = int(np.clip(x + (nearest[1] >> 3), 4,
                                  max(vis_w - bw - 4, 4)))
                 cy = int(np.clip(y + (nearest[0] >> 3), 4,
                                  max(vis_h - bh - 4, 4)))
-                dx, dy, sad = me_ops.hme_search(blk, ref_vis, cx, cy, 24, 24)
+                dx, dy, sad = me_ops.hme_search(blk, ref_vis, cx, cy, rx, ry)
+                # HME candidate: decimated wide search around the block
+                # itself recovers large motion beyond the local area
+                # (hme_level_0/1/2; gated by enable_hme_level1/2)
+                hme = getattr(codec, "hme_controls", (True, True, True))
+                if hme[0] and bw == bh and bw >= 32 \
+                        and x + bw <= vis_w and y + bh <= vis_h:
+                    pyrs = getattr(codec, "_hme_pyr", None)
+                    if pyrs is None:
+                        pyrs = codec._hme_pyr = {}
+                    if ref not in pyrs:
+                        src_vis = codec.source[0][:vis_h, :vis_w]
+                        pyrs[ref] = (me_ops.decimate(src_vis, 4),
+                                     me_ops.decimate(ref_vis, 4),
+                                     me_ops.decimate(src_vis, 2),
+                                     me_ops.decimate(ref_vis, 2))
+                    hx, hy, hsad = me_ops.hierarchical_me(
+                        codec.source[0][:vis_h, :vis_w], ref_vis, x, y, bw,
+                        level1=bool(hme[1]), level2=bool(hme[2]),
+                        pyr=pyrs[ref])
+                    if hsad < sad:
+                        dx, dy, sad = hx + x - cx, hy + y - cy, hsad
                 best_x = int(np.clip(cx + dx, 4, vis_w - bw - 4))
                 best_y = int(np.clip(cy + dy, 4, vis_h - bh - 4))
                 new_mv = ((best_y - y) * 8, (best_x - x) * 8)
@@ -386,8 +412,10 @@ class ModeDecider:
                     warp_mode = 1
 
         # compound trial: average the best forward and backward singles
+        # (gated by compound_level; EbSvtAv1Enc.h compound_level)
         comp_best = None
-        if codec.fh.reference_select and bw >= 8 and bh >= 8:
+        if codec.fh.reference_select and bw >= 8 and bh >= 8 \
+                and getattr(codec, "compound_level", 1) > 0:
             fwd = [c for c in cands if c[4] < 5 and c[1] != mp.GLOBALMV]
             bwd = [c for c in cands if c[4] >= 5 and c[1] != mp.GLOBALMV]
             if fwd and bwd:
@@ -562,7 +590,10 @@ class FrameCodec:
         self.decider = decider
         self._init_lr_state()
         from ..native import tile_coder
-        got = tile_coder.try_encode_tiles_native(self, decider)
+        if self.fh.frame_type == FrameType.KEY_FRAME:
+            got = tile_coder.try_encode_tiles_native(self, decider)
+        else:
+            got = tile_coder.try_encode_tiles_native_inter(self, decider)
         if got is not None:
             return got
         blobs = []

@@ -88,12 +88,14 @@ class RdoDecider(ModeDecider):
 
     def __init__(self, block_size: int = 32, modes=None,
                  uv_modes=(0, 1, 2, 9, 12), try_angle_delta: bool = False,
-                 n_full_rd: int = 4, n_full_rd_uv: int = 2):
+                 n_full_rd: int = 4, n_full_rd_uv: int = 2,
+                 try_cfl: bool = True):
         super().__init__(block_size, modes or ALL_Y_MODES)
         self.uv_modes = uv_modes
         self.try_angle_delta = try_angle_delta
         self.n_full_rd = n_full_rd
         self.n_full_rd_uv = n_full_rd_uv
+        self.try_cfl = try_cfl
 
     def _stage0_prune(self, codec, plane, modes, x, y, bw, bh, ts, keep):
         """Cheap funnel: prediction SAD ranks candidates (the analog of
@@ -198,7 +200,7 @@ class RdoDecider(ModeDecider):
                     tx_depth = 1
 
         cfl = None
-        if bw <= 32 and bh <= 32:
+        if self.try_cfl and bw <= 32 and bh <= 32:
             cfl = self._try_cfl(codec, probe, x, y, bw, bh, uv_ts, lam,
                                 y_mode, angle_y, best_uv[0],
                                 fi_mode=fi_mode)

@@ -1,0 +1,70 @@
+"""Every public knob either changes encoder behavior or raises — the
+verify_settings-style honesty check (VERDICT r2 #10)."""
+import numpy as np
+import pytest
+
+from svt_av1_tpu.config import ConfigError, EncoderConfig, derive_signals
+
+
+def test_unimplemented_tools_raise():
+    for field in ("palette_level", "intrabc_mode", "screen_content_mode",
+                  "rdoq_level", "enable_mfmv", "inter_intra_compound"):
+        with pytest.raises(ConfigError):
+            EncoderConfig(source_width=64, source_height=64,
+                          **{field: 1})
+    with pytest.raises(ConfigError):
+        EncoderConfig(source_width=64, source_height=64,
+                      enable_overlays=True)
+    with pytest.raises(ConfigError):
+        EncoderConfig(source_width=64, source_height=64,
+                      active_channel_count=2)
+
+
+def _encode_bits(n_frames=3, w=96, h=96, **kw):
+    from svt_av1_tpu.api import Encoder
+    rng = np.random.default_rng(0)
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = []
+    for i in range(n_frames):
+        y = (100 + 70 * np.sin(xx / 7 + i) + 40 * np.cos(yy / 5)
+             + rng.integers(-15, 16, (h, w))).clip(0, 255).astype(np.uint8)
+        # chroma correlated with luma so chroma-from-luma is competitive
+        u = (y[::2, ::2] // 2 + 60).astype(np.uint8)
+        v = (200 - y[::2, ::2] // 2).astype(np.uint8)
+        frames.append((y, u, v))
+    cfg = EncoderConfig(source_width=w, source_height=h, qp=40, **kw)
+    enc = Encoder(cfg)
+    out = b""
+    for f in frames:
+        out += b"".join(enc.send_picture(f))
+    out += b"".join(enc.flush())
+    return out
+
+
+@pytest.mark.parametrize("kw", [
+    dict(enable_paeth=0), dict(enable_smooth=0), dict(enable_cfl=0),
+    dict(intra_angle_delta=0),
+])
+def test_intra_tool_toggles_change_streams(kw):
+    base = _encode_bits(enc_mode=4)
+    mod = _encode_bits(enc_mode=4, **kw)
+    assert base != mod, kw
+
+
+def test_search_area_changes_inter_streams():
+    base = _encode_bits(enc_mode=6, intra_period_length=-1, n_frames=4)
+    small = _encode_bits(enc_mode=6, intra_period_length=-1, n_frames=4,
+                         search_area_width=8, search_area_height=8)
+    assert base != small
+
+
+def test_derived_signals_have_consumers():
+    """Every DerivedSignals field is read somewhere outside config.py."""
+    import pathlib
+    import svt_av1_tpu
+    sig = derive_signals(EncoderConfig(source_width=64, source_height=64))
+    root = pathlib.Path(svt_av1_tpu.__file__).parent
+    blob = "".join(p.read_text() for p in root.rglob("*.py")
+                   if p.name != "config.py")
+    for field in type(sig).__dataclass_fields__:
+        assert f"sig.{field}" in blob or f".{field}" in blob, field
