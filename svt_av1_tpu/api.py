@@ -634,6 +634,9 @@ class Encoder:
         codec = FrameCodec(self.seq, fh, source_planes=planes, refs=refs)
         codec.sign_bias = sign_bias
         codec.lr_source = lr_source
+        codec.rdoq_level = self.sig.rdoq_level
+        codec.rdoq_layer = (getattr(job, "layer", 0),
+                            self.cfg.hierarchical_levels)
         codec.obmc_level = self.sig.obmc_level
         codec.compound_level = self.sig.compound_level
         codec.search_area = (
@@ -648,33 +651,49 @@ class Encoder:
         codec.aq_map = aq_map
         tile_data = _assemble_tile_group(codec.encode_tiles(decider), fh)
         from .ops.filter_chain import dlf_cdef_chain
-        if not dlf_cdef_chain(codec):
+        cdef_reenc = False
+        if (self.sig.cdef_multi and self.seq.enable_cdef
+                and fh.base_q_idx > 0 and not fh.allow_intrabc):
+            # per-64x64 cdef presets (finish_cdef_search analog); the
+            # strength indices are tile syntax, so the entropy pass
+            # reruns below — shared with the LR re-encode
+            codec.apply_loop_filter()
+            cdef_reenc = codec.search_and_apply_cdef_multi(
+                codec._rdoq_state()[1])
+        elif not dlf_cdef_chain(codec):
             codec.apply_loop_filter()
             codec.search_and_apply_cdef()
         codec.apply_superres()
+        lr_reenc = False
         if self.seq.enable_restoration:
             from .pipeline.rdo import rd_lambda
-            if codec.search_lr(rd_lambda(fh.base_q_idx, self.seq.bit_depth)):
-                # LR syntax lives inside the tile: re-encode it with the
-                # searched per-unit params (decisions replay; the
-                # reference instead orders entropy coding after the REST
-                # stage, EbEncHandle.c pipeline)
-                codec2 = FrameCodec(self.seq, fh, source_planes=planes,
-                                    refs=refs)
-                codec2.sign_bias = sign_bias
-                codec2.obmc_level = self.sig.obmc_level
-                codec2.compound_level = self.sig.compound_level
-                codec2.search_area = codec.search_area
-                codec2.hme_controls = codec.hme_controls
-                codec2.aq_map = aq_map
-                codec2.lr_plan = codec.lr_plan
-                tile_data = _assemble_tile_group(
-                    codec2.encode_tiles(decider), fh)
-                codec2.apply_loop_filter()
-                codec2.apply_cdef()
-                codec2.apply_superres()
+            lr_reenc = codec.search_lr(
+                rd_lambda(fh.base_q_idx, self.seq.bit_depth))
+        if lr_reenc or cdef_reenc:
+            # LR params and cdef indices live inside the tile syntax:
+            # re-encode with both searched states (decisions replay; the
+            # reference instead orders entropy coding after the REST
+            # stage, EbEncHandle.c pipeline)
+            codec2 = FrameCodec(self.seq, fh, source_planes=planes,
+                                refs=refs)
+            codec2.sign_bias = sign_bias
+            codec2.rdoq_level = codec.rdoq_level
+            codec2.rdoq_layer = codec.rdoq_layer
+            codec2.obmc_level = self.sig.obmc_level
+            codec2.compound_level = self.sig.compound_level
+            codec2.search_area = codec.search_area
+            codec2.hme_controls = codec.hme_controls
+            codec2.aq_map = aq_map
+            codec2.lr_plan = codec.lr_plan
+            codec2.cdef_idx_grid[:] = codec.cdef_idx_grid
+            tile_data = _assemble_tile_group(
+                codec2.encode_tiles(decider), fh)
+            codec2.apply_loop_filter()
+            codec2.apply_cdef()
+            codec2.apply_superres()
+            if lr_reenc:
                 codec2.apply_lr()
-                codec = codec2
+            codec = codec2
         self.last_recon = codec.cropped_recon()
         self.recon_by_display[job.display] = self.last_recon
 

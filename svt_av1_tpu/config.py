@@ -182,6 +182,10 @@ def validate_config(cfg: EncoderConfig) -> None:
     error codes)."""
     if not (MIN_PRESET <= cfg.enc_mode <= MAX_PRESET):
         raise ConfigError(f"enc_mode must be in [{MIN_PRESET},{MAX_PRESET}]")
+    if cfg.rdoq_level not in (-1, 0, 1):
+        raise ConfigError("rdoq_level must be -1 (auto), 0 (off) or 1 "
+                          "(full trellis); the reference's levels 2/3 "
+                          "only add speed gates on top of 1")
     if cfg.source_width % 2 or cfg.source_height % 2:
         raise ConfigError("source dimensions must be even")
     if cfg.source_width and not (4 <= cfg.source_width <= 16384):
@@ -211,7 +215,6 @@ def validate_config(cfg: EncoderConfig) -> None:
                          ("screen_content_mode", "screen content tools"),
                          ("pic_based_rate_est", "picture-based rate "
                           "estimation"),
-                         ("rdoq_level", "trellis/RDOQ"),
                          ("enable_mfmv", "temporal MV prediction"),
                          ("inter_intra_compound", "inter-intra compound")):
         v = getattr(cfg, field)
@@ -259,12 +262,14 @@ class DerivedSignals:
     enable_intra_edge_filter: bool
     intra_angle_delta: bool
     cdef_level: int
+    cdef_multi: bool           # per-64x64 strength presets (cdef_bits>0)
     enable_restoration: bool
     enable_warped_motion: bool
     enable_adaptive_quantization: bool
     obmc_level: int
     compound_level: int
     tf_level: int
+    rdoq_level: int            # 0 off / 1 full trellis + fp quant
     md_stage_nics: tuple[int, int, int, int]   # candidates kept per MD stage
 
 
@@ -294,6 +299,10 @@ def derive_signals(cfg: EncoderConfig) -> DerivedSignals:
         enable_intra_edge_filter=auto(cfg.enable_intra_edge_filter, True),
         intra_angle_delta=auto(cfg.intra_angle_delta, m <= 5),
         cdef_level=cfg.cdef_level if cfg.cdef_level != -1 else (4 if m <= 5 else 2),
+        # per-fb strength indices need the entropy pass to run after the
+        # search (finish_cdef_search); quality presets already re-code
+        # tiles for LR, so the signalling rides along
+        cdef_multi=m <= 6,
         enable_restoration=auto(cfg.enable_restoration, m <= 6),
         # derived signal surface stays honest
         enable_warped_motion=auto(cfg.enable_warped_motion,
@@ -305,6 +314,11 @@ def derive_signals(cfg: EncoderConfig) -> DerivedSignals:
                           else 0),
         compound_level=cfg.compound_level if cfg.compound_level != -1 else (1 if m <= 5 else 0),
         tf_level=cfg.tf_level if cfg.tf_level != -1 else (1 if m <= 7 else 0),
+        # the reference keeps RDOQ on at every preset (rdoq_level 1 for
+        # <=M7, 2/3 with speed gates above); our level 1 = full trellis
+        # with quantize_fp feeding it (set_rdoq_controls,
+        # EbEncDecProcess.c:2090)
+        rdoq_level=auto_i(cfg.rdoq_level, 1),
         md_stage_nics=(64, 16, 8, 4) if m <= 2 else ((32, 12, 6, 3) if m <= 5 else (16, 8, 4, 2)),
     )
 

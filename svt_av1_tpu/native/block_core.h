@@ -17,6 +17,8 @@
 #include <stdint.h>
 #include <string.h>
 
+#include "rdoq_core.h"
+
 #define KIND_NET 0
 #define KIND_IDTX 1
 #define KIND_ADST4 2
@@ -46,6 +48,8 @@ typedef struct {
     const int32_t *sinpi_inv;
     /* quant (column 0 = dc, 1 = ac), already log_scale-adjusted zbin/rnd */
     int32_t zbin[2], rnd[2], quant[2], qshift[2], dequant[2];
+    /* fast-path (fp) quantizer vectors (rnd_fp log_scale-adjusted) */
+    int32_t quant_fp[2], rnd_fp[2];
     int log_scale;
     const int16_t *scan;    /* [n_scan] over the ch x cw coef region */
     int n_scan, cw, ch;
@@ -259,9 +263,9 @@ static void blk_transpose(const int32_t *in, int rows, int cols, int32_t *out) {
  * likewise.  Returns eob.  Column passes run lane-parallel across the
  * orthogonal dimension via transposes.
  */
-static int block_code_core(const Plan *p, const int32_t *resid,
-                           const int32_t *pred, int32_t *qc_out,
-                           int32_t *rec_out) {
+static int block_code_core_rdoq(const Plan *p, const int32_t *resid,
+                                const int32_t *pred, int32_t *qc_out,
+                                int32_t *rec_out, const RdoqRun *rdoq) {
     int w = p->w, h = p->h;
     int32_t buf[BLK_MAXN * BLK_MAXN], tbuf[BLK_MAXN * BLK_MAXN];
     int32_t dq[BLK_MAXN * BLK_MAXN], tp[BLK_MAXN * BLK_MAXN];
@@ -296,26 +300,52 @@ static int block_code_core(const Plan *p, const int32_t *resid,
         tbuf[i] = v;
     }
 
-    /* ---- quantize_b + dequant ---- */
+    /* ---- quantize (b, or fp when the trellis follows) + dequant ---- */
     int ls = p->log_scale;
-    for (int i = 0; i < h * w; ++i) {
-        int dc = (i == 0);
-        int32_t cv = tbuf[i];
-        int32_t sign = cv < 0 ? -1 : 1;
-        int32_t ac = cv < 0 ? -cv : cv;
-        if (ac >= p->zbin[!dc ? 1 : 0]) {
-            int32_t tmp = ac + p->rnd[dc ? 0 : 1];
-            if (tmp > 32767) tmp = 32767;
-            if (tmp < -32768) tmp = -32768;
-            int64_t t1 = ((int64_t)tmp * p->quant[dc ? 0 : 1]) >> 16;
-            int32_t tmp32 = (int32_t)((((int32_t)t1 + tmp)
-                                       * (int64_t)p->qshift[dc ? 0 : 1])
-                                      >> (16 - ls));
-            qc_out[i] = sign * tmp32;
-            dq[i] = sign * ((tmp32 * p->dequant[dc ? 0 : 1]) >> ls);
-        } else {
-            qc_out[i] = 0;
-            dq[i] = 0;
+    if (rdoq && rdoq->use_fp) {
+        /* quantize_fp (svt_av1_quantize_fp_c semantics; ops/quant.py
+         * quantize_fp): no zbin dead-zone */
+        for (int i = 0; i < h * w; ++i) {
+            int dc = (i == 0);
+            int32_t cv = tbuf[i];
+            int32_t sign = cv < 0 ? -1 : 1;
+            int32_t ac = cv < 0 ? -cv : cv;
+            if ((ac << (1 + ls)) >= p->dequant[dc ? 0 : 1]) {
+                int32_t tmp = ac + p->rnd_fp[dc ? 0 : 1];
+                if (tmp > 32767) tmp = 32767;
+                if (tmp < -32768) tmp = -32768;
+                int32_t tmp32 = (int32_t)(((int64_t)tmp
+                                           * p->quant_fp[dc ? 0 : 1])
+                                          >> (16 - ls));
+                qc_out[i] = sign * tmp32;
+                dq[i] = tmp32 ? sign * ((tmp32 * p->dequant[dc ? 0 : 1])
+                                        >> ls)
+                              : 0;
+            } else {
+                qc_out[i] = 0;
+                dq[i] = 0;
+            }
+        }
+    } else {
+        for (int i = 0; i < h * w; ++i) {
+            int dc = (i == 0);
+            int32_t cv = tbuf[i];
+            int32_t sign = cv < 0 ? -1 : 1;
+            int32_t ac = cv < 0 ? -cv : cv;
+            if (ac >= p->zbin[!dc ? 1 : 0]) {
+                int32_t tmp = ac + p->rnd[dc ? 0 : 1];
+                if (tmp > 32767) tmp = 32767;
+                if (tmp < -32768) tmp = -32768;
+                int64_t t1 = ((int64_t)tmp * p->quant[dc ? 0 : 1]) >> 16;
+                int32_t tmp32 = (int32_t)((((int32_t)t1 + tmp)
+                                           * (int64_t)p->qshift[dc ? 0 : 1])
+                                          >> (16 - ls));
+                qc_out[i] = sign * tmp32;
+                dq[i] = sign * ((tmp32 * p->dequant[dc ? 0 : 1]) >> ls);
+            } else {
+                qc_out[i] = 0;
+                dq[i] = 0;
+            }
         }
     }
 
@@ -326,6 +356,26 @@ static int block_code_core(const Plan *p, const int32_t *resid,
         int rr = pos / p->cw, cc = pos % p->cw;
         if (qc_out[rr * w + cc]) eob = k + 1;
     }
+
+    /* ---- trellis level optimization ---- */
+    if (rdoq && eob > 0) {
+        int cw = p->cw, ch = p->ch;
+        int32_t tqp[32 * 32], qp2[32 * 32], dqp[32 * 32];
+        for (int r = 0; r < ch; ++r)
+            for (int c2 = 0; c2 < cw; ++c2) {
+                tqp[r * cw + c2] = tbuf[r * w + c2];
+                qp2[r * cw + c2] = qc_out[r * w + c2];
+                dqp[r * cw + c2] = dq[r * w + c2];
+            }
+        eob = rdoq_optimize_txb(rdoq, tqp, qp2, dqp, eob, p->scan,
+                                cw, ch, p->dequant, ls);
+        for (int r = 0; r < ch; ++r)
+            for (int c2 = 0; c2 < cw; ++c2) {
+                qc_out[r * w + c2] = qp2[r * cw + c2];
+                dq[r * w + c2] = dqp[r * cw + c2];
+            }
+    }
+
     if (eob == 0) {
         /* zero residual: recon = clip(pred) without running the nets */
         int32_t pmax0 = (1 << p->bd) - 1;
@@ -373,6 +423,12 @@ static int block_code_core(const Plan *p, const int32_t *resid,
         rec_out[i] = clampi(pred[i] + v, 0, pmax);
     }
     return eob;
+}
+
+static int block_code_core(const Plan *p, const int32_t *resid,
+                           const int32_t *pred, int32_t *qc_out,
+                           int32_t *rec_out) {
+    return block_code_core_rdoq(p, resid, pred, qc_out, rec_out, NULL);
 }
 
 #endif /* SVT_TPU_BLOCK_CORE_H */

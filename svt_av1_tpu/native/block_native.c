@@ -79,9 +79,84 @@ static PyObject *make_plan(PyObject *self, PyObject *args) {
     q = (const int32_t *)buf_of(arrays, 21); p->qshift[0] = q[0]; p->qshift[1] = q[1];
     q = (const int32_t *)buf_of(arrays, 22); p->dequant[0] = q[0]; p->dequant[1] = q[1];
     p->scan = (const int16_t *)buf_of(arrays, 23);
+    q = (const int32_t *)buf_of(arrays, 24); p->quant_fp[0] = q[0]; p->quant_fp[1] = q[1];
+    q = (const int32_t *)buf_of(arrays, 25); p->rnd_fp[0] = q[0]; p->rnd_fp[1] = q[1];
     Py_INCREF(arrays);
     p->refs = (void *)arrays;
     return PyCapsule_New(p, "block_plan", plan_free);
+}
+
+/* tabs: 7 contiguous int32 arrays already sliced to this txb's
+ * contexts: txb_skip_row[2], base_eob[4*3], base[42*8],
+ * eob_extra[22*2], dc_sign_row[2], lps[21*26], eob_cost[2*11] */
+static int fill_rdoq(RdoqRun *rr, PyObject *tabs, long long rdmult,
+                     long tx_class, long shape, long use_fp) {
+    rr->txb_skip = (const int32_t *)buf_of(tabs, 0);
+    rr->base_eob = (const int32_t *)buf_of(tabs, 1);
+    rr->base = (const int32_t *)buf_of(tabs, 2);
+    rr->eob_extra = (const int32_t *)buf_of(tabs, 3);
+    rr->dc_sign = (const int32_t *)buf_of(tabs, 4);
+    rr->lps = (const int32_t *)buf_of(tabs, 5);
+    rr->eob_cost = (const int32_t *)buf_of(tabs, 6);
+    rr->rdmult = rdmult;
+    rr->tx_class = (int)tx_class;
+    rr->shape = (int)shape;
+    rr->use_fp = (int)use_fp;
+    return rr->txb_skip && rr->base_eob && rr->base && rr->eob_extra
+        && rr->dc_sign && rr->lps && rr->eob_cost;
+}
+
+static PyObject *code_block_rdoq(PyObject *self, PyObject *args) {
+    PyObject *cap, *tabs;
+    Py_buffer rv, pv, qv, ov;
+    long long rdmult;
+    long tx_class, shape, use_fp;
+    if (!PyArg_ParseTuple(args, "Oy*y*w*w*OLlll", &cap, &rv, &pv, &qv,
+                          &ov, &tabs, &rdmult, &tx_class, &shape,
+                          &use_fp))
+        return NULL;
+    Plan *p = (Plan *)PyCapsule_GetPointer(cap, "block_plan");
+    RdoqRun rr;
+    int ok = p && fill_rdoq(&rr, tabs, rdmult, tx_class, shape, use_fp);
+    int eob = ok ? block_code_core_rdoq(p, (const int32_t *)rv.buf,
+                                        (const int32_t *)pv.buf,
+                                        (int32_t *)qv.buf,
+                                        (int32_t *)ov.buf, &rr)
+                 : 0;
+    PyBuffer_Release(&rv); PyBuffer_Release(&pv);
+    PyBuffer_Release(&qv); PyBuffer_Release(&ov);
+    if (!ok) return NULL;
+    return PyLong_FromLong(eob);
+}
+
+/* standalone trellis entry for equivalence tests:
+ * rdoq_txb(tq, q, dq, eob, scan, cw, ch, deq_dc, deq_ac, shift,
+ *          tabs, rdmult, tx_class, shape) -> new eob */
+static PyObject *rdoq_txb(PyObject *self, PyObject *args) {
+    Py_buffer tqv, qv, dqv, scanv;
+    long eob, cw, ch, deq_dc, deq_ac, shift, tx_class, shape;
+    long long rdmult;
+    PyObject *tabs;
+    if (!PyArg_ParseTuple(args, "y*w*w*ly*lllllOLll", &tqv, &qv, &dqv,
+                          &eob, &scanv, &cw, &ch, &deq_dc, &deq_ac,
+                          &shift, &tabs, &rdmult, &tx_class, &shape))
+        return NULL;
+    RdoqRun rr;
+    int ok = fill_rdoq(&rr, tabs, rdmult, tx_class, shape, 0);
+    int new_eob = 0;
+    if (ok) {
+        int32_t dequant[2] = {(int32_t)deq_dc, (int32_t)deq_ac};
+        new_eob = rdoq_optimize_txb(&rr, (const int32_t *)tqv.buf,
+                                    (int32_t *)qv.buf,
+                                    (int32_t *)dqv.buf, (int)eob,
+                                    (const int16_t *)scanv.buf,
+                                    (int)cw, (int)ch, dequant,
+                                    (int)shift);
+    }
+    PyBuffer_Release(&tqv); PyBuffer_Release(&qv);
+    PyBuffer_Release(&dqv); PyBuffer_Release(&scanv);
+    if (!ok) return NULL;
+    return PyLong_FromLong(new_eob);
 }
 
 static PyObject *code_block(PyObject *self, PyObject *args) {
@@ -106,6 +181,8 @@ static PyObject *code_block(PyObject *self, PyObject *args) {
 static PyMethodDef methods[] = {
     {"make_plan", make_plan, METH_VARARGS, NULL},
     {"code_block", code_block, METH_VARARGS, NULL},
+    {"code_block_rdoq", code_block_rdoq, METH_VARARGS, NULL},
+    {"rdoq_txb", rdoq_txb, METH_VARARGS, NULL},
     {NULL, NULL, 0, NULL},
 };
 

@@ -107,14 +107,18 @@ def get_plan(pq_key: int, qindex: int, tx_size: TxSize, tx_type: TxType,
         sinpi_f, sinpi_i,
         qvec("zbin", True), qvec("round", True), qvec("quant"),
         qvec("quant_shift"), qvec("dequant"), scan,
+        qvec("quant_fp"), qvec("round_fp", True),
     )
     return _bn.make_plan(ints, arrays)
 
 
 def code_block(pq: qz.PlaneQuant, qindex: int, tx_size: TxSize,
                tx_type: TxType, bd: int, resid: np.ndarray,
-               pred: np.ndarray):
-    """Fused fwd-TX + quantize_b + eob + inv-TX + recon for one block.
+               pred: np.ndarray, rdoq=None):
+    """Fused fwd-TX + quantize + eob + [trellis] + inv-TX + recon for
+    one block.  ``rdoq``: None, or the per-txb run descriptor from
+    ops/rdoq-built tables: (tabs7, rdmult, tx_class, shape, use_fp)
+    with tabs7 the ctx-sliced int32 arrays (see block_native.c).
 
     Returns (qcoeff [h, w] int32, eob, recon [h, w] int32) or None when
     the fused path is unavailable for this configuration."""
@@ -127,5 +131,11 @@ def code_block(pq: qz.PlaneQuant, qindex: int, tx_size: TxSize,
     p = np.ascontiguousarray(pred, np.int32)
     qc = np.empty((h, w), np.int32)
     rec = np.empty((h, w), np.int32)
-    eob = _bn.code_block(plan, r, p, qc, rec)
+    if rdoq is None:
+        eob = _bn.code_block(plan, r, p, qc, rec)
+    else:
+        tabs, rdmult, tx_class, shape, use_fp = rdoq
+        eob = _bn.code_block_rdoq(plan, r, p, qc, rec, tabs,
+                                  int(rdmult), int(tx_class), int(shape),
+                                  int(use_fp))
     return qc, eob, rec

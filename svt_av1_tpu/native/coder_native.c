@@ -96,7 +96,45 @@ typedef struct {
     int err;
     char errmsg[160];
     void *inter;                   /* InterState* on inter frames */
+    /* RDOQ (trellis) frame tables — NULL rdq_txb_skip = off */
+    const int32_t *rdq_txb_skip;   /* [5][13][2] */
+    const int32_t *rdq_base_eob;   /* [5][2][4][3] */
+    const int32_t *rdq_base;       /* [5][2][42][8] */
+    const int32_t *rdq_eob_extra;  /* [5][2][22][2] */
+    const int32_t *rdq_dc_sign;    /* [2][3][2] */
+    const int32_t *rdq_lps;        /* [5][2][21][26] */
+    const int32_t *rdq_eob_cost;   /* [7][2][2][11] */
+    long long rdq_lambda;          /* frame SSE lambda */
 } Tile;
+
+/* plane_rd_mult[is_inter][plane_type] (EbFullLoop.c) */
+static const int rdq_plane_mult[2][2] = {{17, 13}, {16, 10}};
+
+/* tx_type -> class (0 2D / 1 horiz / 2 vert) */
+static const int8_t rdq_tt_class[16] = {0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+                                        2, 1, 2, 1, 2, 1};
+
+/* build the per-txb trellis descriptor; returns 0 when rdoq is off */
+static int rdoq_run_for(Tile *t, int plane, int ts, int tt, int sk_ctx,
+                        int dc_ctx, int is_inter, RdoqRun *rr) {
+    if (!t->rdq_txb_skip) return 0;
+    int ts_ctx = t->txs_ctx_tab[ts];
+    int pt = plane > 0;
+    int ems = t->ems_tab[ts];
+    rr->txb_skip = t->rdq_txb_skip + ((Py_ssize_t)ts_ctx * 13 + sk_ctx) * 2;
+    rr->base_eob = t->rdq_base_eob + ((Py_ssize_t)ts_ctx * 2 + pt) * 4 * 3;
+    rr->base = t->rdq_base + ((Py_ssize_t)ts_ctx * 2 + pt) * 42 * 8;
+    rr->eob_extra = t->rdq_eob_extra
+        + ((Py_ssize_t)ts_ctx * 2 + pt) * 22 * 2;
+    rr->dc_sign = t->rdq_dc_sign + ((Py_ssize_t)pt * 3 + dc_ctx) * 2;
+    rr->lps = t->rdq_lps + ((Py_ssize_t)ts_ctx * 2 + pt) * 21 * 26;
+    rr->eob_cost = t->rdq_eob_cost + ((Py_ssize_t)ems * 2 + pt) * 2 * 11;
+    rr->rdmult = (t->rdq_lambda * rdq_plane_mult[is_inter][pt] + 2) >> 2;
+    rr->tx_class = rdq_tt_class[tt & 15];
+    rr->shape = t->tx_shape_tab[ts];
+    rr->use_fp = 1;
+    return 1;
+}
 
 static void tile_err(Tile *t, const char *msg) {
     if (!t->err) {
@@ -790,7 +828,18 @@ static void tile_block(Tile *t, int bw, int bh, int mi_row, int mi_col) {
         Txb *tb = &txbs[n_txb++];
         tb->plane = plane; tb->ts = ts; tb->tt = tt;
         tb->px = px; tb->py = py; tb->w = tw; tb->h = th;
-        tb->eob = block_code_core(plan, resid, pred, tb->qc, rec);
+        RdoqRun rr;
+        int sk0, dc0;
+        if (t->rdq_txb_skip) {
+            /* ctx state here == write-time state: per-plane arrays, one
+             * txb per plane per block */
+            txb_ctx_for(t, plane, px, py, ts, 1, &sk0, &dc0);
+            rdoq_run_for(t, plane, ts, tt, sk0, dc0, 0, &rr);
+            tb->eob = block_code_core_rdoq(plan, resid, pred, tb->qc, rec,
+                                           &rr);
+        } else {
+            tb->eob = block_code_core(plan, resid, pred, tb->qc, rec);
+        }
         int32_t *rp = t->rec[plane];
         for (int r = 0; r < th; ++r)
             memcpy(rp + (Py_ssize_t)(py + r) * stride + px, rec + r * tw,
@@ -1003,7 +1052,8 @@ typedef struct {
     const int32_t *sig_inter;         /* [19][4]: nset, eset, sq, ind_dct */
     const int32_t *sig_intra;         /* [19][4] */
     const int32_t *tt_uv_tab;         /* [19][13] chroma tt per uv mode */
-    const int32_t *interp_taps;       /* [16][8] REGULAR 8-tap kernels */
+    const int32_t *interp_taps;       /* [2][16][8] REGULAR kernels:
+                                         8-tap table then 4-tap table */
     const int32_t *sign_bias;         /* [8] per named ref */
     int reference_select;
 } InterState;
@@ -1397,8 +1447,10 @@ static void mc_predict(InterState *st, const int32_t *ref, int ref_w,
     if (int_y < 4) int_y = 4;
     if (int_y > ref_h - ph - 8) int_y = ref_h - ph - 8;
     int sub_x = pos_x & 15, sub_y = pos_y & 15;
-    const int32_t *xf = st->interp_taps + sub_x * 8;
-    const int32_t *yf = st->interp_taps + sub_y * 8;
+    /* 4-tap table (block 1 of interp_taps) when the filtered dimension
+     * is <= 4: av1_get_interp_filter_params_with_block_size */
+    const int32_t *xf = st->interp_taps + (pw <= 4 ? 128 : 0) + sub_x * 8;
+    const int32_t *yf = st->interp_taps + (ph <= 4 ? 128 : 0) + sub_y * 8;
     int round_0 = ROUND0_BITS;
     int round_1 = 2 * FILTER_BITS - round_0;
 
@@ -1411,7 +1463,7 @@ static void mc_predict(InterState *st, const int32_t *ref, int ref_w,
     }
     if (sub_x && sub_y) {
         int im_h = ph + 7;
-        int32_t im[72 * 40];
+        int32_t im[(64 + 7) * 64];      /* largest block: 64x64 luma */
         int off0 = 1 << (bd + FILTER_BITS - 1);
         for (int r = 0; r < im_h; ++r)
             for (int c = 0; c < pw; ++c) {
@@ -1780,7 +1832,16 @@ static void tile_block_inter(Tile *t, int bw, int bh, int mi_row,
         Txb *tb = &txbs[n_txb++];
         tb->plane = plane; tb->ts = ts; tb->tt = tt;
         tb->px = px; tb->py = py; tb->w = pw; tb->h = ph;
-        tb->eob = block_code_core(plan, resid, pred, tb->qc, rec);
+        RdoqRun rr;
+        int sk0, dc0;
+        if (t->rdq_txb_skip) {
+            txb_ctx_for(t, plane, px, py, ts, 1, &sk0, &dc0);
+            rdoq_run_for(t, plane, ts, tt, sk0, dc0, is_inter, &rr);
+            tb->eob = block_code_core_rdoq(plan, resid, pred, tb->qc, rec,
+                                           &rr);
+        } else {
+            tb->eob = block_code_core(plan, resid, pred, tb->qc, rec);
+        }
         int32_t *rpn = t->rec[plane];
         if (tb->eob == 0 && is_inter) {
             /* skip recon = the MC pred itself (already clipped) */
@@ -2104,19 +2165,42 @@ static PyObject *tile_run(Tile *t) {
     return out;
 }
 
+/* rdoq arg: None, or (txb_skip, base_eob, base, eob_extra, dc_sign,
+ * lps, eob_cost, lambda_int) with the full frame tables from
+ * ops/rdoq.build_tables */
+static int tile_parse_rdoq(Tile *t, PyObject *rdoq) {
+    if (!rdoq || rdoq == Py_None) return 0;
+    t->rdq_txb_skip = (const int32_t *)pbuf(rdoq, 0);
+    t->rdq_base_eob = (const int32_t *)pbuf(rdoq, 1);
+    t->rdq_base = (const int32_t *)pbuf(rdoq, 2);
+    t->rdq_eob_extra = (const int32_t *)pbuf(rdoq, 3);
+    t->rdq_dc_sign = (const int32_t *)pbuf(rdoq, 4);
+    t->rdq_lps = (const int32_t *)pbuf(rdoq, 5);
+    t->rdq_eob_cost = (const int32_t *)pbuf(rdoq, 6);
+    t->rdq_lambda = PyLong_AsLongLong(PyTuple_GET_ITEM(rdoq, 7));
+    if (!t->rdq_txb_skip || !t->rdq_base_eob || !t->rdq_base
+        || !t->rdq_eob_extra || !t->rdq_dc_sign || !t->rdq_lps
+        || !t->rdq_eob_cost)
+        return -1;
+    return 0;
+}
+
 /*
  * code_intra_tile(ints, planes, ctxs, cdfs, consts, scans, plans,
- *                 part_seq, mode_seq) -> bytes
+ *                 part_seq, mode_seq[, rdoq]) -> bytes
  */
 static PyObject *code_intra_tile(PyObject *self, PyObject *args) {
     PyObject *ints, *planes, *ctxs, *cdfs, *consts, *scans, *plans;
+    PyObject *rdoq = NULL;
     Py_buffer part_v, mode_v;
-    if (!PyArg_ParseTuple(args, "OOOOOOOy*y*", &ints, &planes, &ctxs, &cdfs,
-                          &consts, &scans, &plans, &part_v, &mode_v))
+    if (!PyArg_ParseTuple(args, "OOOOOOOy*y*|O", &ints, &planes, &ctxs,
+                          &cdfs, &consts, &scans, &plans, &part_v, &mode_v,
+                          &rdoq))
         return NULL;
     Tile t;
     memset(&t, 0, sizeof(t));
-    if (tile_setup(&t, ints, planes, ctxs, cdfs, consts, scans, plans) < 0) {
+    if (tile_setup(&t, ints, planes, ctxs, cdfs, consts, scans, plans) < 0
+        || tile_parse_rdoq(&t, rdoq) < 0) {
         PyBuffer_Release(&part_v); PyBuffer_Release(&mode_v);
         return NULL;
     }
@@ -2138,17 +2222,19 @@ static PyObject *code_intra_tile(PyObject *self, PyObject *args) {
 static PyObject *code_inter_tile(PyObject *self, PyObject *args) {
     PyObject *ints, *planes, *ctxs, *cdfs, *consts, *scans, *plans;
     PyObject *iints, *mia, *sgrids, *refs, *maps, *mvs, *icdfs, *nmv, *sig;
+    PyObject *rdoq = NULL;
     Py_buffer part_v;
-    if (!PyArg_ParseTuple(args, "OOOOOOOy*OOOOOOOOO", &ints, &planes, &ctxs,
-                          &cdfs, &consts, &scans, &plans, &part_v, &iints,
-                          &mia, &sgrids, &refs, &maps, &mvs, &icdfs, &nmv,
-                          &sig))
+    if (!PyArg_ParseTuple(args, "OOOOOOOy*OOOOOOOOO|O", &ints, &planes,
+                          &ctxs, &cdfs, &consts, &scans, &plans, &part_v,
+                          &iints, &mia, &sgrids, &refs, &maps, &mvs, &icdfs,
+                          &nmv, &sig, &rdoq))
         return NULL;
     Tile t;
     InterState st;
     memset(&t, 0, sizeof(t));
     memset(&st, 0, sizeof(st));
-    if (tile_setup(&t, ints, planes, ctxs, cdfs, consts, scans, plans) < 0) {
+    if (tile_setup(&t, ints, planes, ctxs, cdfs, consts, scans, plans) < 0
+        || tile_parse_rdoq(&t, rdoq) < 0) {
         PyBuffer_Release(&part_v);
         return NULL;
     }

@@ -46,9 +46,11 @@ def _consts():
             np.ascontiguousarray(table("sm_weight_arrays").astype(np.int32)),
             np.ascontiguousarray(
                 table("eb_dr_intra_derivative").astype(np.int32)),
-            *[np.ascontiguousarray(table(f"has_tr_{w}x{h}"))
+            # the npz stores these bitmasks as int32 elements holding
+            # byte values; the C side indexes uint8_t bytes, so cast
+            *[np.ascontiguousarray(table(f"has_tr_{w}x{h}").astype(np.uint8))
               for w, h in _SIZE_PAIRS],
-            *[np.ascontiguousarray(table(f"has_bl_{w}x{h}"))
+            *[np.ascontiguousarray(table(f"has_bl_{w}x{h}").astype(np.uint8))
               for w, h in _SIZE_PAIRS],
             tx_w, tx_h, txs, shp, ems,
         )
@@ -231,6 +233,17 @@ def _scans_tuple(mode_seq):
     return tuple(scans)
 
 
+def _rdoq_arg(codec):
+    """Frame RDOQ tables + lambda for the C walkers (None = trellis
+    off); same state the Python walker uses (FrameCodec._rdoq_state)."""
+    if not getattr(codec, "rdoq_level", 0):
+        return None
+    tables, lam = codec._rdoq_state()
+    return (tables.txb_skip, tables.base_eob, tables.base,
+            tables.eob_extra, tables.dc_sign, tables.lps,
+            tables.eob_cost, int(lam))
+
+
 def _cdfs_tuple(fc):
     return (fc.partition, fc.skip, fc.kf_y_mode, fc.angle_delta, fc.uv_mode,
             fc.intra_ext_tx, fc.txb_skip,
@@ -244,12 +257,15 @@ _INTERP_TAPS = None
 
 
 def _interp_taps():
+    """[2][16][8] REGULAR kernels: row block 0 the 8-tap table, block 1
+    the 4-tap table (zero-padded) used when the filtered block dimension
+    is <= 4 (av1_get_interp_filter_params_with_block_size)."""
     global _INTERP_TAPS
     if _INTERP_TAPS is None:
         from ..ops import inter as inter_ops
         _INTERP_TAPS = np.ascontiguousarray(np.stack(
-            [inter_ops.interp_kernel(inter_ops.REGULAR, q4, 8)
-             for q4 in range(16)]).astype(np.int32))
+            [inter_ops.interp_kernel(inter_ops.REGULAR, q4, w)
+             for w in (8, 4) for q4 in range(16)]).astype(np.int32))
     return _INTERP_TAPS
 
 
@@ -476,7 +492,7 @@ def try_encode_tiles_native_inter(codec, decider):
         blob = _cn.code_inter_tile(
             ints, planes, ctxs, _cdfs_tuple(fc), consts, scans, plans,
             part_seq, iints, mia, sgrids, refs, tuple(maps), mvs,
-            icdfs, tuple(nmv), sig)
+            icdfs, tuple(nmv), sig, _rdoq_arg(codec))
         blobs.append(blob)
     return blobs
 
@@ -525,6 +541,6 @@ def try_encode_tiles_native(codec, decider):
                 codec.bedge_y[0], codec.bedge_y[1], codec.bedge_y[2])
         blob = _cn.code_intra_tile(ints, planes, ctxs, _cdfs_tuple(codec.fc),
                                    consts, _scans_tuple(mode_seq), plans,
-                                   part_seq, mode_seq)
+                                   part_seq, mode_seq, _rdoq_arg(codec))
         blobs.append(blob)
     return blobs

@@ -318,13 +318,13 @@ class _SearchCtx:
                 for sgn in range(2):
                     sum_ += tp[:, k] * _constrain(self.dp[2 * k + sgn],
                                                   pri, pri_damping)
-        if sec_strength:
+        if np.any(sec_strength):
             st = SEC_TAPS[tap_idx][:, :, None, None]
+            sec = np.asarray(sec_strength, np.int32)
             for k in range(2):
                 for j in range(4):
                     sum_ += st[:, k] * _constrain(
-                        self.ds[4 * k + j], np.int32(sec_strength),
-                        sec_damping)
+                        self.ds[4 * k + j], sec, sec_damping)
         y = self.x + ((8 + sum_ - (sum_ < 0)) >> 4)
         return np.clip(y, self.mn, self.mx)
 
@@ -645,12 +645,16 @@ def cdef_plane_full(planes, dirs, var, nonskip, fw: int, fh: int,
 def cdef_search_errs(source, recon, dirs, var, nonskip, fw: int, fh: int,
                      damping: int, bit_depth: int = 8,
                      pri_set=(0, 1, 2, 4, 6, 8, 12, 15),
-                     sec_set=(0, 1, 2, 3), xp=np):
+                     sec_set=(0, 1, 2, 3), xp=np, padded_planes=None):
     """SSE of every (pri, sec) strength combo, full-plane batched.
 
     Returns (err_y, err_uv): [len(pri_set), len(sec_set)] arrays of
     in-frame SSE over non-skip units (float32; exact for < 2^24-scale
-    sums is not required — errors only rank strengths)."""
+    sums is not required — errors only rank strengths).
+
+    ``padded_planes``: optional pre-padded planes per pli (spatial
+    sharding injects true neighbor-stripe rows where pad_very_large
+    would write CDEF_VERY_LARGE)."""
     cs = max(bit_depth - 8, 0)
     errs = []
     for group in ((0,), (1, 2)):
@@ -661,7 +665,8 @@ def cdef_search_errs(source, recon, dirs, var, nonskip, fw: int, fh: int,
             bs = 8 if pli == 0 else 4
             sub = 0 if pli == 0 else 1
             pw, ph = fw >> sub, fh >> sub
-            padded = pad_very_large(recon[pli], pw, ph, bs, xp)
+            padded = padded_planes[pli] if padded_planes is not None \
+                else pad_very_large(recon[pli], pw, ph, bs, xp)
             keep = xp.repeat(xp.repeat(nonskip, bs, 0), bs, 1)
             # in-frame & nonskip weighting
             H, Wd = padded.shape[0] - 4, padded.shape[1] - 4
@@ -719,9 +724,11 @@ def nonskip_grid(skips, mi_rows: int, mi_cols: int) -> np.ndarray:
 
 
 def _cdef_apply_traced(planes, nonskip, y_strength, uv_strength,
-                       damping: int, fw: int, fh: int, bd: int, xp):
+                       damping: int, fw: int, fh: int, bd: int, xp,
+                       padded_planes=None):
     """cdef_plane_full with traced strength scalars (always filters;
-    zero strengths reduce to the identity)."""
+    zero strengths reduce to the identity).  ``padded_planes``: see
+    cdef_search_errs."""
     cs = max(bd - 8, 0)
     pris = [(y_strength // CDEF_SEC_STRENGTHS) << cs]
     secs_ = y_strength % CDEF_SEC_STRENGTHS
@@ -730,7 +737,8 @@ def _cdef_apply_traced(planes, nonskip, y_strength, uv_strength,
     us_ = uv_strength % CDEF_SEC_STRENGTHS
     us = (us_ + (us_ == 3)) << cs
 
-    padded_y = pad_very_large(planes[0], fw, fh, 8, xp)
+    padded_y = padded_planes[0] if padded_planes is not None \
+        else pad_very_large(planes[0], fw, fh, 8, xp)
     dirs, var = find_dir_grid(_units_of(padded_y, fw, fh, 8, xp), cs, xp)
     out = []
     for pli, plane in enumerate(planes):
@@ -740,7 +748,8 @@ def _cdef_apply_traced(planes, nonskip, y_strength, uv_strength,
         pri = pris[0] if pli == 0 else up
         sec = secs[0] if pli == 0 else us
         padded = padded_y if pli == 0 \
-            else pad_very_large(plane, pw, ph, bs, xp)
+            else (padded_planes[pli] if padded_planes is not None
+                  else pad_very_large(plane, pw, ph, bs, xp))
         d = xp.where(pri > 0, dirs, 0)
         ctx = _PlaneCtx(padded, d, bs, xp)
         if pli == 0:
@@ -920,3 +929,206 @@ def cdef_search_apply_device(source, recon, skips, mi_rows, mi_cols,
         off += ph * pw
     y_str, uv_str = int(flat[off]), int(flat[off + 1])
     return out, y_str, uv_str
+
+
+# --------------------------------------------------------------------------
+# Multi-strength presets (cdef_bits > 0): per-64x64 filter-block indices
+# (finish_cdef_search / joint_strength_search_dual, EbEncCdef.c:1140)
+# --------------------------------------------------------------------------
+
+CDEF_STRENGTH_BITS = 6
+
+
+def cdef_frame_multi(planes, skips, mi_rows: int, mi_cols: int,
+                     y_list, uv_list, idx_grid, damping: int,
+                     bit_depth: int = 8):
+    """Normative CDEF apply with per-64x64-fb strength indices
+    (spec 7.15.1: cdef_idx selects into the coded strength lists).
+
+    idx_grid: [nvfb, nhfb] int (ceil(frame/64) grid); entries of
+    all-skip fbs are never used.  Returns new plane list."""
+    coeff_shift = max(bit_depth - 8, 0)
+    by, bx = _nonskip_units(skips, mi_rows, mi_cols)
+    if len(by) == 0:
+        return [p.copy() for p in planes]
+    fw, fh = mi_cols * 4, mi_rows * 4
+    y_arr = np.asarray(y_list, np.int32)
+    uv_arr = np.asarray(uv_list, np.int32)
+    gi = np.asarray(idx_grid, np.int32)[by // 8, bx // 8]     # [N]
+
+    y_str = y_arr[gi]
+    uv_str = uv_arr[gi]
+    y_pri = (y_str // CDEF_SEC_STRENGTHS) << coeff_shift
+    y_sec = y_str % CDEF_SEC_STRENGTHS
+    y_sec = (y_sec + (y_sec == 3)) << coeff_shift
+    uv_pri = (uv_str // CDEF_SEC_STRENGTHS) << coeff_shift
+    uv_sec = uv_str % CDEF_SEC_STRENGTHS
+    uv_sec = (uv_sec + (uv_sec == 3)) << coeff_shift
+
+    luma_win = _extract_windows(planes[0], by, bx, 8, 8, fw, fh)
+    dirs, var = find_dir(
+        luma_win[:, 2:10, 2:10].astype(np.uint16), coeff_shift)
+
+    out = [p.copy() for p in planes]
+    if np.any(y_pri) or np.any(y_sec):
+        pri_adj = adjust_strength(y_pri, var)
+        ctx = _SearchCtx(luma_win, np.where(y_pri > 0, dirs, 0))
+        filt = ctx.run(pri_adj, y_sec.reshape(-1, 1, 1),
+                       damping + coeff_shift, damping + coeff_shift,
+                       coeff_shift)
+        _scatter(out[0], filt, by * 8, bx * 8)
+    if len(planes) > 1 and (np.any(uv_pri) or np.any(uv_sec)):
+        cw, ch = fw >> 1, fh >> 1
+        d = damping + coeff_shift - 1
+        cdirs = np.where(uv_pri > 0, dirs, 0)
+        for pli in (1, 2):
+            wins = _extract_windows(planes[pli], by, bx, 4, 4, cw, ch)
+            ctx = _SearchCtx(wins, cdirs)
+            filt = ctx.run(uv_pri, uv_sec.reshape(-1, 1, 1), d, d,
+                           coeff_shift)
+            _scatter(out[pli], filt, by * 4, bx * 4)
+    return out
+
+
+def _fb_sums(sq, fbpx: int, nvfb: int, nhfb: int, xp):
+    """[H, W] weighted squared errors -> [nvfb, nhfb] per-fb sums."""
+    H, W = sq.shape
+    ph, pw = nvfb * fbpx, nhfb * fbpx
+    if H < ph or W < pw:
+        sq = xp.pad(sq, ((0, ph - H), (0, pw - W)))
+    else:
+        sq = sq[:ph, :pw]
+    return sq.reshape(nvfb, fbpx, nhfb, fbpx).sum((1, 3))
+
+
+def cdef_search_errs_fb(source, recon, dirs, var, nonskip, fw: int,
+                        fh: int, damping: int, bit_depth: int = 8,
+                        pri_set=(0, 1, 2, 4, 6, 8, 12, 15),
+                        sec_set=(0, 1, 2, 3), xp=np):
+    """Per-64x64-fb SSE of every (pri, sec) combo, full-plane batched.
+
+    Returns (mse_y, mse_uv): [npri*nsec, nvfb, nhfb] float32 (the
+    per-fb form of cdef_search_errs; mse_seg analog, EbCdefProcess.c)."""
+    cs = max(bit_depth - 8, 0)
+    nvfb = (fh + 63) // 64
+    nhfb = (fw + 63) // 64
+    outs = []
+    for group in ((0,), (1, 2)):
+        acc = None
+        for pli in group:
+            if pli >= len(recon):
+                continue
+            bs = 8 if pli == 0 else 4
+            sub = 0 if pli == 0 else 1
+            fbpx = 64 >> sub
+            pw, ph = fw >> sub, fh >> sub
+            padded = pad_very_large(recon[pli], pw, ph, bs, xp)
+            keep = xp.repeat(xp.repeat(nonskip, bs, 0), bs, 1)
+            H, Wd = padded.shape[0] - 4, padded.shape[1] - 4
+            inframe = np.zeros((H, Wd), bool)
+            inframe[:ph, :pw] = True
+            wmask = (keep & xp.asarray(inframe)).astype(xp.float32)
+            src = xp.zeros((H, Wd), xp.int32)
+            s = source[pli][:ph, :pw].astype(xp.int32)
+            if xp is np:
+                src[:ph, :pw] = s
+            else:
+                src = src.at[:ph, :pw].set(s)
+            ctx = {True: _PlaneCtx(padded, dirs, bs, xp),
+                   False: _PlaneCtx(padded, xp.zeros_like(xp.asarray(dirs)),
+                                    bs, xp)}
+            dmp = damping + cs - (0 if pli == 0 else 1)
+            rows = []
+            for pri in pri_set:
+                p = pri << cs
+                if pli == 0:
+                    pri_map = xp.repeat(xp.repeat(
+                        _adjust_strength_xp(p, var, xp), bs, 0), bs, 1)
+                else:
+                    pri_map = xp.full((H, Wd), p, xp.int32)
+                c = ctx[bool(p)]
+                for sec in sec_set:
+                    s_ = (sec + (sec == 3)) << cs
+                    if p == 0 and s_ == 0:
+                        filt = c.x
+                    else:
+                        filt = c.run(pri_map, s_, dmp, cs)
+                    d = (filt - src).astype(xp.float32)
+                    rows.append(_fb_sums(d * d * wmask, fbpx, nvfb,
+                                         nhfb, xp))
+            plane_err = xp.stack(rows)
+            acc = plane_err if acc is None else acc + plane_err
+        outs.append(acc)
+    return outs[0], outs[1]
+
+
+def _search_one_dual(lev_y, lev_uv, i, my, muv):
+    """Add strength pair i minimizing the total min-over-set mse
+    (svt_search_one_dual_c, EbEncCdef.c:1070).  my/muv: [n_fb, NC]."""
+    n_fb, nc = my.shape
+    if i > 0:
+        cur = np.min(my[:, lev_y[:i]] + muv[:, lev_uv[:i]], axis=1)
+    else:
+        cur = np.full(n_fb, np.inf, my.dtype)
+    cand = my[:, :, None] + muv[:, None, :]              # [n_fb, NC, NC]
+    tot = np.minimum(cur[:, None, None], cand).sum(0)    # [NC, NC]
+    j = int(np.argmin(tot))
+    lev_y[i], lev_uv[i] = j // nc, j % nc
+    return float(tot.ravel()[j])
+
+
+def joint_strength_search_dual(my, muv, nb_strengths: int):
+    """Greedy + refinement set search (joint_strength_search_dual,
+    EbEncCdef.c:1140).  Returns (lev_y, lev_uv, total_mse)."""
+    lev_y = np.zeros(nb_strengths, np.int64)
+    lev_uv = np.zeros(nb_strengths, np.int64)
+    best = np.inf
+    for i in range(nb_strengths):
+        best = _search_one_dual(lev_y, lev_uv, i, my, muv)
+    for _ in range(4 * nb_strengths):
+        lev_y[:-1] = lev_y[1:]
+        lev_uv[:-1] = lev_uv[1:]
+        best = _search_one_dual(lev_y, lev_uv, nb_strengths - 1, my, muv)
+    return lev_y, lev_uv, best
+
+
+def pick_cdef_presets(mse_y, mse_uv, eligible, lambda_sse: int,
+                      pri_set=(0, 1, 2, 4, 6, 8, 12, 15),
+                      sec_set=(0, 1, 2, 3)):
+    """finish_cdef_search port: choose cdef_bits (0..3), the strength
+    lists and the per-fb indices minimizing mse + lambda * signalling.
+
+    mse_y/mse_uv: [NC, nvfb, nhfb]; eligible: [nvfb, nhfb] bool (fbs
+    with any non-skip unit).  Returns (cdef_bits, y_list, uv_list,
+    idx_grid [nvfb, nhfb])."""
+    combos = [(p, s) for p in pri_set for s in sec_set]
+    nc = len(combos)
+    el = np.asarray(eligible, bool)
+    my = np.asarray(mse_y, np.float64).reshape(nc, -1).T[el.ravel()]
+    muv = np.asarray(mse_uv, np.float64).reshape(nc, -1).T[el.ravel()]
+    n_fb = my.shape[0]
+    if n_fb == 0:
+        return 0, (0,), (0,), np.zeros(el.shape, np.int32)
+
+    best_cost = np.inf
+    best = None
+    for bits in range(4):
+        nb = 1 << bits
+        lev_y, lev_uv, tot = joint_strength_search_dual(my, muv, nb)
+        total_bits = n_fb * bits + nb * CDEF_STRENGTH_BITS * 2
+        rate = 512 * total_bits
+        dist = int(tot) * 16
+        cost = ((rate * lambda_sse + 256) >> 9) + (dist << 7)
+        if cost < best_cost:
+            best_cost = cost
+            best = (bits, lev_y.copy(), lev_uv.copy())
+    bits, lev_y, lev_uv = best
+    y_list = tuple(combos[int(k)][0] * CDEF_SEC_STRENGTHS
+                   + combos[int(k)][1] for k in lev_y)
+    uv_list = tuple(combos[int(k)][0] * CDEF_SEC_STRENGTHS
+                    + combos[int(k)][1] for k in lev_uv)
+    sel = my[:, lev_y] + muv[:, lev_uv]                # [n_fb, nb]
+    gi = np.argmin(sel, axis=1).astype(np.int32)
+    idx_grid = np.zeros(el.shape, np.int32)
+    idx_grid[el] = gi
+    return bits, y_list, uv_list, idx_grid

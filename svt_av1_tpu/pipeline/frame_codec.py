@@ -533,6 +533,11 @@ class FrameCodec:
         self.bedge_y = [_g(p).astype(bool) for p in range(3)]
         self.skip_grid = [_g(p).astype(bool) for p in range(3)]
         self.mi = mv_pred.MiGrid.create(self.mi_rows, self.mi_cols)
+        # per-64x64 cdef unit state (cdef_bits > 0): searched/parsed
+        # strength indices + the first-non-skip-coded tracker
+        nfb_r, nfb_c = (self.mi_rows + 15) >> 4, (self.mi_cols + 15) >> 4
+        self.cdef_idx_grid = np.zeros((nfb_r, nfb_c), np.int32)
+        self._cdef_coded = np.zeros((nfb_r, nfb_c), bool)
         # reference frames for inter coding: {named_ref 1..7: [padded planes]}
         # identical plane lists may be shared between names (slot aliasing)
         self.refs = None
@@ -1112,6 +1117,8 @@ class FrameCodec:
         if decision is not None and seg != decision.segment_id:
             decision = dataclasses.replace(decision, segment_id=seg)
 
+        self._code_cdef_idx(skip, mi_row, mi_col, w4, h4)
+
         # intra_frame_y_mode
         above_mode = int(self.y_modes[mi_row - 1, mi_col]) if up_avail else 0
         left_mode = int(self.y_modes[mi_row, mi_col - 1]) if left_avail else 0
@@ -1270,6 +1277,32 @@ class FrameCodec:
             return ref + ((diff + 1) >> 1) if diff & 1 else ref - (diff >> 1)
         return mx - 1 - diff
 
+    def _code_cdef_idx(self, skip, mi_row, mi_col, w4, h4):
+        """Per-64x64 cdef strength index, a cdef_bits literal at the
+        unit's first non-skip block (read_cdef, EbDecParseBlock.c:332;
+        write_cdef, EbEntropyCoding.c:4406).  The per-SB preset reset of
+        the reference is equivalent to this per-unit coded tracker: a
+        cdef unit lies inside exactly one superblock."""
+        fh, seq = self.fh, self.seq
+        if (not seq.enable_cdef or fh.coded_lossless
+                or fh.allow_intrabc or fh.cdef_bits == 0 or skip):
+            return
+        ur, uc = mi_row >> 4, mi_col >> 4
+        if self._cdef_coded[ur, uc]:
+            return
+        if self.io.is_decoder:
+            idx = self.io.literal(None, fh.cdef_bits)
+        else:
+            idx = self.io.literal(int(self.cdef_idx_grid[ur, uc]),
+                                  fh.cdef_bits)
+        # blocks larger than 64px propagate to every spanned unit
+        r1 = max(ur + 1, min(ur + ((h4 + 15) >> 4),
+                             self._cdef_coded.shape[0]))
+        c1 = max(uc + 1, min(uc + ((w4 + 15) >> 4),
+                             self._cdef_coded.shape[1]))
+        self._cdef_coded[ur:r1, uc:c1] = True
+        self.cdef_idx_grid[ur:r1, uc:c1] = idx
+
     def _code_segment_id(self, decision, skip, mi_row, mi_col, w4, h4):
         """intra_segment_id: spatial-pred coded id; skip blocks take
         the predictor without a symbol."""
@@ -1396,9 +1429,20 @@ class FrameCodec:
                         pred = self.predict_chroma(plane, decision, px, py,
                                                    tw, th, ts)
                     src = self.source[plane][py:py + th, px:px + tw]
+                    rdoq_ctx = None
+                    if self.rdoq_level:
+                        # same call the write pass makes (_write_residual);
+                        # for sub-TX luma blocks later txbs see slightly
+                        # stale neighbor levels — a rate-table choice
+                        # only, never a conformance issue
+                        sk_ctx, dc_ctx = self._txb_ctx(
+                            plane, px, py, tw, th, ts,
+                            pw == tw and ph == th)
+                        rdoq_ctx = (sk_ctx, dc_ctx, decision.is_inter)
                     qc, eob, recon = self._tx_quant_recon(
                         plane, src, pred, ts, tt,
-                        self.seg_qidx(decision.segment_id))
+                        self.seg_qidx(decision.segment_id),
+                        rdoq_ctx=rdoq_ctx)
                     self.recon[plane][py:py + th, px:px + tw] = recon
                     self._record_tx_geometry(plane, px, py, tw, th, ts)
                     out.append(dict(plane=plane, tx_size=ts, tx_type=tt,
@@ -1408,27 +1452,91 @@ class FrameCodec:
                                     blk=(px0, py0, pw, ph)))
         return out
 
-    def _tx_quant_recon(self, plane, src, pred, ts, tt, qidx=None):
-        """Forward TX + quantize + eob + recon for one block; the fused
-        native kernel when available, the batched Python path otherwise
-        (bit-identical — tests/test_native_block.py)."""
+    # -- RDOQ (trellis level optimization) --------------------------------
+
+    rdoq_level = 0                 # set by the encoder (DerivedSignals)
+    rdoq_layer = (0, 0)            # (temporal_layer, max_layer)
+
+    def _rdoq_state(self):
+        """(RdoqTables, frame sse-lambda) — frame-constant, built from
+        the INITIAL frame CDFs like the reference's md_rate_estimation
+        (av1_estimate_coefficients_rate, EbMdRateEstimation.c:420)."""
+        if getattr(self, "_rdoq_cache", None) is None:
+            from ..ops import rdoq as rq
+            tl, ml = self.rdoq_layer
+            lam = rq.compute_rdmult(
+                self.fh.base_q_idx, self.seq.bit_depth,
+                self.fh.frame_type in (FrameType.KEY_FRAME,
+                                       FrameType.INTRA_ONLY_FRAME),
+                tl, ml)
+            self._rdoq_cache = (rq.tables_for_qindex(self.fh.base_q_idx),
+                                lam)
+        return self._rdoq_cache
+
+    def _rdoq_run(self, plane, ts, tt, sk_ctx, dc_ctx, is_inter):
+        """The per-txb run descriptor consumed by the native kernel and
+        the Python fallback: (tabs7, rdmult, tx_class, shape, use_fp)."""
+        from ..ops import rdoq as rq
+        tables, lam = self._rdoq_state()
+        plane_type = int(plane > 0)
+        tabs = rq.sliced_tabs(tables, cf.txs_ctx(ts), plane_type,
+                              sk_ctx, dc_ctx, cf.eob_multi_size(ts))
+        rdmult = rq.plane_rdmult(lam, is_inter, plane_type)
+        return (tabs, rdmult, cf.TX_TYPE_TO_CLASS[tt],
+                cf._tx_shape(ts), 1)
+
+    def _tx_quant_recon(self, plane, src, pred, ts, tt, qidx=None,
+                        rdoq_ctx=None):
+        """Forward TX + quantize [+ trellis] + eob + recon for one
+        block; the fused native kernel when available, the batched
+        Python path otherwise (bit-identical —
+        tests/test_native_block.py, tests/test_rdoq.py).
+
+        ``rdoq_ctx``: (txb_skip_ctx, dc_sign_ctx, is_inter) enables the
+        trellis optimizer fed by quantize_fp (rdoq_level 1 semantics,
+        EbFullLoop.c:1190)."""
         if qidx is None:
             qidx = self.fh.base_q_idx
+        rd = None
+        if rdoq_ctx is not None and self.rdoq_level:
+            rd = self._rdoq_run(plane, ts, tt, *rdoq_ctx)
         resid = src.astype(np.int32) - pred
         from ..native import block_plan
         got = block_plan.code_block(self._plane_quant(plane),
                                     qidx, ts, tt,
-                                    self.seq.bit_depth, resid, pred) \
+                                    self.seq.bit_depth, resid, pred,
+                                    rdoq=rd) \
             if block_plan.available() else None
         if got is not None:
             return got
         coeffs = np.asarray(tf.fwd_txfm2d(resid, tt, ts, self.seq.bit_depth))
-        qc, dqc = qz.quantize_b(coeffs, qidx,
-                                self._plane_quant(plane), ts)
+        if rd is None:
+            qc, dqc = qz.quantize_b(coeffs, qidx,
+                                    self._plane_quant(plane), ts)
+        else:
+            qc, dqc = qz.quantize_fp(coeffs, qidx,
+                                     self._plane_quant(plane), ts)
         qc, dqc = np.asarray(qc), np.asarray(dqc)
         ch = min(TX_HEIGHT[ts], 32)
         cw = min(TX_WIDTH[ts], 32)
         eob = cf.compute_eob(qc[:ch, :cw], ts, tt)
+        if rd is not None and eob > 0:
+            from ..ops import rdoq as rq
+            tabs, rdmult, tx_class, shape, _ = rd
+            pq = self._plane_quant(plane)
+            deq = pq.dequant[qidx]
+            scan = np.ascontiguousarray(
+                cf.scan_for(ts, tt).astype(np.int16))
+            qcc = np.ascontiguousarray(qc[:ch, :cw])
+            dqcc = np.ascontiguousarray(dqc[:ch, :cw])
+            eob = rq.optimize_txb(
+                np.ascontiguousarray(coeffs[:ch, :cw]).astype(np.int32),
+                qcc, dqcc, eob, scan, cw, ch, tx_class,
+                qz.tx_log_scale(ts), (int(deq[0]), int(deq[1])), rdmult,
+                (tabs[0], tabs[1], tabs[2], tabs[3], tabs[4], tabs[5]),
+                tabs[6].reshape(2, 11), shape)
+            qc[:ch, :cw] = qcc
+            dqc[:ch, :cw] = dqcc
         if eob == 0:
             dqc = np.zeros_like(dqc)
         recon = np.asarray(tf.inv_txfm2d_add(dqc, pred, tt, ts,
@@ -1749,7 +1857,16 @@ class FrameCodec:
         if (not self.seq.enable_cdef or fh.coded_lossless
                 or fh.allow_intrabc):
             return
-        assert fh.cdef_bits == 0, "per-fb cdef idx TBD"
+        if fh.cdef_bits > 0:
+            # per-64x64 strength indices (coded in-tile; spec 7.15.1)
+            out = cdef_ops.cdef_frame_multi(
+                self.recon[:self.num_planes], self.skips,
+                self.mi_rows, self.mi_cols, fh.cdef_y_strengths,
+                fh.cdef_uv_strengths, self.cdef_idx_grid,
+                fh.cdef_damping, self.seq.bit_depth)
+            for p in range(self.num_planes):
+                self.recon[p] = out[p]
+            return
         y_str = fh.cdef_y_strengths[0]
         uv_str = fh.cdef_uv_strengths[0]
         if y_str == 0 and uv_str == 0:
@@ -1797,6 +1914,50 @@ class FrameCodec:
             return                    # strengths 0: recon unchanged
         for p in range(self.num_planes):
             self.recon[p] = out[p]
+
+    def search_and_apply_cdef_multi(self, lambda_sse: int) -> bool:
+        """Multi-preset CDEF search (finish_cdef_search,
+        EbEncCdef.c:1167): per-64x64-fb error maps over the strength
+        grid, joint preset-set selection under the frame SSE lambda,
+        per-fb indices.  Fills the frame header + ``cdef_idx_grid`` and
+        applies the winner; returns True when cdef_bits > 0 (the tile
+        syntax must then be coded with the indices)."""
+        from ..ops import cdef as cdef_ops
+
+        fh = self.fh
+        if (not self.seq.enable_cdef or fh.coded_lossless
+                or fh.allow_intrabc or self.source is None):
+            return False
+        fw, fh_px = self.mi_cols * 4, self.mi_rows * 4
+        nonskip = cdef_ops.nonskip_grid(self.skips, self.mi_rows,
+                                        self.mi_cols)
+        if not nonskip.any():
+            fh.cdef_y_strengths = (0,)
+            fh.cdef_uv_strengths = (0,)
+            return False
+        padded = cdef_ops.pad_very_large(self.recon[0], fw, fh_px, 8, np)
+        dirs, var = cdef_ops.find_dir_grid(
+            cdef_ops._units_of(padded, fw, fh_px, 8, np),
+            max(self.seq.bit_depth - 8, 0), np)
+        mse_y, mse_uv = cdef_ops.cdef_search_errs_fb(
+            [p.astype(np.int32) for p in self.source[:self.num_planes]],
+            self.recon[:self.num_planes], dirs, var, nonskip, fw, fh_px,
+            fh.cdef_damping, self.seq.bit_depth)
+        # eligible fbs: any non-skip 8x8 unit inside
+        uh, uw = nonskip.shape
+        nvfb, nhfb = (fh_px + 63) // 64, (fw + 63) // 64
+        el = np.zeros((nvfb * 8, nhfb * 8), bool)
+        el[:uh, :uw] = nonskip
+        eligible = el.reshape(nvfb, 8, nhfb, 8).any(axis=(1, 3))
+        bits, y_list, uv_list, idx_grid = cdef_ops.pick_cdef_presets(
+            np.asarray(mse_y), np.asarray(mse_uv), eligible, lambda_sse)
+        fh.cdef_bits = bits
+        fh.cdef_y_strengths = y_list
+        fh.cdef_uv_strengths = uv_list
+        self.cdef_idx_grid[:] = idx_grid[:self.cdef_idx_grid.shape[0],
+                                         :self.cdef_idx_grid.shape[1]]
+        self.apply_cdef()
+        return bits > 0
 
     def search_cdef(self):
         """Encoder-side strength search; fills the frame-header fields."""
@@ -2370,7 +2531,14 @@ class FrameCodec:
                     pred = self.predict_chroma(plane, decision,
                                                px, py, pw, ph, ts)
             src = self.source[plane][py:py + ph, px:px + pw]
-            qc, eob, recon = self._tx_quant_recon(plane, src, pred, ts, tt)
+            rdoq_ctx = None
+            if self.rdoq_level:
+                sk_ctx, dc_ctx = self._txb_ctx(
+                    plane, px, py, pw, ph, ts,
+                    pw == TX_WIDTH[ts] and ph == TX_HEIGHT[ts])
+                rdoq_ctx = (sk_ctx, dc_ctx, decision.is_inter)
+            qc, eob, recon = self._tx_quant_recon(plane, src, pred, ts, tt,
+                                                  rdoq_ctx=rdoq_ctx)
             ch = min(TX_HEIGHT[ts], 32)
             cw = min(TX_WIDTH[ts], 32)
             self.recon[plane][py:py + ph, px:px + pw] = recon
@@ -2417,6 +2585,8 @@ class FrameCodec:
             skip_ctx += int(self.skips[mi_row, mi_col - 1])
         skip = io.symbol(None if skip is None else int(skip),
                          self.fc.skip[skip_ctx], 2)
+
+        self._code_cdef_idx(skip, mi_row, mi_col, w4, h4)
 
         ii_ctx = self._intra_inter_ctx(mi_row, mi_col)
         is_inter = io.symbol(None if decision is None

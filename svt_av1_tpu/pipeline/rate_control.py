@@ -58,7 +58,7 @@ class RateControl:
             # the reference's active-worst-quality estimate)
             bpp = self.target_bpf / max(cfg.source_width *
                                         cfg.source_height, 1)
-            qp0 = 34.0 - 5.0 * np.log2(max(bpp, 1e-4) / 0.1)
+            qp0 = 32.5 - 5.0 * np.log2(max(bpp, 1e-4) / 0.1)
             qp0 = float(np.clip(qp0, cfg.min_qp_allowed, cfg.max_qp_allowed))
         self.state = RcState(qp=qp0)
         self.ema_bits = None           # recent realized bits/frame
@@ -111,7 +111,7 @@ class RateControl:
         qp = self.state.qp
         err = -self.fullness
         band_err = err / self.band
-        qp += 3.0 * band_err + 5.0 * np.sign(band_err) * max(
+        qp += 5.0 * band_err + 8.0 * np.sign(band_err) * max(
             abs(band_err) - 1.0, 0.0)
         qp = float(np.clip(qp, self.cfg.min_qp_allowed,
                            self.cfg.max_qp_allowed))
@@ -142,10 +142,10 @@ class RateControl:
         # EMA of realized bits drives a log-ratio trim of the operating
         # point (keyframes/alt-refs intentionally overshoot; the EMA
         # absorbs the spread across a GOP)
-        a = 0.15
+        a = 0.3
         self.ema_bits = bits if self.ema_bits is None else \
             (1 - a) * self.ema_bits + a * bits
         ratio = self.ema_bits / max(self.target_bpf, 1.0)
-        step = float(np.clip(1.5 * np.log2(max(ratio, 1e-3)), -2.0, 2.0))
+        step = float(np.clip(1.8 * np.log2(max(ratio, 1e-3)), -3.5, 3.5))
         st.qp = float(np.clip(st.qp + step, self.cfg.min_qp_allowed,
                               self.cfg.max_qp_allowed))

@@ -8,7 +8,7 @@ from svt_av1_tpu.config import ConfigError, EncoderConfig, derive_signals
 
 def test_unimplemented_tools_raise():
     for field in ("palette_level", "intrabc_mode", "screen_content_mode",
-                  "rdoq_level", "enable_mfmv", "inter_intra_compound"):
+                  "enable_mfmv", "inter_intra_compound"):
         with pytest.raises(ConfigError):
             EncoderConfig(source_width=64, source_height=64,
                           **{field: 1})
@@ -26,8 +26,15 @@ def _encode_bits(n_frames=3, w=96, h=96, **kw):
     yy, xx = np.mgrid[0:h, 0:w]
     frames = []
     for i in range(n_frames):
+        # mixed content: smooth/noisy left half (paeth/smooth/cfl
+        # territory), strong diagonals right half (angle deltas) — so
+        # each intra tool's winner actually flips somewhere
         y = (100 + 70 * np.sin(xx / 7 + i) + 40 * np.cos(yy / 5)
              + rng.integers(-15, 16, (h, w))).clip(0, 255).astype(np.uint8)
+        diag = (100 + 70 * np.sin((2 * xx + yy) / 9 + i)
+                + 40 * np.cos((xx - 3 * yy) / 11)
+                + rng.integers(-6, 7, (h, w))).clip(0, 255).astype(np.uint8)
+        y[:, w // 2:] = diag[:, w // 2:]
         # chroma correlated with luma so chroma-from-luma is competitive
         u = (y[::2, ::2] // 2 + 60).astype(np.uint8)
         v = (200 - y[::2, ::2] // 2).astype(np.uint8)
@@ -68,3 +75,13 @@ def test_derived_signals_have_consumers():
                    if p.name != "config.py")
     for field in type(sig).__dataclass_fields__:
         assert f"sig.{field}" in blob or f".{field}" in blob, field
+
+
+def test_rdoq_level_changes_streams_and_validates():
+    with pytest.raises(ConfigError):
+        EncoderConfig(source_width=64, source_height=64, rdoq_level=2)
+    on = _encode_bits(enc_mode=5)
+    off = _encode_bits(enc_mode=5, rdoq_level=0)
+    assert on != off
+    assert derive_signals(EncoderConfig(source_width=64, source_height=64,
+                                        rdoq_level=0)).rdoq_level == 0
