@@ -32,21 +32,33 @@ def _decimate8(plane, xp):
     return (p.sum((1, 3)) >> 6).astype(xp.int32)
 
 
-def coarse_sb_search(src, ref, xp=np):
+def coarse_sb_search(src, ref, xp=np, row0: int = 0):
     """SB-level full search on /8 planes: returns mv [n_sby, n_sbx, 2]
-    (full-pel, (row, col)) minimizing the /8-domain SAD."""
+    (full-pel, (row, col)) minimizing the /8-domain SAD.
+
+    ``row0``: global pixel row of src's first row when src is a stripe
+    of a taller frame whose full reference is ``ref`` (spatial sharding:
+    the reference picture is replicated across shards)."""
     s8 = _decimate8(src, xp)
     r8 = _decimate8(ref, xp)
     h8, w8 = s8.shape
     n_sby, n_sbx = h8 // 8, w8 // 8
     pad = xp.pad(r8, COARSE_R, mode="edge")
+    r0_8 = row0 // 8
+    traced = xp is not np and not isinstance(row0, (int, np.integer))
+    if traced:
+        from jax import lax
     best = None
     bdy = None
     bdx = None
     for dy in range(-COARSE_R, COARSE_R + 1):
         for dx in range(-COARSE_R, COARSE_R + 1):
-            sh = pad[COARSE_R + dy:COARSE_R + dy + h8,
-                     COARSE_R + dx:COARSE_R + dx + w8]
+            if traced:
+                sh = lax.dynamic_slice(
+                    pad, (r0_8 + (COARSE_R + dy), COARSE_R + dx), (h8, w8))
+            else:
+                sh = pad[COARSE_R + r0_8 + dy:COARSE_R + r0_8 + dy + h8,
+                         COARSE_R + dx:COARSE_R + dx + w8]
             d = xp.abs(s8 - sh)
             cost = d[:n_sby * 8, :n_sbx * 8] \
                 .reshape(n_sby, 8, n_sbx, 8).sum((1, 3))
@@ -123,8 +135,13 @@ ME_SHAPES = ((8, 8), (16, 16), (32, 32), (16, 8), (8, 16),
              (32, 16), (16, 32), (64, 64))
 
 
-def frame_me(src, ref, xp=np):
+def frame_me(src, ref, xp=np, row0: int = 0):
     """Full-frame single-reference ME.
+
+    With ``row0`` > 0 (spatial sharding), ``src`` is a stripe whose
+    first row sits at global row ``row0`` of the frame while ``ref`` is
+    the FULL reference plane (replicated across shards); all outputs are
+    bit-identical to the same rows of the unsharded run.
 
     Refines around TWO candidate origins per SB — the coarse /8 winner
     and the zero MV (the reference similarly carries the HME candidate
@@ -137,9 +154,9 @@ def frame_me(src, ref, xp=np):
     and "grid".  MVs are full-pel pixel units relative to each block's
     own position; every proposed MC window stays MARGIN px in-frame.
     """
-    H, W = src.shape
-    n_sby, n_sbx = H // SB, W // SB
-    coarse = coarse_sb_search(src, ref, xp)      # [n_sby, n_sbx, 2]
+    H, W = ref.shape                 # frame dims (== src dims unsharded)
+    n_sby, n_sbx = src.shape[0] // SB, src.shape[1] // SB
+    coarse = coarse_sb_search(src, ref, xp, row0)  # [n_sby, n_sbx, 2]
     win = SB + 2 * REFINE_R
 
     sy = np.arange(n_sby) * SB
@@ -147,6 +164,8 @@ def frame_me(src, ref, xp=np):
     gy, gx = np.meshgrid(sy, sx, indexing="ij")
     pos = np.stack([gy.ravel(), gx.ravel()], axis=-1)      # [N, 2]
     posv = xp.asarray(pos)
+    if not (isinstance(row0, (int, np.integer)) and row0 == 0):
+        posv = xp.stack([posv[:, 0] + row0, posv[:, 1]], axis=-1)
     # windows may start up to REFINE_R before the frame (edge-replicated
     # reference pad): edge superblocks must reach small negative MVs —
     # without this the whole first SB row/column loses its motion.  The
@@ -229,24 +248,29 @@ def frame_me(src, ref, xp=np):
 SUBPEL_DELTAS = (-4, -2, 0, 2, 4)       # quarter-pel grid in 1/8 units
 
 
-def subpel_refine16(src, ref, mv_r16, mv_c16, buf_w, buf_h, bd=8, xp=np):
+def subpel_refine16(src, ref, mv_r16, mv_c16, buf_w, buf_h, bd=8, xp=np,
+                    row0: int = 0):
     """Quarter-pel refinement per 16x16 block around the full-pel ME
     winner, using the exact REGULAR 8-tap interpolation the conformant
     MC codes (ops/inter.py convolve_2d_sr) — the batched twin of the
     reference's half/quarter-pel stage (EbMotionEstimation.c:2912).
 
-    src: [buf_h, buf_w]; mv_r16/mv_c16: [nr16, nc16] full-pel MVs.
-    Returns (mvq8_r, mvq8_c, pred) with MVs in 1/8-pel units and pred
-    the assembled best-candidate prediction plane."""
+    src: the stripe [rows, buf_w] whose first row is global row ``row0``
+    (0 when unsharded, so src covers [buf_h, buf_w] and ref == frame);
+    ref: the FULL reference plane; mv_r16/mv_c16: [nr16_local, nc16]
+    full-pel MVs for the stripe's blocks.  Returns (mvq8_r, mvq8_c,
+    pred) with MVs in 1/8-pel units and pred the assembled
+    best-candidate prediction for the stripe."""
     from . import inter as inter_ops
 
     PRS = REFINE_R + 8                  # full-pel range + tap context
     refp = xp.pad(xp.asarray(ref), PRS, mode="edge")
-    nr16, nc16 = buf_h // 16, buf_w // 16
+    nr16 = src.shape[0] // 16
+    nc16 = buf_w // 16
     n16 = nr16 * nc16
     gy, gx = np.meshgrid(np.arange(nr16) * 16, np.arange(nc16) * 16,
                          indexing="ij")
-    base_y = xp.asarray(gy.ravel()) + mv_r16.reshape(-1)
+    base_y = xp.asarray(gy.ravel()) + row0 + mv_r16.reshape(-1)
     base_x = xp.asarray(gx.ravel()) + mv_c16.reshape(-1)
     oy = xp.clip(base_y - 4 + PRS, 0, buf_h + 2 * PRS - 25)
     ox = xp.clip(base_x - 4 + PRS, 0, buf_w + 2 * PRS - 25)
@@ -283,7 +307,7 @@ def subpel_refine16(src, ref, mv_r16, mv_c16, buf_w, buf_h, bd=8, xp=np):
     mvq8_r = (mv_r16 * 8 + best_dy.reshape(nr16, nc16)).astype(xp.int32)
     mvq8_c = (mv_c16 * 8 + best_dx.reshape(nr16, nc16)).astype(xp.int32)
     pred = best_pred.reshape(nr16, nc16, 16, 16).transpose(0, 2, 1, 3) \
-        .reshape(buf_h, buf_w)
+        .reshape(nr16 * 16, buf_w)
     return mvq8_r, mvq8_c, pred
 
 

@@ -284,6 +284,8 @@ def shape_costs(src_blocks, above, left, w: int, h: int, qindex: int,
     + lam * (coeff-rate proxy + mode signaling bits).
     """
     zbin, rnd, step = _quant_maps(w, h, qindex, pq, xp)
+    mb = mode_bits if not isinstance(mode_bits, (tuple, list)) \
+        else xp.asarray(np.asarray(mode_bits, np.float32))
     dh = xp.asarray(_dct_mat(h))
     dwt = xp.asarray(_dct_mat(w).T)
     best_cost = None
@@ -300,7 +302,7 @@ def shape_costs(src_blocks, above, left, w: int, h: int, qindex: int,
         nnz = (q > 0).sum(axis=(-1, -2)).astype(xp.float32)
         mag = xp.log2(1.0 + q).sum(axis=(-1, -2))
         bits = RATE_NNZ * nnz + RATE_MAG * mag \
-            + RATE_TXB * (nnz > 0).astype(xp.float32) + float(mode_bits[mi])
+            + RATE_TXB * (nnz > 0).astype(xp.float32) + mb[mi]
         cost = sse + lam * bits
         if best_cost is None:
             best_cost, best_mode = cost, xp.zeros(cost.shape, xp.int32)
@@ -332,12 +334,11 @@ def intra_decision_arrays(padded, buf_w: int, buf_h: int, qindex: int,
 # --------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=16)
-def _jitted(buf_w: int, buf_h: int, bd: int,
-            mode_bits: tuple, shapes: tuple):
+def _jitted(buf_w: int, buf_h: int, bd: int, shapes: tuple):
     import jax
     import jax.numpy as jnp
 
-    def run(plane, qindex, lam):
+    def run(plane, qindex, lam, mode_bits):
         # pad on device: the host->device link ships the narrow dtype
         padded = pad_plane(plane, jnp)
         res = intra_decision_arrays(padded, buf_w, buf_h, qindex, lam,
@@ -388,9 +389,9 @@ def intra_decision_frame(source_plane, buf_w: int, buf_h: int, qindex: int,
     narrow = src.astype(np.uint8 if bd == 8 else np.uint16)
     if use_jax:
         try:
-            fn = _jitted(buf_w, buf_h, bd, tuple(mode_bits),
-                         tuple(shapes))
-            flat = np.asarray(fn(narrow, np.int32(qindex), float(lam)))
+            fn = _jitted(buf_w, buf_h, bd, tuple(shapes))
+            flat = np.asarray(fn(narrow, np.int32(qindex), float(lam),
+                                 np.asarray(mode_bits, np.float32)))
             return _unflatten(flat, buf_w, buf_h, shapes)
         except ImportError:
             pass

@@ -64,27 +64,35 @@ def _nested_to_grid(a, n_sby, n_sbx, oy, ox, xp):
 
 
 def inter_frame_maps(src_plane, ref_plane, buf_w, buf_h, qindex, lam,
-                     mode_bits, bd=8, xp=np):
+                     mode_bits, bd=8, xp=np, row0=0, with_intra=True):
     """(intra_maps, inter_cost_maps, mv16_q8, mvbits16): the full
     open-loop decision state for one inter frame against one reference.
     MVs are quarter-pel (1/8-unit values, multiples of 2): full-pel
     frame ME (ops/bme.frame_me) + exact-filter subpel refinement
-    (bme.subpel_refine16)."""
+    (bme.subpel_refine16).
+
+    Spatial sharding: with ``row0`` > 0, ``src_plane`` is a stripe at
+    global row ``row0`` while ``ref_plane`` stays the full frame
+    (references are replicated across shards); the ME/MC/cost outputs
+    are bit-identical to the same rows of the unsharded run.  The
+    intra maps need their own halo machinery, so sharded callers pass
+    ``with_intra=False``."""
     src = xp.asarray(src_plane).astype(xp.int32)
     ref = xp.asarray(ref_plane).astype(xp.int32)
-    me = bme.frame_me(src, ref, xp)
+    me = bme.frame_me(src, ref, xp, row0)
     n_sby, n_sbx = me["grid"]
-    nr16, nc16 = buf_h // 16, buf_w // 16
+    stripe_h = src.shape[0]
+    nr16, nc16 = stripe_h // 16, buf_w // 16
 
     mv16_dy, mv16_dx, _ = me[(16, 16)]           # [N, 4, 4] pixel MVs
     mv_r16 = _nested_to_grid(mv16_dy, n_sby, n_sbx, 4, 4, xp)
     mv_c16 = _nested_to_grid(mv16_dx, n_sby, n_sbx, 4, 4, xp)
     mvq8_r, mvq8_c, pred = bme.subpel_refine16(
-        src, ref, mv_r16, mv_c16, buf_w, buf_h, bd, xp)
+        src, ref, mv_r16, mv_c16, buf_w, buf_h, bd, xp, row0)
 
     resid = src - pred
     resid_padded = xp.pad(resid, omd.PAD, mode="edge")
-    inter_cost = _mc_cost_maps(resid_padded, buf_w, buf_h, qindex, lam,
+    inter_cost = _mc_cost_maps(resid_padded, buf_w, stripe_h, qindex, lam,
                                bd, xp)
 
     # mv signaling proxy: distance from the SB-level coarse predictor
@@ -98,9 +106,11 @@ def inter_frame_maps(src_plane, ref_plane, buf_w, buf_h, qindex, lam,
     mvbits16 = MV_BIT_SCALE * (xp.log2(1.0 + d_r / 8.0)
                                + xp.log2(1.0 + d_c / 8.0))
 
-    padded_src = omd.pad_plane(src, xp)
-    intra = omd.intra_decision_arrays(padded_src, buf_w, buf_h, qindex,
-                                      lam, mode_bits, bd, xp)
+    intra = None
+    if with_intra:
+        padded_src = omd.pad_plane(src, xp)
+        intra = omd.intra_decision_arrays(padded_src, buf_w, buf_h,
+                                          qindex, lam, mode_bits, bd, xp)
     return intra, inter_cost, (mvq8_r, mvq8_c), mvbits16
 
 
@@ -108,11 +118,11 @@ import functools
 
 
 @functools.lru_cache(maxsize=8)
-def _jitted_inter(buf_w: int, buf_h: int, bd: int, mode_bits: tuple):
+def _jitted_inter(buf_w: int, buf_h: int, bd: int):
     import jax
     import jax.numpy as jnp
 
-    def run(src_u8, ref_u8, qindex, lam):
+    def run(src_u8, ref_u8, qindex, lam, mode_bits):
         intra, inter_cost, (mvdy, mvdx), mvb = inter_frame_maps(
             src_u8.astype(jnp.int32), ref_u8.astype(jnp.int32),
             buf_w, buf_h, qindex, lam, mode_bits, bd, jnp)
@@ -136,11 +146,12 @@ def inter_maps_dispatch(src, ref, buf_w, buf_h, qindex, lam, mode_bits,
     reference), returning numpy results."""
     if use_jax:
         try:
-            fn = _jitted_inter(buf_w, buf_h, bd, tuple(mode_bits))
+            fn = _jitted_inter(buf_w, buf_h, bd)
             dt = np.uint8 if bd == 8 else np.uint16
             flat = np.asarray(fn(np.asarray(src).astype(dt),
                                  np.asarray(ref).astype(dt),
-                                 np.int32(qindex), float(lam)))
+                                 np.int32(qindex), float(lam),
+                                 np.asarray(mode_bits, np.float32)))
             intra, inter_cost = {}, {}
             off = 0
             for s in omd.ALL_SHAPES:
