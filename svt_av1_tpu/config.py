@@ -312,7 +312,10 @@ def derive_signals(cfg: EncoderConfig) -> DerivedSignals:
         obmc_level=auto_i(cfg.obmc_level,
                           1 if m <= 5 and cfg.encoder_bit_depth == 8
                           else 0),
-        compound_level=cfg.compound_level if cfg.compound_level != -1 else (1 if m <= 5 else 0),
+        # the frame-batched device path scores averaged compound per
+        # unit at negligible cost, so compound stays on across the
+        # preset ladder (set_comp_controls analog)
+        compound_level=cfg.compound_level if cfg.compound_level != -1 else 1,
         tf_level=cfg.tf_level if cfg.tf_level != -1 else (1 if m <= 7 else 0),
         # the reference keeps RDOQ on at every preset (rdoq_level 1 for
         # <=M7, 2/3 with speed gates above); our level 1 = full trellis

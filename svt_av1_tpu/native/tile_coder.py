@@ -322,6 +322,13 @@ def _eligible_inter(codec, decider) -> bool:
         return False
     if codec.refs is None or 1 not in codec.refs:
         return False
+    # the C walker is the single-reference LAST envelope: multi-ref or
+    # compound selections anywhere in the plan need the Python replay
+    sf = getattr(decider, "_sf", None)
+    if sf is None or sf["sel"].any():
+        return False
+    if getattr(decider, "_names", (1,))[0] != 1:
+        return False
     return True
 
 
@@ -449,8 +456,8 @@ def try_encode_tiles_native_inter(codec, decider):
             decider._inter[s].astype(np.uint8)))
         maps.append(np.ascontiguousarray(
             decider._modes[s].astype(np.int8)))
-    mvs = (np.ascontiguousarray(decider._mv16[..., 0], np.int32),
-           np.ascontiguousarray(decider._mv16[..., 1], np.int32))
+    mvs = (np.ascontiguousarray(decider._sf["mv_r"], np.int32),
+           np.ascontiguousarray(decider._sf["mv_c"], np.int32))
     sig = (np.ascontiguousarray(sig_n), np.ascontiguousarray(sig_i),
            np.ascontiguousarray(tt_uv), _interp_taps(),
            np.asarray(codec.sign_bias, np.int32))

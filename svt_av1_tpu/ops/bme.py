@@ -45,20 +45,43 @@ def coarse_sb_search(src, ref, xp=np, row0: int = 0):
     n_sby, n_sbx = h8 // 8, w8 // 8
     pad = xp.pad(r8, COARSE_R, mode="edge")
     r0_8 = row0 // 8
-    traced = xp is not np and not isinstance(row0, (int, np.integer))
-    if traced:
+    npos = 2 * COARSE_R + 1
+    if xp is not np:
+        # lax.scan over the offset grid: identical arithmetic and
+        # first-minimum tie-break as the numpy twin below, but the graph
+        # stays one iteration deep (the unrolled form blows XLA's
+        # compile time up by ~300x)
         from jax import lax
+
+        def body(carry, i):
+            best, bdy, bdx = carry
+            dy = i // npos - COARSE_R
+            dx = i % npos - COARSE_R
+            sh = lax.dynamic_slice(
+                pad, (r0_8 + COARSE_R + dy, COARSE_R + dx), (h8, w8))
+            d = xp.abs(s8 - sh)
+            cost = d[:n_sby * 8, :n_sbx * 8] \
+                .reshape(n_sby, 8, n_sbx, 8).sum((1, 3))
+            # slight center bias keeps flat areas at zero motion
+            cost = cost + (xp.abs(dy) + xp.abs(dx))
+            take = cost < best
+            return (xp.where(take, cost, best),
+                    xp.where(take, dy, bdy).astype(xp.int32),
+                    xp.where(take, dx, bdx).astype(xp.int32)), None
+
+        zeros = xp.zeros((n_sby, n_sbx), xp.int32)
+        init = (xp.full((n_sby, n_sbx), np.int32(2 ** 31 - 1), xp.int32),
+                zeros, zeros)
+        (best, bdy, bdx), _ = lax.scan(body, init,
+                                       xp.arange(npos * npos))
+        return xp.stack([bdy * 8, bdx * 8], axis=-1)
     best = None
     bdy = None
     bdx = None
     for dy in range(-COARSE_R, COARSE_R + 1):
         for dx in range(-COARSE_R, COARSE_R + 1):
-            if traced:
-                sh = lax.dynamic_slice(
-                    pad, (r0_8 + (COARSE_R + dy), COARSE_R + dx), (h8, w8))
-            else:
-                sh = pad[COARSE_R + r0_8 + dy:COARSE_R + r0_8 + dy + h8,
-                         COARSE_R + dx:COARSE_R + dx + w8]
+            sh = pad[COARSE_R + r0_8 + dy:COARSE_R + r0_8 + dy + h8,
+                     COARSE_R + dx:COARSE_R + dx + w8]
             d = xp.abs(s8 - sh)
             cost = d[:n_sby * 8, :n_sbx * 8] \
                 .reshape(n_sby, 8, n_sbx, 8).sum((1, 3))
@@ -94,9 +117,25 @@ def sad8_surfaces(src_sbs, windows, xp=np):
     n = src_sbs.shape[0]
     R = REFINE_R
     npos = 2 * R + 1
-    # diff for every offset via static slices of the window
     s = src_sbs.astype(xp.int32)
     w = windows.astype(xp.int32)
+    if xp is not np:
+        # scan over offsets (same values/order as the numpy twin, tiny
+        # graph instead of 289 unrolled slices)
+        from jax import lax
+
+        def body(_, i):
+            dy = i // npos
+            dx = i % npos
+            ws = lax.dynamic_slice(w, (0, dy, dx), (n, SB, SB))
+            d = xp.abs(s - ws)
+            sad8 = d.reshape(n, 8, 8, 8, 8).transpose(0, 1, 3, 2, 4) \
+                .sum((-1, -2))               # [N, 8, 8]
+            return None, sad8
+
+        _, ys = lax.scan(body, None, xp.arange(npos * npos))
+        return ys.transpose(1, 2, 3, 0).reshape(n, 8, 8, npos, npos)
+    # diff for every offset via static slices of the window
     out = []
     for dy in range(npos):
         row = []

@@ -1,20 +1,29 @@
 """Frame-batched inter mode decision: device ME + open-loop RD maps.
 
 Extends the batched intra decider to inter frames: one device pass runs
-full-frame motion estimation against LAST (ops/bme.py — coarse /8
-search + 8x8 SAD pyramid refinement, the reference's HME/
-integer_search_sb shape), builds a 16x16-granular motion-compensated
-prediction, scores every block shape on the residual through the same
-DCT/quantizer cost model as the intra pass, and the partition DP picks
-per-block intra-vs-inter and the partition tree.  Motion granularity is
-16x16: larger inter blocks are allowed when their children's MVs agree
-(the common coherent-motion case), smaller blocks inherit the parent MV
-— so every coded block's residual model matches the MV it will code.
+full-frame motion estimation against up to three distinct references
+(ops/bme.py — coarse /8 search + 8x8 SAD pyramid refinement + exact-tap
+quarter-pel, the reference's HME/integer_search_sb/subpel shape),
+scores every 16x16 unit per reference plus an averaged-compound
+candidate (best forward + best backward, the jnt_comp AVG pair the
+reference builds in inter_comp candidates, EbModeDecision.c), picks the
+winner per unit, assembles the winning prediction plane, and scores
+every block shape on the residual through the same DCT/quantizer cost
+model as the intra pass.  The partition DP then picks per-block
+intra-vs-inter and the partition tree.
+
+Motion granularity is 16x16: larger inter blocks are allowed when their
+children's selections (reference, MV, compound pair) agree — the common
+coherent-motion case — and smaller blocks inherit the parent unit's
+choice, so every coded block's residual model matches what it codes.
 
 The serial conformant pass replays the plan; NEAREST/NEAR/GLOBAL/NEW
-selection happens there against the true (tile-bounded) MV stack.
+(and NEAREST_NEAREST/NEW_NEW for compound) selection happens there
+against the true tile-bounded MV stacks.
 """
 from __future__ import annotations
+
+import functools
 
 import numpy as np
 
@@ -31,6 +40,18 @@ INTER_MODE_BITS = 3.0        # is_inter + mode ladder proxy
 # without this the near-zero-residual ties break toward intra
 INTRA_IN_INTER_BITS = 6.0
 MV_BIT_SCALE = 2.0
+
+# reference/compound selection runs at two levels so the penalties
+# model what the syntax actually charges: ref signaling and the second
+# MV are paid once per CODED block, so a whole superblock switching
+# together is much cheaper per unit than a lone 16x16 deviating (which
+# also fragments the partition merge).  SB-level penalties are per
+# 16-unit-summed SAD (16 units/SB); DEV_PEN is the extra charge for a
+# unit deviating from its SB's winner.
+REF_PEN_SB = 768.0           # non-primary single ref, per SB
+COMP_PEN_SB = 640.0          # averaged compound (2 MVs + comp syntax)
+DEV_PEN = 320.0              # per-unit deviation from the SB winner
+SEL_MV_W = 16.0              # weight of the mv-bits proxy in selection
 
 
 def _mc_cost_maps(resid_padded, buf_w, buf_h, qindex, lam, bd, xp):
@@ -63,69 +84,168 @@ def _nested_to_grid(a, n_sby, n_sbx, oy, ox, xp):
         .reshape(n_sby * oy, n_sbx * ox)
 
 
-def inter_frame_maps(src_plane, ref_plane, buf_w, buf_h, qindex, lam,
-                     mode_bits, bd=8, xp=np, row0=0, with_intra=True):
-    """(intra_maps, inter_cost_maps, mv16_q8, mvbits16): the full
-    open-loop decision state for one inter frame against one reference.
-    MVs are quarter-pel (1/8-unit values, multiples of 2): full-pel
-    frame ME (ops/bme.frame_me) + exact-filter subpel refinement
-    (bme.subpel_refine16).
+def _take16(stack, idx, xp):
+    """stack [K, nr16, nc16, ...]; idx [nr16, nc16] -> [nr16, nc16, ...]."""
+    ix = idx.reshape((1,) + idx.shape + (1,) * (stack.ndim - 3))
+    return xp.take_along_axis(stack, ix, axis=0)[0]
+
+
+def inter_frame_maps(src_plane, ref_planes, buf_w, buf_h, qindex, lam,
+                     mode_bits, bd=8, xp=np, row0=0, with_intra=True,
+                     bwd_mask=(False,), allow_compound=False):
+    """(intra_maps, inter_cost_maps, sel_fields, mvbits16): the full
+    open-loop decision state for one inter frame against up to three
+    references.  MVs are quarter-pel (1/8-unit values, multiples of 2):
+    full-pel frame ME (ops/bme.frame_me) + exact-filter subpel
+    refinement (bme.subpel_refine16), independently per reference.
+
+    ``ref_planes``: one [H, W] plane or a [K, H, W] stack;
+    ``bwd_mask[k]`` marks backward references (display order after the
+    current frame).  With ``allow_compound`` and at least one reference
+    in each direction, an averaged compound candidate (best-forward +
+    best-backward per unit) joins the per-unit selection.
+
+    ``sel_fields`` is a dict of [nr16, nc16] maps:
+      sel     winning candidate (0..K-1 single ref, K = compound)
+      mv_r/mv_c      chosen MV (forward MV for compound), 1/8-pel
+      mv1_r/mv1_c    backward MV for compound units (0 elsewhere)
+      fwd_i/bwd_i    global ref indices the compound pairs
 
     Spatial sharding: with ``row0`` > 0, ``src_plane`` is a stripe at
-    global row ``row0`` while ``ref_plane`` stays the full frame
-    (references are replicated across shards); the ME/MC/cost outputs
-    are bit-identical to the same rows of the unsharded run.  The
-    intra maps need their own halo machinery, so sharded callers pass
-    ``with_intra=False``."""
+    global row ``row0`` while references stay full frames (replicated
+    across shards); outputs are bit-identical to the same rows of the
+    unsharded run.  The intra maps need their own halo machinery, so
+    sharded callers pass ``with_intra=False``."""
     src = xp.asarray(src_plane).astype(xp.int32)
-    ref = xp.asarray(ref_plane).astype(xp.int32)
-    me = bme.frame_me(src, ref, xp, row0)
-    n_sby, n_sbx = me["grid"]
+    refs = xp.asarray(ref_planes)
+    if refs.ndim == 2:
+        refs = refs[None]
+    K = int(refs.shape[0])
     stripe_h = src.shape[0]
     nr16, nc16 = stripe_h // 16, buf_w // 16
 
-    mv16_dy, mv16_dx, _ = me[(16, 16)]           # [N, 4, 4] pixel MVs
-    mv_r16 = _nested_to_grid(mv16_dy, n_sby, n_sbx, 4, 4, xp)
-    mv_c16 = _nested_to_grid(mv16_dx, n_sby, n_sbx, 4, 4, xp)
-    mvq8_r, mvq8_c, pred = bme.subpel_refine16(
-        src, ref, mv_r16, mv_c16, buf_w, buf_h, bd, xp, row0)
+    mv_r_all, mv_c_all, pred_all, mvb_all = [], [], [], []
+    for k in range(K):
+        ref = refs[k].astype(xp.int32)
+        me = bme.frame_me(src, ref, xp, row0)
+        n_sby, n_sbx = me["grid"]
+        mv16_dy, mv16_dx, _ = me[(16, 16)]       # [N, 4, 4] pixel MVs
+        mv_r16 = _nested_to_grid(mv16_dy, n_sby, n_sbx, 4, 4, xp)
+        mv_c16 = _nested_to_grid(mv16_dx, n_sby, n_sbx, 4, 4, xp)
+        mvq8_r, mvq8_c, pred = bme.subpel_refine16(
+            src, ref, mv_r16, mv_c16, buf_w, buf_h, bd, xp, row0)
+        # mv signaling proxy: distance from this ref's SB-level coarse
+        # predictor
+        sb_r, sb_c, _ = me[(64, 64)]             # [N, 1, 1]
+        sb_r16 = xp.repeat(xp.repeat(sb_r.reshape(n_sby, n_sbx), 4, 0),
+                           4, 1)
+        sb_c16 = xp.repeat(xp.repeat(sb_c.reshape(n_sby, n_sbx), 4, 0),
+                           4, 1)
+        d_r = xp.abs(mvq8_r - sb_r16 * 8).astype(xp.float32)
+        d_c = xp.abs(mvq8_c - sb_c16 * 8).astype(xp.float32)
+        mvb = MV_BIT_SCALE * (xp.log2(1.0 + d_r / 8.0)
+                              + xp.log2(1.0 + d_c / 8.0))
+        mv_r_all.append(mvq8_r)
+        mv_c_all.append(mvq8_c)
+        pred_all.append(pred)
+        mvb_all.append(mvb)
 
-    resid = src - pred
+    mv_r_all = xp.stack(mv_r_all)                # [K, nr16, nc16]
+    mv_c_all = xp.stack(mv_c_all)
+    mvb_all = xp.stack(mvb_all)                  # [K, nr16, nc16] f32
+    preds = xp.stack(pred_all)                   # [K, stripe_h, buf_w]
+
+    s16 = src.reshape(nr16, 16, nc16, 16).transpose(0, 2, 1, 3)
+    p16 = preds.reshape(K, nr16, 16, nc16, 16).transpose(0, 1, 3, 2, 4)
+    sad = xp.abs(s16[None] - p16).sum((-1, -2)).astype(xp.float32)
+    base = sad + SEL_MV_W * mvb_all                   # [K, nr16, nc16]
+
+    fwd_list = [k for k in range(K) if not bwd_mask[k]]
+    bwd_list = [k for k in range(K) if bwd_mask[k]]
+    do_comp = bool(allow_compound and fwd_list and bwd_list)
+    zero_i = xp.zeros((nr16, nc16), xp.int32)
+    if do_comp:
+        f_gl = xp.asarray(np.asarray(fwd_list, np.int32))
+        b_gl = xp.asarray(np.asarray(bwd_list, np.int32))
+        fi = f_gl[xp.argmin(base[xp.asarray(fwd_list)], axis=0)
+                  if len(fwd_list) > 1 else zero_i]
+        bi = b_gl[xp.argmin(base[xp.asarray(bwd_list)], axis=0)
+                  if len(bwd_list) > 1 else zero_i]
+        pf = _take16(p16, fi, xp)
+        pb = _take16(p16, bi, xp)
+        comp16 = (pf + pb + 1) >> 1
+        sad_c = xp.abs(s16 - comp16).sum((-1, -2)).astype(xp.float32)
+        mvb_c = _take16(mvb_all, fi, xp) + _take16(mvb_all, bi, xp)
+        base = xp.concatenate(
+            [base, (sad_c + SEL_MV_W * mvb_c)[None]], axis=0)
+        cand16 = xp.concatenate([p16, comp16[None]], axis=0)
+    else:
+        fi = bi = zero_i
+        cand16 = p16
+
+    # SB-level winner (sum of unit scores over each 4x4-unit SB), then
+    # per-unit selection with a deviation charge away from it
+    nc = base.shape[0]                                # K or K+1
+    nsy, nsx = nr16 // 4, nc16 // 4
+    sb_base = base[:, :nsy * 4, :nsx * 4] \
+        .reshape(nc, nsy, 4, nsx, 4).sum((2, 4))
+    sb_pen = np.zeros(nc, np.float32)
+    sb_pen[1:K] = REF_PEN_SB
+    if do_comp:
+        sb_pen[K] = COMP_PEN_SB
+    sb_sel = xp.argmin(sb_base + xp.asarray(sb_pen)[:, None, None],
+                       axis=0).astype(xp.int32)       # [nsy, nsx]
+    sb_sel16 = xp.repeat(xp.repeat(sb_sel, 4, 0), 4, 1)
+    if sb_sel16.shape != (nr16, nc16):                # non-/4 stripes
+        sb_sel16 = xp.pad(sb_sel16,
+                          ((0, nr16 - sb_sel16.shape[0]),
+                           (0, nc16 - sb_sel16.shape[1])), mode="edge")
+    ks = xp.arange(nc, dtype=xp.int32)[:, None, None]
+    score = base + DEV_PEN * (ks != sb_sel16[None]).astype(xp.float32)
+
+    sel = xp.argmin(score, axis=0).astype(xp.int32)   # [nr16, nc16]
+    pred_fin = _take16(cand16, sel, xp)               # [nr16,nc16,16,16]
+    pred_plane = pred_fin.transpose(0, 2, 1, 3).reshape(stripe_h, buf_w)
+
+    is_comp = sel == K if do_comp else xp.zeros_like(sel, dtype=bool)
+    kk = xp.where(is_comp, fi, xp.minimum(sel, K - 1))
+    mv_r = _take16(mv_r_all, kk, xp)
+    mv_c = _take16(mv_c_all, kk, xp)
+    mv1_r = xp.where(is_comp, _take16(mv_r_all, bi, xp), 0)
+    mv1_c = xp.where(is_comp, _take16(mv_c_all, bi, xp), 0)
+    mvbits16 = xp.where(is_comp,
+                        _take16(mvb_all, fi, xp) + _take16(mvb_all, bi, xp),
+                        _take16(mvb_all, kk, xp))
+
+    resid = src - pred_plane
     resid_padded = xp.pad(resid, omd.PAD, mode="edge")
     inter_cost = _mc_cost_maps(resid_padded, buf_w, stripe_h, qindex, lam,
                                bd, xp)
 
-    # mv signaling proxy: distance from the SB-level coarse predictor
-    sb_r, sb_c, _ = me[(64, 64)]                 # [N, 1, 1]
-    sb_r16 = xp.repeat(xp.repeat(
-        sb_r.reshape(n_sby, n_sbx), 4, 0), 4, 1)
-    sb_c16 = xp.repeat(xp.repeat(
-        sb_c.reshape(n_sby, n_sbx), 4, 0), 4, 1)
-    d_r = xp.abs(mvq8_r - sb_r16 * 8).astype(xp.float32)
-    d_c = xp.abs(mvq8_c - sb_c16 * 8).astype(xp.float32)
-    mvbits16 = MV_BIT_SCALE * (xp.log2(1.0 + d_r / 8.0)
-                               + xp.log2(1.0 + d_c / 8.0))
-
+    sel_fields = dict(sel=sel, mv_r=mv_r, mv_c=mv_c,
+                      mv1_r=mv1_r, mv1_c=mv1_c, fwd_i=fi, bwd_i=bi)
     intra = None
     if with_intra:
         padded_src = omd.pad_plane(src, xp)
         intra = omd.intra_decision_arrays(padded_src, buf_w, buf_h,
                                           qindex, lam, mode_bits, bd, xp)
-    return intra, inter_cost, (mvq8_r, mvq8_c), mvbits16
+    return intra, inter_cost, sel_fields, mvbits16
 
 
-import functools
+_SEL_KEYS = ("sel", "mv_r", "mv_c", "mv1_r", "mv1_c", "fwd_i", "bwd_i")
 
 
 @functools.lru_cache(maxsize=8)
-def _jitted_inter(buf_w: int, buf_h: int, bd: int):
+def _jitted_inter(buf_w: int, buf_h: int, bd: int, n_refs: int,
+                  bwd_mask: tuple, allow_compound: bool):
     import jax
     import jax.numpy as jnp
 
-    def run(src_u8, ref_u8, qindex, lam, mode_bits):
-        intra, inter_cost, (mvdy, mvdx), mvb = inter_frame_maps(
-            src_u8.astype(jnp.int32), ref_u8.astype(jnp.int32),
-            buf_w, buf_h, qindex, lam, mode_bits, bd, jnp)
+    def run(src_u8, refs_u8, qindex, lam, mode_bits):
+        intra, inter_cost, sf, mvb = inter_frame_maps(
+            src_u8.astype(jnp.int32), refs_u8.astype(jnp.int32),
+            buf_w, buf_h, qindex, lam, mode_bits, bd, jnp,
+            bwd_mask=bwd_mask, allow_compound=allow_compound)
         parts = []
         for s in omd.ALL_SHAPES:
             m, c = intra[s]
@@ -133,23 +253,30 @@ def _jitted_inter(buf_w: int, buf_h: int, bd: int):
             parts.append(c.ravel())
         for s in omd.ALL_SHAPES:
             parts.append(inter_cost[s].ravel())
-        parts += [mvdy.astype(jnp.float32).ravel(),
-                  mvdx.astype(jnp.float32).ravel(), mvb.ravel()]
+        parts += [sf[k].astype(jnp.float32).ravel() for k in _SEL_KEYS]
+        parts.append(mvb.ravel())
         return jnp.concatenate(parts)
 
     return jax.jit(run)
 
 
-def inter_maps_dispatch(src, ref, buf_w, buf_h, qindex, lam, mode_bits,
-                        bd, use_jax):
+def inter_maps_dispatch(src, refs, buf_w, buf_h, qindex, lam, mode_bits,
+                        bd, use_jax, bwd_mask=None, allow_compound=False):
     """Run inter_frame_maps as ONE jitted device program (or the numpy
     reference), returning numpy results."""
+    refs = np.asarray(refs)
+    if refs.ndim == 2:
+        refs = refs[None]
+    if bwd_mask is None:
+        bwd_mask = (False,) * refs.shape[0]
+    bwd_mask = tuple(bool(b) for b in bwd_mask)
     if use_jax:
         try:
-            fn = _jitted_inter(buf_w, buf_h, bd)
+            fn = _jitted_inter(buf_w, buf_h, bd, refs.shape[0], bwd_mask,
+                               bool(allow_compound))
             dt = np.uint8 if bd == 8 else np.uint16
             flat = np.asarray(fn(np.asarray(src).astype(dt),
-                                 np.asarray(ref).astype(dt),
+                                 refs.astype(dt),
                                  np.int32(qindex), float(lam),
                                  np.asarray(mode_bits, np.float32)))
             intra, inter_cost = {}, {}
@@ -169,26 +296,30 @@ def inter_maps_dispatch(src, ref, buf_w, buf_h, qindex, lam, mode_bits,
                 off += nr * nc
             nr16, nc16 = buf_h // 16, buf_w // 16
             n = nr16 * nc16
-            mvdy = flat[off:off + n].reshape(nr16, nc16).astype(np.int32)
-            off += n
-            mvdx = flat[off:off + n].reshape(nr16, nc16).astype(np.int32)
-            off += n
+            sf = {}
+            for k in _SEL_KEYS:
+                sf[k] = flat[off:off + n].reshape(nr16, nc16) \
+                    .astype(np.int32)
+                off += n
             mvb = flat[off:off + n].reshape(nr16, nc16)
-            return intra, inter_cost, (mvdy, mvdx), mvb
+            return intra, inter_cost, sf, mvb
         except ImportError:
             pass
-    return inter_frame_maps(src, ref, buf_w, buf_h, qindex, lam,
-                            mode_bits, bd, np)
+    return inter_frame_maps(src, refs, buf_w, buf_h, qindex, lam,
+                            mode_bits, bd, np, bwd_mask=bwd_mask,
+                            allow_compound=allow_compound)
 
 
 class BatchedDecider(BatchedIntraDecider):
     """Key frames: batched intra plan; inter frames: batched intra+ME
-    plan with per-block intra/inter choice."""
+    plan with per-block intra/inter choice over multiple references and
+    averaged compound."""
 
     def __init__(self, use_jax=None):
         super().__init__(use_jax)
         self._inter = None          # {(w,h): is_inter bool map}
-        self._mv16 = None           # [nr16, nc16, 2] full-pel
+        self._sf = None             # per-16 selection field maps
+        self._names = None          # global ref index -> named ref
 
     def plan_superblock(self, codec, mi_row, mi_col):
         if codec.fh.frame_type == FrameType.KEY_FRAME:
@@ -205,13 +336,10 @@ class BatchedDecider(BatchedIntraDecider):
             return
         self._plan_inter(codec)
 
-    def _plan_inter(self, codec):
-        from .rdo import rd_lambda
-
-        lam = rd_lambda(codec.fh.base_q_idx, codec.seq.bit_depth)
-        mode_bits = default_mode_bits(codec.fc)
-        ref_planes = codec.refs[1][0]       # LAST, padded by REF_PAD
+    def _ref_plane(self, codec, name):
         from .frame_codec import REF_PAD
+
+        ref_planes = codec.refs[name][0]
         ref_y = np.asarray(ref_planes)[REF_PAD:REF_PAD + codec.buf_h,
                                        REF_PAD:REF_PAD + codec.buf_w]
         if ref_y.shape != (codec.buf_h, codec.buf_w):
@@ -223,21 +351,37 @@ class BatchedDecider(BatchedIntraDecider):
             full[:h0, w0:] = ref_y[:, w0 - 1:w0]
             full[h0:, :] = full[h0 - 1:h0, :]
             ref_y = full
-        intra, inter_cost, (mvdy, mvdx), mvbits16 = inter_maps_dispatch(
-            codec.source[0], ref_y, codec.buf_w, codec.buf_h,
+        return ref_y
+
+    def _plan_inter(self, codec):
+        from .rdo import rd_lambda
+
+        lam = rd_lambda(codec.fh.base_q_idx, codec.seq.bit_depth)
+        mode_bits = default_mode_bits(codec.fc)
+        names = codec.search_refs()[:3]
+        self._names = names
+        refs = np.stack([self._ref_plane(codec, n) for n in names])
+        bwd_mask = tuple(codec.sign_bias[n] > 0 for n in names)
+        allow_comp = bool(codec.fh.reference_select
+                          and getattr(codec, "compound_level", 1) > 0
+                          and any(bwd_mask) and not all(bwd_mask))
+        intra, inter_cost, sf, mvbits16 = inter_maps_dispatch(
+            codec.source[0], refs, codec.buf_w, codec.buf_h,
             codec.fh.base_q_idx, lam, mode_bits, codec.seq.bit_depth,
-            self.use_jax)
-        mv_r = np.asarray(mvdy)                  # [nr16, nc16], 1/8-pel
-        mv_c = np.asarray(mvdx)
+            self.use_jax, bwd_mask, allow_comp)
+        sf = {k: np.asarray(v) for k, v in sf.items()}
+        self._sf = sf
         mvb = np.asarray(mvbits16)
-        self._mv16 = np.stack([mv_r, mv_c], axis=-1)
 
         # per-shape combined cost + choice (vectorized over the grids):
-        # a shape is inter-eligible when every 16x16 MV it covers agrees
-        # (one coded MV per block); sub-16 shapes inherit the parent MV
+        # a shape is inter-eligible when every 16x16 unit it covers made
+        # the SAME choice (ref/compound pair + MVs -> one coded block);
+        # sub-16 shapes inherit the parent unit's choice
         self._modes = {s: np.asarray(m) for s, (m, _) in intra.items()}
         self._inter = {}
         cost = {}
+        unif_keys = ("sel", "fwd_i", "bwd_i", "mv_r", "mv_c",
+                     "mv1_r", "mv1_c")
         for (w, h) in omd.ALL_SHAPES:
             ic = np.asarray(intra[(w, h)][1]) + lam * INTRA_IN_INTER_BITS
             nc = np.asarray(inter_cost[(w, h)])
@@ -245,12 +389,13 @@ class BatchedDecider(BatchedIntraDecider):
             fy, fx = max(h // 16, 1), max(w // 16, 1)
             pr = np.arange(nr) * h // 16
             pc = np.arange(ncol) * w // 16
-            base_r = mv_r[np.ix_(pr, pc)]
-            base_c = mv_c[np.ix_(pr, pc)]
             ok = np.ones(ic.shape, bool)
-            for dy in range(fy):
-                for dx in range(fx):
-                    ok &= (mv_r[np.ix_(pr + dy, pc + dx)] == base_r)                         & (mv_c[np.ix_(pr + dy, pc + dx)] == base_c)
+            for key in unif_keys:
+                m = sf[key]
+                base = m[np.ix_(pr, pc)]
+                for dy in range(fy):
+                    for dx in range(fx):
+                        ok &= m[np.ix_(pr + dy, pc + dx)] == base
             mvcost = mvb[np.ix_(pr, pc)]
             total_inter = np.where(ok, nc + lam * mvcost, np.inf)
             use_inter = total_inter < ic
@@ -269,6 +414,43 @@ class BatchedDecider(BatchedIntraDecider):
 
     # -- replay ---------------------------------------------------------
 
+    def _decide_compound(self, codec, x, y, bw, bh, mi_row, mi_col, w4,
+                         h4, u16):
+        """Replay a compound-selected unit against the true compound MV
+        stack (NEW_NEW vs NEAREST_NEAREST, like the per-block search)."""
+        sf = self._sf
+        rf = self._names[int(sf["fwd_i"][u16])]
+        rb = self._names[int(sf["bwd_i"][u16])]
+        mv0 = (int(sf["mv_r"][u16]), int(sf["mv_c"][u16]))
+        mv1 = (int(sf["mv1_r"][u16]), int(sf["mv1_c"][u16]))
+        in_frame = lambda mv: codec.mv_window_in_frame(mv, x, y, bw, bh)
+        stack = mp.find_mv_stack(
+            codec.mi, mi_row, mi_col, w4, h4, rf,
+            codec.mi_rows, codec.mi_cols, sb_mi=codec.seq.sb_size // 4,
+            sign_bias=codec.sign_bias, ref_frame1=rb, tile=codec.tile,
+            **codec.gm_stack_kwargs(rf, rb, mi_row, mi_col, w4, h4)).stack
+        lower = lambda mv: mp.lower_mv_precision(mv, False, False)
+        trials = [(mp.NEW_NEWMV, mv0, mv1, 96)]
+        if stack:
+            trials.append((mp.NEAREST_NEARESTMV,
+                           lower(stack[0][0]), lower(stack[0][1]), 0))
+        src_blk = codec.source[0][y:y + bh, x:x + bw].astype(np.int32)
+        best = None
+        for mode, m0, m1, pen in trials:
+            if not (in_frame(m0) and in_frame(m1)):
+                continue
+            pred = codec.predict_compound(0, m0, m1, x, y, bw, bh, rf, rb)
+            sad = int(np.abs(src_blk - pred).sum()) + pen
+            if best is None or sad < best[0]:
+                best = (sad, mode, m0, m1)
+        if best is None:
+            return None
+        _, mode, m0, m1 = best
+        return BlockDecision(is_inter=True, inter_mode=mode,
+                             mv=(int(m0[0]), int(m0[1])),
+                             mv1=(int(m1[0]), int(m1[1])),
+                             ref=rf, ref1=rb)
+
     def decide_inter(self, codec, x, y, bw, bh, mi_row, mi_col, w4,
                      h4=None):
         if h4 is None:
@@ -279,9 +461,17 @@ class BatchedDecider(BatchedIntraDecider):
         bi, bj = y // bh, x // bw
         if not self._inter[(bw, bh)][bi, bj]:
             return self.decide(codec, x, y, bw, bh)
-        mv16 = self._mv16[y // 16, x // 16]
-        mv = (int(mv16[0]), int(mv16[1]))        # already 1/8-pel
-        ref = 1                                  # LAST
+        sf = self._sf
+        u16 = (y // 16, x // 16)
+        sel = int(sf["sel"][u16])
+        if sel >= len(self._names):            # compound unit
+            d = self._decide_compound(codec, x, y, bw, bh, mi_row,
+                                      mi_col, w4, h4, u16)
+            if d is not None:
+                return d
+            sel = int(sf["fwd_i"][u16])        # windows failed: single
+        ref = self._names[sel]
+        mv = (int(sf["mv_r"][u16]), int(sf["mv_c"][u16]))
         stack_res = mp.find_mv_stack(
             codec.mi, mi_row, mi_col, w4, h4, ref,
             codec.mi_rows, codec.mi_cols, sb_mi=codec.seq.sb_size // 4,
