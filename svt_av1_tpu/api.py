@@ -217,6 +217,14 @@ class Encoder:
         sig = __import__("svt_av1_tpu.config", fromlist=["derive_signals"]
                          ).derive_signals(cfg)
         self.sig = sig
+        from .profiling import LOG, StageTimer
+        self.prof = StageTimer()    # per-stage latency (EbTime.c analog)
+        LOG.debug("config: %dx%d qp=%d preset=%d rc=%d keyint=%d "
+                  "tiles=%dx%d depth=%d",
+                  cfg.source_width, cfg.source_height, cfg.qp,
+                  cfg.enc_mode, cfg.rate_control_mode,
+                  cfg.intra_period_length, cfg.tile_columns,
+                  cfg.tile_rows, cfg.encoder_bit_depth)
         self.pd = PictureDecision(cfg)
         from .utils.levels import pick_seq_level_idx
         self.seq = SequenceHeader(
@@ -566,9 +574,15 @@ class Encoder:
         return temporal_filter(planes, neighbors, self.cfg.qp,
                                self.cfg.encoder_bit_depth)
 
+    def perf_report(self) -> dict:
+        """Per-stage latency report (EncApp --enable-stat-report
+        analog; see profiling.StageTimer)."""
+        return self.prof.report(self.frame_count)
+
     def _encode_display(self, job: CodeJob) -> bytes:
-        planes = self._tf_source(
-            job, self._buffer[job.display - self._next_display])
+        with self.prof("temporal_filter"):
+            planes = self._tf_source(
+                job, self._buffer[job.display - self._next_display])
         refs = None
         refs_idx = (0,) * 7
         sign_bias = [0] * 8
@@ -649,26 +663,30 @@ class Encoder:
                               self.sig.enable_hme_level1,
                               self.sig.enable_hme_level2)
         codec.aq_map = aq_map
-        tile_data = _assemble_tile_group(codec.encode_tiles(decider), fh)
+        with self.prof("encode_tiles"):
+            tile_data = _assemble_tile_group(codec.encode_tiles(decider),
+                                             fh)
         from .ops.filter_chain import dlf_cdef_chain
         cdef_reenc = False
-        if (self.sig.cdef_multi and self.seq.enable_cdef
-                and fh.base_q_idx > 0 and not fh.allow_intrabc):
-            # per-64x64 cdef presets (finish_cdef_search analog); the
-            # strength indices are tile syntax, so the entropy pass
-            # reruns below — shared with the LR re-encode
-            codec.apply_loop_filter()
-            cdef_reenc = codec.search_and_apply_cdef_multi(
-                codec._rdoq_state()[1])
-        elif not dlf_cdef_chain(codec):
-            codec.apply_loop_filter()
-            codec.search_and_apply_cdef()
+        with self.prof("dlf_cdef"):
+            if (self.sig.cdef_multi and self.seq.enable_cdef
+                    and fh.base_q_idx > 0 and not fh.allow_intrabc):
+                # per-64x64 cdef presets (finish_cdef_search analog); the
+                # strength indices are tile syntax, so the entropy pass
+                # reruns below — shared with the LR re-encode
+                codec.apply_loop_filter()
+                cdef_reenc = codec.search_and_apply_cdef_multi(
+                    codec._rdoq_state()[1])
+            elif not dlf_cdef_chain(codec):
+                codec.apply_loop_filter()
+                codec.search_and_apply_cdef()
         codec.apply_superres()
         lr_reenc = False
         if self.seq.enable_restoration:
             from .pipeline.rdo import rd_lambda
-            lr_reenc = codec.search_lr(
-                rd_lambda(fh.base_q_idx, self.seq.bit_depth))
+            with self.prof("lr_search"):
+                lr_reenc = codec.search_lr(
+                    rd_lambda(fh.base_q_idx, self.seq.bit_depth))
         if lr_reenc or cdef_reenc:
             # LR params and cdef indices live inside the tile syntax:
             # re-encode with both searched states (decisions replay; the
@@ -686,13 +704,14 @@ class Encoder:
             codec2.aq_map = aq_map
             codec2.lr_plan = codec.lr_plan
             codec2.cdef_idx_grid[:] = codec.cdef_idx_grid
-            tile_data = _assemble_tile_group(
-                codec2.encode_tiles(decider), fh)
-            codec2.apply_loop_filter()
-            codec2.apply_cdef()
-            codec2.apply_superres()
-            if lr_reenc:
-                codec2.apply_lr()
+            with self.prof("reencode"):
+                tile_data = _assemble_tile_group(
+                    codec2.encode_tiles(decider), fh)
+                codec2.apply_loop_filter()
+                codec2.apply_cdef()
+                codec2.apply_superres()
+                if lr_reenc:
+                    codec2.apply_lr()
             codec = codec2
         self.last_recon = codec.cropped_recon()
         self.recon_by_display[job.display] = self.last_recon
@@ -707,10 +726,11 @@ class Encoder:
         if job.is_key or job.layer == 0:
             self._anchor = job.display
 
-        w = BitWriter()
-        write_frame_header(w, self.seq, fh, ref_hints)
-        w.byte_align()
-        frame_payload = w.bytes() + tile_data
+        with self.prof("packetize"):
+            w = BitWriter()
+            write_frame_header(w, self.seq, fh, ref_hints)
+            w.byte_align()
+            frame_payload = w.bytes() + tile_data
 
         out = temporal_delimiter_obu()
         if not self._wrote_seq_header:

@@ -115,6 +115,9 @@ def _enc(args) -> int:
     kbps = total_bytes * 8 * float(info.frame_rate) / max(n, 1) / 1000
     print(f"SUMMARY: {n} frames, {total_bytes} bytes ({kbps:.1f} kbps), "
           f"{dt:.2f}s, Average Speed: {fps:.3f} fps")
+    if args.stat_report:
+        # per-stage latency table (EncApp --enable-stat-report analog)
+        print(enc.prof.format_report(n))
     if psnrs:
         avg = np.mean(np.array(psnrs), axis=0)
         print(f"Average PSNR Y {avg[0]:.3f}  U {avg[1]:.3f}  V {avg[2]:.3f}  "
