@@ -27,6 +27,7 @@ from .bitstream.headers import (FrameHeader, SequenceHeader,
 from .bitstream.headers import UnsupportedBitstream as _Unsupported
 from .config import EncoderConfig, PredStructure
 from .constants import FrameType, ObuType
+from .entropy.tables import FrameCdfs
 from .pipeline.frame_codec import FrameCodec, ModeDecider
 
 LAST, LAST2, LAST3, GOLDEN, BWDREF, ALTREF2, ALTREF = range(1, 8)
@@ -74,6 +75,8 @@ class CodeJob:
     layer: int = 0             # temporal layer (key = 0)
     is_key: bool = False
     show: bool = True
+    n_deps: int = -1           # frames that will reference this one
+    #                            (-1 = unknown; 0 = pure leaf/tail)
 
 
 def dyadic_order(lo: int, hi: int, layer: int = 1):
@@ -163,10 +166,14 @@ class Dpb:
     decoder (EbPictureManagerProcess.c reference-queue analog)."""
 
     def __init__(self):
-        self.slots = [None] * 8    # {planes, order_hint, display}
+        self.slots = [None] * 8    # {planes, order_hint, display, cdfs,
+        #                            gm, qindex} (cdfs/gm: spec 7.20
+        #                            SavedCdfs / SavedGmParams)
 
-    def refresh(self, mask: int, planes, order_hint: int, display: int):
-        entry = dict(planes=planes, order_hint=order_hint, display=display)
+    def refresh(self, mask: int, planes, order_hint: int, display: int,
+                cdfs=None, gm=None, qindex: int = 0):
+        entry = dict(planes=planes, order_hint=order_hint, display=display,
+                     cdfs=cdfs, gm=gm, qindex=qindex)
         for i in range(8):
             if mask & (1 << i):
                 self.slots[i] = entry
@@ -247,6 +254,9 @@ class Encoder:
         from .pipeline.rate_control import RateControl
         self.rc = RateControl(cfg, float(cfg.frame_rate),
                               all_intra=self.pd.key_interval == 1)
+        # the pyramid depth actually scheduled (may be shallower than
+        # cfg.hierarchical_levels for short GOPs)
+        self.rc.hierarchical_levels = max(self.pd.gop.bit_length() - 1, 1)
         if two_pass_stats:
             from .pipeline.first_pass import (complexity_weights,
                                               detect_scene_changes)
@@ -400,6 +410,17 @@ class Encoder:
             if jobs is None:
                 break
             self._maybe_tpl(jobs, consumed)
+            # dependency count for the mini-GOP base: the group's other
+            # frames plus (unless the stream ends here) the next group,
+            # which references it as LAST/GOLDEN.  Tail bases at eos get
+            # small counts, killing the gf boost the reference likewise
+            # withholds when no pictures lean on a frame
+            # (EbRateControlProcess.c gfu-boost frame_count).
+            future = len(self._buffer) - consumed if eos else self.pd.gop
+            for job in jobs:
+                if job.kind == "code" and job.layer == 0 \
+                        and not job.is_key:
+                    job.n_deps = consumed - 1 + future
             for job in jobs:
                 self._maybe_prefetch(job)
                 packets.append(self._run_job(job))
@@ -410,14 +431,15 @@ class Encoder:
         return packets
 
     def _maybe_tpl(self, jobs, consumed: int) -> None:
-        """TPL lookahead over the scheduled mini-GOP: per-frame qindex
-        boosts from the propagated dependency model (tpl_mc_flow
-        analog; device ME stats, host propagation)."""
+        """TPL lookahead over the scheduled mini-GOP: per-frame r0 from
+        the propagated dependency model feeds the kf/gf-boost qindex
+        ladder (tpl_mc_flow -> generate_r0beta ->
+        cqp_qindex_calc_tpl_la analog; device ME stats, host
+        propagation)."""
         from .config import RateControlMode
         if (not self.cfg.enable_tpl_la
                 or self.cfg.rate_control_mode != RateControlMode.CQP
-                or self.pd.gop <= 1 or consumed < 2
-                or jobs[0].is_key):
+                or self.pd.gop <= 1 or consumed < 2):
             return
         from .pipeline import tpl as tpl_mod
         from .pipeline.frame_codec import _device_filters
@@ -431,17 +453,12 @@ class Encoder:
         sb = self.seq.sb_size
         buf_w = -(-(mi_c * 4) // sb) * sb
         buf_h = -(-(mi_r * 4) // sb) * sb
-        offs = tpl_mod.tpl_gop_offsets(
+        r0s = tpl_mod.tpl_gop_flow(
             [np.asarray(f[0]) for f in window], displays, buf_w, buf_h,
-            cfg.encoder_bit_depth, use_jax=_device_filters())
-        # leaves are never referenced: the boost only applies to frames
-        # other frames depend on (the display-chain beta over-credits
-        # them otherwise)
-        layer_of = {j.display: j.layer for j in jobs if j.kind == "code"}
-        max_layer = max(layer_of.values()) if layer_of else 0
-        offs = {d: v for d, v in offs.items()
-                if layer_of.get(d, max_layer) < max_layer}
-        self.rc.tpl_offsets.update(offs)
+            cfg.encoder_bit_depth, use_jax=_device_filters(),
+            include_first=seed is None)
+        self.rc.r0.update(r0s)
+        self.rc.tpl_group_size = consumed
 
     def _maybe_prefetch(self, job: CodeJob) -> None:
         """Pipeline overlap (the SRM analog's first slice): while the
@@ -487,13 +504,15 @@ class Encoder:
                 ObuType.OBU_FRAME_HEADER, w.bytes())
         return self._encode_display(job)
 
-    def _qindex_for(self, job: CodeJob) -> int:
-        return self.rc.pick_qindex(job.is_key, job.layer, job.display)
+    def _qindex_for(self, job: CodeJob, ref_displays: tuple = ()) -> int:
+        return self.rc.pick_qindex(job.is_key, job.layer, job.display,
+                                   ref_displays, job.n_deps)
 
-    def _frame_header(self, job: CodeJob, refs_idx) -> FrameHeader:
+    def _frame_header(self, job: CodeJob, refs_idx,
+                      ref_displays: tuple = ()) -> FrameHeader:
         from .ops.dlf import filter_levels_from_qindex
 
-        qindex = self._qindex_for(job)
+        qindex = self._qindex_for(job, ref_displays)
         lvl = 0 if self.cfg.disable_dlf else filter_levels_from_qindex(
             qindex, self.cfg.encoder_bit_depth)
         fh = self._make_frame_header(job, refs_idx, qindex, lvl)
@@ -600,8 +619,28 @@ class Encoder:
             for n in range(1, 8):
                 sign_bias[n] = int(self._rel_dist(named[n], job.display) > 0)
 
-        fh = self._frame_header(job, refs_idx)
+        ref_displays = () if job.is_key else (named[LAST], named[BWDREF])
+        fh = self._frame_header(job, refs_idx, ref_displays)
         fh.refresh_frame_flags = self._refresh_mask(job)
+        init_fc = None
+        if not job.is_key and not fh.error_resilient_mode:
+            # primary_ref_frame: chain this frame's CDFs (and gm delta
+            # base) from the named ref whose saved state fits best —
+            # the quantizer-closest ref approximates same-layer
+            # chaining (svt_aom_get_primary_ref analog)
+            best = None
+            for n in range(1, 8):
+                e = self.dpb.slots[self.dpb.slot_of_display(named[n])]
+                if e.get("cdfs") is None:
+                    continue
+                score = (abs(e["qindex"] - fh.base_q_idx),
+                         abs(e["display"] - job.display))
+                if best is None or score < best[0]:
+                    best = (score, n, e)
+            if best is not None:
+                fh.primary_ref_frame = best[1] - 1
+                init_fc = best[2]["cdfs"]
+                fh.prev_gm = best[2]["gm"] or ()
         if not job.is_key:
             # compound prediction once any backward reference exists
             fh.reference_select = any(
@@ -645,8 +684,14 @@ class Encoder:
                 np.asarray(planes[0]), self.seq.sb_size, fh.base_q_idx)
         decider = self._decider_cached()
         decider.replay_store = {}    # per-frame; reused on LR re-encode
-        codec = FrameCodec(self.seq, fh, source_planes=planes, refs=refs)
+        codec = FrameCodec(self.seq, fh, source_planes=planes, refs=refs,
+                           init_fc=init_fc)
+        # frame-end CDF save reads the LAST tile (context_update_tile_id)
+        fh.context_update_tile_id = len(codec.tile_rects()) - 1
         codec.sign_bias = sign_bias
+        if not job.is_key:
+            codec.ref_dists = {n: self._rel_dist(named[n], job.display)
+                               for n in range(1, 8)}
         codec.lr_source = lr_source
         codec.rdoq_level = self.sig.rdoq_level
         codec.rdoq_layer = (getattr(job, "layer", 0),
@@ -693,8 +738,10 @@ class Encoder:
             # reference instead orders entropy coding after the REST
             # stage, EbEncHandle.c pipeline)
             codec2 = FrameCodec(self.seq, fh, source_planes=planes,
-                                refs=refs)
+                                refs=refs, init_fc=init_fc)
             codec2.sign_bias = sign_bias
+            if not job.is_key:
+                codec2.ref_dists = codec.ref_dists
             codec2.rdoq_level = codec.rdoq_level
             codec2.rdoq_layer = codec.rdoq_layer
             codec2.obmc_level = self.sig.obmc_level
@@ -721,8 +768,20 @@ class Encoder:
         ref_hints = self._slot_order_hints()
         if fh.refresh_frame_flags:
             ref_planes = [p.astype(np.int32) for p in self.last_recon]
+            # SavedCdfs: the adapted end state of the frame's last tile
+            # (context_update_tile_id); SavedGmParams: this frame's mats
+            from .bitstream.headers import GM_IDENTITY_MAT
+            gm_mats = tuple(
+                (fh.global_motion[i][1] if i < len(fh.global_motion)
+                 else GM_IDENTITY_MAT) for i in range(7))
+            saved_fc = codec.fc.copy() \
+                if not fh.disable_frame_end_update_cdf \
+                else (init_fc.copy() if init_fc is not None
+                      else FrameCdfs(fh.base_q_idx))
+            saved_fc.zero_counters()
             self.dpb.refresh(fh.refresh_frame_flags, ref_planes,
-                             job.display, job.display)
+                             job.display, job.display, cdfs=saved_fc,
+                             gm=gm_mats, qindex=fh.base_q_idx)
         if job.is_key or job.layer == 0:
             self._anchor = job.display
 
@@ -739,6 +798,8 @@ class Encoder:
             self._wrote_seq_header = True
         out += wrap_obu(ObuType.OBU_FRAME, frame_payload)
         self.rc.update(job.is_key, job.layer, 8 * len(out))
+        self.rc.note_coded(job.display, fh.base_q_idx, job.layer,
+                           job.is_key)
         self.frame_count += 1
         return out
 
@@ -851,17 +912,28 @@ class Decoder:
                 for s in self.dpb.slots]
 
     def _decode_frame_obu(self, payload: bytes):
+        from .bitstream.headers import PRIMARY_REF_NONE
         assert self.seq is not None, "no sequence header seen"
         r = BitReader(payload)
-        fh = parse_frame_header(r, self.seq, self._hints())
+        saved_gm = [None if s is None else s.get("gm")
+                    for s in self.dpb.slots]
+        fh = parse_frame_header(r, self.seq, self._hints(), saved_gm)
         assert isinstance(fh, FrameHeader)
         tile_data = payload[r.byte_pos:]
         is_key = fh.frame_type == FrameType.KEY_FRAME
         refs = None
+        init_fc = None
         if not is_key:
             refs = {n: self.dpb.slots[fh.ref_frame_idx[n - 1]]["planes"]
                     for n in range(1, 8)}
-        codec = FrameCodec(self.seq, fh, refs=refs)
+            if fh.primary_ref_frame != PRIMARY_REF_NONE:
+                slot = self.dpb.slots[
+                    fh.ref_frame_idx[fh.primary_ref_frame]]
+                init_fc = slot.get("cdfs")
+                if init_fc is None:
+                    raise ApiError(ErrorCode.UNSUPPORTED_BITSTREAM,
+                                   "primary ref without saved CDFs")
+        codec = FrameCodec(self.seq, fh, refs=refs, init_fc=init_fc)
         if not is_key and self.seq.enable_order_hint:
             bits = self.seq.order_hint_bits
 
@@ -897,8 +969,20 @@ class Decoder:
         planes = codec.cropped_recon()
         mask = 0xFF if is_key and fh.show_frame else fh.refresh_frame_flags
         if mask:
+            from .bitstream.headers import GM_IDENTITY_MAT
+            gm_mats = tuple(
+                (fh.global_motion[i][1] if i < len(fh.global_motion)
+                 else GM_IDENTITY_MAT) for i in range(7))
+            saved_fc = getattr(codec, "saved_fc", None) or codec.fc
+            if fh.disable_frame_end_update_cdf:
+                saved_fc = init_fc if init_fc is not None \
+                    else FrameCdfs(fh.base_q_idx)
+            saved_fc = saved_fc.copy()
+            saved_fc.zero_counters()
             self.dpb.refresh(mask, [p.astype(np.int32) for p in planes],
-                             fh.order_hint, fh.order_hint)
+                             fh.order_hint, fh.order_hint,
+                             cdfs=saved_fc, gm=gm_mats,
+                             qindex=fh.base_q_idx)
             for i in range(8):
                 if mask & (1 << i):
                     self.dpb.slots[i]["film_grain"] = fh.film_grain

@@ -98,6 +98,10 @@ class FrameHeader:
     # global motion per named ref LAST..ALTREF: (wmtype, (m0..m5)) with
     # wmmat in WARPEDMODEL_PREC_BITS precision; () -> all IDENTITY
     global_motion: tuple = ()
+    # PrevGmParams: the primary ref frame's gm mats (7 x (m0..m5)),
+    # reference values for delta-coding this frame's params (spec
+    # read_global_param); () -> identity (primary_ref_frame == NONE)
+    prev_gm: tuple = ()
     refresh_frame_flags: int = 0xFF
     disable_frame_end_update_cdf: bool = False
     # CDEF (spec 5.9.19 cdef_params; only read when seq.enable_cdef)
@@ -533,8 +537,12 @@ def _parse_superres(r: BitReader, seq: SequenceHeader,
 
 
 def parse_frame_header(r: BitReader, seq: SequenceHeader,
-                       ref_order_hints=(0,) * 8):
-    """Returns a FrameHeader, or an int map_idx for show_existing_frame."""
+                       ref_order_hints=(0,) * 8, saved_gm=None):
+    """Returns a FrameHeader, or an int map_idx for show_existing_frame.
+
+    ``saved_gm``: per-DPB-slot SavedGmParams (8 entries of 7 mats or
+    None) used as the delta-coding reference for global motion when
+    primary_ref_frame != NONE (spec load_previous)."""
     fh = FrameHeader()
     show_existing = r.flag()
     if show_existing:
@@ -557,14 +565,15 @@ def parse_frame_header(r: BitReader, seq: SequenceHeader,
         fh.order_hint = r.f(seq.order_hint_bits)
     if not fh.error_resilient_mode and is_inter:
         fh.primary_ref_frame = r.f(3)
-        assert fh.primary_ref_frame == PRIMARY_REF_NONE, \
-            "CDF inheritance unsupported"
     if is_inter:
         fh.refresh_frame_flags = r.f(8)
         assert not (fh.error_resilient_mode and seq.enable_order_hint)
         if seq.enable_order_hint:
             assert not r.flag()          # frame_refs_short_signaling
         fh.ref_frame_idx = tuple(r.f(3) for _ in range(7))
+        if fh.primary_ref_frame != PRIMARY_REF_NONE and saved_gm:
+            prev = saved_gm[fh.ref_frame_idx[fh.primary_ref_frame]]
+            fh.prev_gm = tuple(prev) if prev else ()
         _parse_superres(r, seq, fh)
         assert not r.flag()              # render size diff
         assert not r.flag()              # allow_high_precision_mv
@@ -932,6 +941,8 @@ def _gm_param_spec(wmtype: int, idx: int, allow_hp: bool):
 def _write_global_motion(w: BitWriter, fh: "FrameHeader") -> None:
     for ref_i in range(7):
         wmtype, mat = _gm_entry(fh, ref_i)
+        prev = getattr(fh, "prev_gm", ())
+        prev_mat = prev[ref_i] if prev else GM_IDENTITY_MAT
         w.flag(wmtype != GM_IDENTITY)
         if wmtype != GM_IDENTITY:
             w.flag(wmtype == GM_ROTZOOM)
@@ -949,14 +960,16 @@ def _write_global_motion(w: BitWriter, fh: "FrameHeader") -> None:
                 wmtype, idx, False)
             prec_diff = WARPEDMODEL_PREC - prec_bits
             mx = 1 << abs_bits
-            ref_v = (GM_IDENTITY_MAT[idx] >> prec_diff) - sub
+            ref_v = (prev_mat[idx] >> prec_diff) - sub
             v = (mat[idx] >> prec_diff) - sub
             _write_signed_subexp_ref(w, -mx, mx + 1, ref_v, v)
 
 
 def _parse_global_motion(r: BitReader, fh: "FrameHeader") -> None:
     out = []
-    for _ in range(7):
+    prev = getattr(fh, "prev_gm", ())
+    for ref_i in range(7):
+        prev_mat = prev[ref_i] if prev else GM_IDENTITY_MAT
         if r.flag():
             wmtype = GM_ROTZOOM if r.flag() else (
                 GM_TRANSLATION if r.flag() else GM_AFFINE)
@@ -975,7 +988,7 @@ def _parse_global_motion(r: BitReader, fh: "FrameHeader") -> None:
                 wmtype, idx, False)
             prec_diff = WARPEDMODEL_PREC - prec_bits
             mx = 1 << abs_bits
-            ref_v = (GM_IDENTITY_MAT[idx] >> prec_diff) - sub
+            ref_v = (prev_mat[idx] >> prec_diff) - sub
             mat[idx] = (_read_signed_subexp_ref(r, -mx, mx + 1, ref_v)
                         << prec_diff) + rnd
         if wmtype == GM_ROTZOOM:
@@ -1009,8 +1022,12 @@ def _write_segmentation(w: BitWriter, fh: "FrameHeader") -> None:
     if not qd:
         return
     # primary_ref_frame == NONE forces update_map=1, temporal_update=0,
-    # update_data=1 with no flags coded (our frames are PRIMARY_REF_NONE)
-    assert fh.primary_ref_frame == PRIMARY_REF_NONE
+    # update_data=1 with no flags coded; with a primary ref the same
+    # semantics are coded explicitly (spec 5.9.14)
+    if fh.primary_ref_frame != PRIMARY_REF_NONE:
+        w.flag(True)                     # segmentation_update_map
+        w.flag(False)                    # segmentation_temporal_update
+        w.flag(True)                     # segmentation_update_data
     for seg in range(8):
         delta = qd[seg] if seg < len(qd) else 0
         w.flag(delta != 0)               # feature_enabled (SEG_LVL_ALT_Q)
@@ -1025,7 +1042,12 @@ def _parse_segmentation(r: BitReader, fh: "FrameHeader") -> None:
         fh.seg_qdeltas = ()
         return
     if fh.primary_ref_frame != PRIMARY_REF_NONE:
-        raise UnsupportedBitstream("segmentation with primary ref")
+        if not r.flag():                 # segmentation_update_map
+            raise UnsupportedBitstream("inherited segmentation map")
+        if r.flag():                     # segmentation_temporal_update
+            raise UnsupportedBitstream("temporal segmentation update")
+        if not r.flag():                 # segmentation_update_data
+            raise UnsupportedBitstream("inherited segmentation data")
     qd = []
     for seg in range(8):
         delta = 0

@@ -208,6 +208,39 @@ class FrameCdfs:
                     else _copy.deepcopy(v))
         return out
 
+    def zero_counters(self) -> None:
+        """Zero every row's adaptation counter (the element right after
+        the row's icdf tail zero at position nsyms-1) — the reference
+        resets symbol counters before saving a frame context for
+        primary-ref chaining (av1_reset_cdf_symbol_counters analog),
+        so the next frame adapts at the fresh-context rate."""
+        def _zero(arr: np.ndarray) -> None:
+            flat = arr.reshape(-1, arr.shape[-1])
+            if flat.shape[1] < 2:
+                return
+            # icdf rows are positive until icdf[nsyms-1] == 0; the
+            # counter sits at nsyms (rows narrower than the table width
+            # are zero-padded, making the write a no-op there)
+            nz = (flat == 0).argmax(axis=1)
+            idx = np.minimum(nz + 1, flat.shape[1] - 1)
+            flat[np.arange(flat.shape[0]), idx] = 0
+
+        for attr in self.__slots__:
+            v = getattr(self, attr)
+            if isinstance(v, np.ndarray):
+                _zero(v)
+        nmv = self.nmv
+        _zero(nmv.joints)
+        for comp in nmv.comps:
+            for name in vars(comp):
+                cv = getattr(comp, name)
+                if isinstance(cv, np.ndarray):
+                    _zero(cv)
+                elif isinstance(cv, (list, tuple)):
+                    for item in cv:
+                        if isinstance(item, np.ndarray):
+                            _zero(item)
+
     def eob_flag(self, eob_pt_alphabet_size_log2: int) -> np.ndarray:
         """eob_pt cdf table for a txsize with 2^k max eob."""
         return getattr(self, f"eob_flag_{1 << eob_pt_alphabet_size_log2}")

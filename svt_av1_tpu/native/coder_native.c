@@ -1022,6 +1022,7 @@ static void tile_partition(Tile *t, int bsize, int mi_row, int mi_col) {
 #define NEARMV 14
 #define GLOBALMV_MODE 15
 #define NEWMV 16
+#define NEAREST_NEARESTMV_M 17
 #define NEW_NEWMV 24   /* any NEW-bearing compound (has_newmv check) */
 
 typedef struct {
@@ -1039,11 +1040,17 @@ typedef struct {
     const uint8_t *is_inter_map[7];   /* shapes: see SHAPE_LIST */
     const int8_t *mode_map[7];
     int map_w[7], map_h[7];
-    const int32_t *mv16_r, *mv16_c;   /* [nr16][nc16] */
+    const int32_t *mv16_r, *mv16_c;   /* [nr16][nc16] chosen/fwd MV */
+    const int32_t *sel16, *fwd16, *bwd16;   /* per-16 selection fields */
+    const int32_t *mv16_1r, *mv16_1c;       /* compound bwd MV */
+    int32_t names[4];                 /* global ref index -> named ref */
+    int n_names;
     int nc16;
     /* inter cdfs */
     NB cdf_intra_inter, cdf_single_ref, cdf_newmv, cdf_zeromv, cdf_refmv,
-       cdf_drl, cdf_y_mode, cdf_inter_ext_tx, cdf_comp_inter;
+       cdf_drl, cdf_y_mode, cdf_inter_ext_tx, cdf_comp_inter,
+       cdf_comp_ref_type, cdf_comp_ref, cdf_comp_bwdref,
+       cdf_inter_compound;
     /* nmv cdfs: joints + per-comp arrays */
     uint16_t *nmv_joints;
     uint16_t *nmv_classes[2], *nmv_class0_fp[2], *nmv_fp[2], *nmv_sign[2],
@@ -1082,7 +1089,7 @@ static const int SIZE_GROUP_BY_ENUM[22] = {0, 0, 0, 1, 1, 1, 2, 2, 2, 3, 3,
 /* ---- MV stack (find_mv_stack, single-ref, identity GM) ----------- */
 
 typedef struct {
-    int32_t mv[MAX_REF_MV_STACK][2];
+    int32_t mv[MAX_REF_MV_STACK][4];  /* r0,c0[,r1,c1] (compound pairs) */
     int32_t weight[MAX_REF_MV_STACK];
     int n;
     int mode_context;
@@ -1090,24 +1097,31 @@ typedef struct {
 } MvStack;
 
 static int has_newmv_mode(int mode) {
-    return mode == NEWMV || (mode >= 17 && mode <= 24);
+    /* mv_pred.has_newmv: NEW-bearing modes only (16, 19..22, 24) —
+     * NEAREST_NEAREST/NEAR_NEAR/GLOBAL_GLOBAL do not count */
+    return mode == NEWMV || (mode >= 19 && mode <= 22) || mode == NEW_NEWMV;
 }
 
 
+/* find_mv_stack (mv_pred.py:80): ref1 > 0 selects the compound path
+ * (stack entries become (mv0, mv1) pairs, dec_setup_ref_mv_list
+ * compound branches); gm identity, no temporal MVs. */
 static void mv_stack_find(Tile *t, InterState *st, int mi_row, int mi_col,
-                          int bw4, int bh4, int ref, MvStack *out) {
+                          int bw4, int bh4, int ref, int ref1,
+                          MvStack *out) {
     int mi_rows = t->mi_rows, mi_cols = t->mi_cols;
     int t_r0 = t->t_r0, t_c0 = t->t_c0, t_r1 = t->t_r1, t_c1 = t->t_c1;
     int sb_mi = t->sb_size / 4;
     int n = 0;
-    int32_t smv[MAX_REF_MV_STACK][2];
+    int compound = ref1 > 0;
+    int32_t smv[MAX_REF_MV_STACK][4];
     int32_t swt[MAX_REF_MV_STACK];
     int found_above = 0, found_left = 0, newmv_count = 0;
     Py_ssize_t S = mi_cols;
 
 #define INSIDE(r, c) ((c) >= t_c0 && (c) < t_c1 && (r) >= t_r0 && (r) < t_r1)
 
-    /* add_ref_mv (single-ref) */
+    /* add_ref_mv (add_ref_mv_candidate, spec 7.10.2.9) */
 #define ADD_REF_MV(r, c, wgt, found_var)                                     \
     do {                                                                     \
         int _found = 0;                                                      \
@@ -1117,6 +1131,31 @@ static void mv_stack_find(Tile *t, InterState *st, int mi_row, int mi_col,
                                st->mi_mvc[(r) * S + (c)]},                   \
                               {st->mi_mv1r[(r) * S + (c)],                   \
                                st->mi_mv1c[(r) * S + (c)]}};                 \
+        if (compound) {                                                      \
+            if (_refs[0] == ref && _refs[1] == ref1) {                       \
+                int _hit = 0;                                                \
+                for (int _k = 0; _k < n; ++_k)                               \
+                    if (smv[_k][0] == _mvs[0][0]                             \
+                        && smv[_k][1] == _mvs[0][1]                          \
+                        && smv[_k][2] == _mvs[1][0]                          \
+                        && smv[_k][3] == _mvs[1][1]) {                       \
+                        swt[_k] += (wgt);                                    \
+                        _hit = 1;                                            \
+                        break;                                               \
+                    }                                                        \
+                if (!_hit && n < MAX_REF_MV_STACK) {                         \
+                    smv[n][0] = _mvs[0][0];                                  \
+                    smv[n][1] = _mvs[0][1];                                  \
+                    smv[n][2] = _mvs[1][0];                                  \
+                    smv[n][3] = _mvs[1][1];                                  \
+                    swt[n] = (wgt);                                          \
+                    ++n;                                                     \
+                }                                                            \
+                if (has_newmv_mode(st->mi_mode[(r) * S + (c)]))              \
+                    ++newmv_count;                                           \
+                _found = 1;                                                  \
+            }                                                                \
+        } else                                                               \
         for (int _j = 0; _j < 2; ++_j) {                                     \
             if (_refs[_j] != ref) continue;                                  \
             int _hit = 0;                                                    \
@@ -1290,12 +1329,14 @@ static void mv_stack_find(Tile *t, InterState *st, int mi_row, int mi_col,
             int new_end = start;                                             \
             for (int idx = start + 1; idx < end; ++idx)                      \
                 if (swt[idx - 1] < swt[idx]) {                               \
-                    int32_t tr = smv[idx - 1][0], tc = smv[idx - 1][1];      \
                     int32_t tw = swt[idx - 1];                               \
-                    smv[idx - 1][0] = smv[idx][0];                           \
-                    smv[idx - 1][1] = smv[idx][1];                           \
+                    for (int _q = 0; _q < 4; ++_q) {                         \
+                        int32_t tv = smv[idx - 1][_q];                       \
+                        smv[idx - 1][_q] = smv[idx][_q];                     \
+                        smv[idx][_q] = tv;                                   \
+                    }                                                        \
                     swt[idx - 1] = swt[idx];                                 \
-                    smv[idx][0] = tr; smv[idx][1] = tc; swt[idx] = tw;       \
+                    swt[idx] = tw;                                           \
                     new_end = idx;                                           \
                 }                                                            \
             end = new_end;                                                   \
@@ -1305,9 +1346,14 @@ static void mv_stack_find(Tile *t, InterState *st, int mi_row, int mi_col,
     SORT_SPAN(0, num_nearest);
     SORT_SPAN(num_nearest, n);
 
-    /* extra search: neighbor mvs from any ref, sign-flipped (sign_bias
-     * all zero for the supported configs -> no flip; still scan) */
+    /* extra search: neighbor mvs from any ref, sign-flipped when the
+     * candidate ref lies on the other temporal side (add_extra_mv_
+     * candidate; compound collects per-position same/diff-ref lists
+     * and pads with the identity gm mv, mv_pred.py:289-352) */
     if (n < MAX_MV_REF_CANDIDATES) {
+        int our_refs[2] = {ref, ref1};
+        int32_t ref_id[2][2][2], ref_diff[2][2][2];
+        int n_id[2] = {0, 0}, n_diff[2] = {0, 0};
         int mi_width = bw4 < 16 ? bw4 : 16;
         if (mi_width > mi_cols - mi_col) mi_width = mi_cols - mi_col;
         int mi_height = bh4 < 16 ? bh4 : 16;
@@ -1315,7 +1361,8 @@ static void mv_stack_find(Tile *t, InterState *st, int mi_row, int mi_col,
         int mi_size = mi_width < mi_height ? mi_width : mi_height;
         for (int pass = 0; pass < 2; ++pass) {
             int idx = 0;
-            while (idx < mi_size && n < MAX_MV_REF_CANDIDATES) {
+            while (idx < mi_size
+                   && (compound || n < MAX_MV_REF_CANDIDATES)) {
                 int mr, mc;
                 if (pass == 0) { mr = mi_row - 1; mc = mi_col + idx; }
                 else { mr = mi_row + idx; mc = mi_col - 1; }
@@ -1326,27 +1373,96 @@ static void mv_stack_find(Tile *t, InterState *st, int mi_row, int mi_col,
                 for (int k = 0; k < 2; ++k) {
                     int cand_ref = rfs[k][mr * S + mc];
                     if (cand_ref <= 0) continue;
-                    int32_t amr = mrr[k][mr * S + mc];
-                    int32_t amc2 = mcc[k][mr * S + mc];
-                    if (st->sign_bias[cand_ref] != st->sign_bias[ref]) {
-                        amr = -amr;
-                        amc2 = -amc2;
-                    }
-                    int dup = 0;
-                    for (int e = 0; e < n; ++e)
-                        if (smv[e][0] == amr && smv[e][1] == amc2) {
-                            dup = 1;
-                            break;
+                    int32_t cmr = mrr[k][mr * S + mc];
+                    int32_t cmc = mcc[k][mr * S + mc];
+                    if (compound) {
+                        for (int ci = 0; ci < 2; ++ci) {
+                            if (cand_ref == our_refs[ci]
+                                && n_id[ci] < 2) {
+                                ref_id[ci][n_id[ci]][0] = cmr;
+                                ref_id[ci][n_id[ci]][1] = cmc;
+                                ++n_id[ci];
+                            } else if (n_diff[ci] < 2) {
+                                int32_t ar = cmr, ac = cmc;
+                                if (st->sign_bias[cand_ref]
+                                    != st->sign_bias[our_refs[ci]]) {
+                                    ar = -ar;
+                                    ac = -ac;
+                                }
+                                ref_diff[ci][n_diff[ci]][0] = ar;
+                                ref_diff[ci][n_diff[ci]][1] = ac;
+                                ++n_diff[ci];
+                            }
                         }
-                    if (!dup) {
-                        smv[n][0] = amr;
-                        smv[n][1] = amc2;
-                        swt[n] = 2;
-                        ++n;
+                    } else {
+                        int32_t amr = cmr, amc2 = cmc;
+                        if (st->sign_bias[cand_ref]
+                            != st->sign_bias[ref]) {
+                            amr = -amr;
+                            amc2 = -amc2;
+                        }
+                        int dup = 0;
+                        for (int e = 0; e < n; ++e)
+                            if (smv[e][0] == amr && smv[e][1] == amc2) {
+                                dup = 1;
+                                break;
+                            }
+                        if (!dup) {
+                            smv[n][0] = amr;
+                            smv[n][1] = amc2;
+                            swt[n] = 2;
+                            ++n;
+                        }
                     }
                 }
                 idx += pass ? st->mi_bh4[mr * S + mc]
                             : st->mi_bw4[mr * S + mc];
+            }
+        }
+        if (compound) {
+            /* comp_list: same-ref then diff-ref, padded with gm (0,0) */
+            int32_t comp_list[2][2][2];
+            for (int ci = 0; ci < 2; ++ci) {
+                int m = 0;
+                for (int k = 0; k < n_id[ci] && m < 2; ++k, ++m) {
+                    comp_list[ci][m][0] = ref_id[ci][k][0];
+                    comp_list[ci][m][1] = ref_id[ci][k][1];
+                }
+                for (int k = 0; k < n_diff[ci] && m < 2; ++k, ++m) {
+                    comp_list[ci][m][0] = ref_diff[ci][k][0];
+                    comp_list[ci][m][1] = ref_diff[ci][k][1];
+                }
+                for (; m < 2; ++m) {
+                    comp_list[ci][m][0] = 0;
+                    comp_list[ci][m][1] = 0;
+                }
+            }
+            if (n == 1) {
+                if (comp_list[0][0][0] == smv[0][0]
+                    && comp_list[0][0][1] == smv[0][1]
+                    && comp_list[1][0][0] == smv[0][2]
+                    && comp_list[1][0][1] == smv[0][3]) {
+                    smv[1][0] = comp_list[0][1][0];
+                    smv[1][1] = comp_list[0][1][1];
+                    smv[1][2] = comp_list[1][1][0];
+                    smv[1][3] = comp_list[1][1][1];
+                } else {
+                    smv[1][0] = comp_list[0][0][0];
+                    smv[1][1] = comp_list[0][0][1];
+                    smv[1][2] = comp_list[1][0][0];
+                    smv[1][3] = comp_list[1][0][1];
+                }
+                swt[1] = 2;
+                n = 2;
+            } else if (n == 0) {
+                for (int k = 0; k < MAX_MV_REF_CANDIDATES; ++k) {
+                    smv[k][0] = comp_list[0][k][0];
+                    smv[k][1] = comp_list[0][k][1];
+                    smv[k][2] = comp_list[1][k][0];
+                    smv[k][3] = comp_list[1][k][1];
+                    swt[k] = 2;
+                }
+                n = MAX_MV_REF_CANDIDATES;
             }
         }
     }
@@ -1362,12 +1478,14 @@ static void mv_stack_find(Tile *t, InterState *st, int mi_row, int mi_col,
         int hi_c = mb_to_right + bw_px * 8 + MV_BORDER;
         int lo_r = mb_to_top - bh_px * 8 - MV_BORDER;
         int hi_r = mb_to_bottom + bh_px * 8 + MV_BORDER;
-        for (int k = 0; k < n; ++k) {
-            if (smv[k][0] < lo_r) smv[k][0] = lo_r;
-            if (smv[k][0] > hi_r) smv[k][0] = hi_r;
-            if (smv[k][1] < lo_c) smv[k][1] = lo_c;
-            if (smv[k][1] > hi_c) smv[k][1] = hi_c;
-        }
+        int nbase = compound ? 4 : 2;
+        for (int k = 0; k < n; ++k)
+            for (int base = 0; base < nbase; base += 2) {
+                if (smv[k][base] < lo_r) smv[k][base] = lo_r;
+                if (smv[k][base] > hi_r) smv[k][base] = hi_r;
+                if (smv[k][base + 1] < lo_c) smv[k][base + 1] = lo_c;
+                if (smv[k][base + 1] > hi_c) smv[k][base + 1] = hi_c;
+            }
     }
 
     int ref_match_count = (found_above > 0) + (found_left > 0);
@@ -1388,6 +1506,8 @@ static void mv_stack_find(Tile *t, InterState *st, int mi_row, int mi_col,
     for (int k = 0; k < n; ++k) {
         out->mv[k][0] = smv[k][0];
         out->mv[k][1] = smv[k][1];
+        out->mv[k][2] = compound ? smv[k][2] : 0;
+        out->mv[k][3] = compound ? smv[k][3] : 0;
         out->weight[k] = swt[k];
     }
     out->mode_context = mode_context;
@@ -1516,6 +1636,128 @@ static void mc_predict(InterState *st, const int32_t *ref, int ref_w,
             }
         return;
     }
+}
+
+/* ---- compound MC: jnt convolve (no dist weights) ------------------
+ * ports of ops/inter.py jnt_convolve / jnt_average (conv-domain
+ * intermediates, COMPOUND_ROUND1_BITS = 7, use_jnt_comp_avg = 0) */
+
+static void mc_predict_jnt(InterState *st, const int32_t *ref, int ref_w,
+                           int ref_h, int plane, int mv_r, int mv_c,
+                           int px, int py, int pw, int ph, int bd,
+                           int32_t *conv) {
+    int sh = plane ? 1 : 0;
+    int pos_x = (px << 4) + (mv_c << (1 - sh));
+    int pos_y = (py << 4) + (mv_r << (1 - sh));
+    int int_x = (pos_x >> 4) + st->ref_pad;
+    int int_y = (pos_y >> 4) + st->ref_pad;
+    if (int_x < 4) int_x = 4;
+    if (int_x > ref_w - pw - 8) int_x = ref_w - pw - 8;
+    if (int_y < 4) int_y = 4;
+    if (int_y > ref_h - ph - 8) int_y = ref_h - ph - 8;
+    int sub_x = pos_x & 15, sub_y = pos_y & 15;
+    const int32_t *xf = st->interp_taps + (pw <= 4 ? 128 : 0) + sub_x * 8;
+    const int32_t *yf = st->interp_taps + (ph <= 4 ? 128 : 0) + sub_y * 8;
+    int round_0 = ROUND0_BITS;
+    int round_1 = 7;                   /* COMPOUND_ROUND1_BITS */
+    int offset_bits = bd + 2 * FILTER_BITS - round_0;
+    int round_offset = (1 << (offset_bits - round_1))
+                     + (1 << (offset_bits - round_1 - 1));
+
+    if (!sub_x && !sub_y) {
+        int bits = 2 * FILTER_BITS - round_1 - round_0;
+        for (int r = 0; r < ph; ++r)
+            for (int c = 0; c < pw; ++c)
+                conv[r * pw + c] =
+                    (ref[(Py_ssize_t)(int_y + r) * ref_w + int_x + c]
+                     << bits) + round_offset;
+        return;
+    }
+    if (sub_x && sub_y) {
+        int im_h = ph + 7;
+        int32_t im[(64 + 7) * 64];
+        int off0 = 1 << (bd + FILTER_BITS - 1);
+        for (int r = 0; r < im_h; ++r)
+            for (int c = 0; c < pw; ++c) {
+                int32_t acc = off0;
+                const int32_t *row = ref
+                    + (Py_ssize_t)(int_y - 3 + r) * ref_w + int_x - 3 + c;
+                for (int k = 0; k < 8; ++k) acc += xf[k] * row[k];
+                im[r * pw + c] = (acc + (1 << (round_0 - 1))) >> round_0;
+            }
+        for (int r = 0; r < ph; ++r)
+            for (int c = 0; c < pw; ++c) {
+                int32_t acc2 = 1 << offset_bits;
+                for (int k = 0; k < 8; ++k)
+                    acc2 += yf[k] * im[(r + k) * pw + c];
+                conv[r * pw + c] = (acc2 + (1 << (round_1 - 1))) >> round_1;
+            }
+        return;
+    }
+    if (sub_x) {
+        int bits = FILTER_BITS - round_1;
+        for (int r = 0; r < ph; ++r)
+            for (int c = 0; c < pw; ++c) {
+                int32_t acc = 0;
+                const int32_t *row = ref
+                    + (Py_ssize_t)(int_y + r) * ref_w + int_x - 3 + c;
+                for (int k = 0; k < 8; ++k) acc += xf[k] * row[k];
+                acc = (acc + (1 << (round_0 - 1))) >> round_0;
+                conv[r * pw + c] = (acc << bits) + round_offset;
+            }
+        return;
+    }
+    {
+        int bits = FILTER_BITS - round_0;
+        for (int r = 0; r < ph; ++r)
+            for (int c = 0; c < pw; ++c) {
+                int32_t acc = 0;
+                const int32_t *col = ref
+                    + (Py_ssize_t)(int_y - 3 + r) * ref_w + int_x + c;
+                for (int k = 0; k < 8; ++k)
+                    acc += yf[k] * col[(Py_ssize_t)k * ref_w];
+                acc <<= bits;
+                conv[r * pw + c] = ((acc + (1 << (round_1 - 1))) >> round_1)
+                                   + round_offset;
+            }
+        return;
+    }
+}
+
+static void jnt_avg(const int32_t *c0, const int32_t *c1, int pw, int ph,
+                    int bd, int32_t *pred) {
+    int round_0 = ROUND0_BITS, round_1 = 7;
+    int round_bits = 2 * FILTER_BITS - round_0 - round_1;
+    int offset_bits = bd + 2 * FILTER_BITS - round_0;
+    int round_offset = (1 << (offset_bits - round_1))
+                     + (1 << (offset_bits - round_1 - 1));
+    int pmax = (1 << bd) - 1;
+    for (int i = 0; i < pw * ph; ++i) {
+        int32_t tmp = ((c0[i] + c1[i]) >> 1) - round_offset;
+        tmp = (tmp + (1 << (round_bits - 1))) >> round_bits;
+        pred[i] = clampi(tmp, 0, pmax);
+    }
+}
+
+/* compound prediction for one plane: both refs + average */
+static void mc_predict_compound(InterState *st, int plane, int ref0,
+                                int ref1, int mv0_r, int mv0_c, int mv1_r,
+                                int mv1_c, int px, int py, int pw, int ph,
+                                int bd, int32_t *pred) {
+    int32_t conv0[64 * 64], conv1[64 * 64];
+    const int32_t *rp0 = plane == 0 ? st->ref_y[ref0]
+                         : (plane == 1 ? st->ref_u[ref0] : st->ref_v[ref0]);
+    const int32_t *rp1 = plane == 0 ? st->ref_y[ref1]
+                         : (plane == 1 ? st->ref_u[ref1] : st->ref_v[ref1]);
+    int w0 = plane ? st->ref_cw[ref0] : st->ref_w[ref0];
+    int h0 = plane ? st->ref_ch[ref0] : st->ref_h[ref0];
+    int w1 = plane ? st->ref_cw[ref1] : st->ref_w[ref1];
+    int h1 = plane ? st->ref_ch[ref1] : st->ref_h[ref1];
+    mc_predict_jnt(st, rp0, w0, h0, plane, mv0_r, mv0_c, px, py, pw, ph,
+                   bd, conv0);
+    mc_predict_jnt(st, rp1, w1, h1, plane, mv1_r, mv1_c, px, py, pw, ph,
+                   bd, conv1);
+    jnt_avg(conv0, conv1, pw, ph, bd, pred);
 }
 
 /* ---- MV residual coding (entropy/mv.py encode_mv) ---------------- */
@@ -1656,9 +1898,94 @@ static void write_single_ref(Tile *t, InterState *st, int mi_row,
 #undef SRBIT
 }
 
+/* get_comp_reference_type_context (frame_codec._comp_ref_type_ctx,
+ * EbDecParseHelper.c:217) */
+static int comp_ref_type_ctx(Tile *t, InterState *st, int mi_row,
+                             int mi_col) {
+    Py_ssize_t S = t->mi_cols;
+    int av[2] = {0, 0}, inter_[2], rf0[2], snd[2], uni[2];
+    int poss[2][2] = {{mi_row - 1, mi_col}, {mi_row, mi_col - 1}};
+    for (int p = 0; p < 2; ++p) {
+        int r = poss[p][0], c = poss[p][1];
+        if (r < t->t_r0 || c < t->t_c0) continue;
+        av[p] = 1;
+        rf0[p] = st->mi_ref[(Py_ssize_t)r * S + c];
+        int rf1 = st->mi_ref1[(Py_ssize_t)r * S + c];
+        inter_[p] = rf0[p] > 0;
+        snd[p] = rf1 > 0;
+        uni[p] = rf1 > 0 && !((rf0[p] >= 5) ^ (rf1 >= 5));
+    }
+#define BWD(rf) ((rf) >= 5)
+    if (av[0] && av[1]) {
+        if (!inter_[0] && !inter_[1]) return 2;
+        if (!inter_[0] || !inter_[1]) {
+            int p = !inter_[1] ? 0 : 1;
+            return !snd[p] ? 2 : 1 + 2 * uni[p];
+        }
+        if (!snd[0] && !snd[1])
+            return 1 + 2 * !(BWD(rf0[0]) ^ BWD(rf0[1]));
+        if (!snd[0] || !snd[1]) {
+            int u = !snd[0] ? uni[1] : uni[0];
+            if (!u) return 1;
+            return 3 + !(BWD(rf0[0]) ^ BWD(rf0[1]));
+        }
+        if (!uni[0] && !uni[1]) return 0;
+        if (!uni[0] || !uni[1]) return 2;
+        return 3 + !((rf0[0] == 5) ^ (rf0[1] == 5));
+    }
+    if (av[0] || av[1]) {
+        int p = av[0] ? 0 : 1;
+        if (!inter_[p]) return 2;
+        return !snd[p] ? 2 : 4 * uni[p];
+    }
+    return 2;
+#undef BWD
+}
+
+/* compound (bidirectional) reference pair signaling
+ * (frame_codec._code_comp_ref_frames) */
+static void write_comp_ref_frames(Tile *t, InterState *st, int mi_row,
+                                  int mi_col, int ref0, int ref1) {
+    int rc[8];
+    neighbor_ref_counts(t, st, mi_row, mi_col, rc);
+    int crt_ctx = comp_ref_type_ctx(t, st, mi_row, mi_col);
+    NB *crt = &st->cdf_comp_ref_type;
+    enc_symbol_adapt(&t->ec, 1,
+                     (uint16_t *)crt->data
+                         + (Py_ssize_t)crt_ctx * crt->shape[1], 2);
+#define CRBIT(v, nb, ctx, idx)                                               \
+    enc_symbol_adapt(&t->ec, (v),                                            \
+                     (uint16_t *)(nb)->data                                  \
+                         + ((Py_ssize_t)(ctx) * (nb)->shape[1] + (idx))      \
+                               * (nb)->shape[2],                             \
+                     2)
+    NB *cr = &st->cdf_comp_ref;
+    NB *cb = &st->cdf_comp_bwdref;
+    int b = ref0 == 3 || ref0 == 4;
+    CRBIT(b, cr, ctx3(rc[1] + rc[2], rc[3] + rc[4]), 0);
+    if (!b) CRBIT(ref0 == 2, cr, ctx3(rc[1], rc[2]), 1);
+    else CRBIT(ref0 == 4, cr, ctx3(rc[3], rc[4]), 2);
+    int bb = ref1 == 7;
+    CRBIT(bb, cb, ctx3(rc[5] + rc[6], rc[7]), 0);
+    if (!bb) CRBIT(ref1 == 6, cb, ctx3(rc[5], rc[6]), 1);
+#undef CRBIT
+}
+
+/* compound_mode_ctx_map (mv_pred.compound_mode_ctx) */
+static const int COMPOUND_MODE_CTX_MAP[3][5] = {
+    {0, 1, 1, 1, 1}, {1, 2, 3, 4, 4}, {4, 4, 5, 6, 7}};
+
+static int compound_mode_ctx(int mode_context) {
+    int newmv_ctx = mode_context & NEWMV_CTX_MASK;
+    int refmv_ctx = (mode_context >> REFMV_OFFSET) & REFMV_CTX_MASK;
+    return COMPOUND_MODE_CTX_MAP[refmv_ctx >> 1]
+                                [newmv_ctx < 4 ? newmv_ctx : 4];
+}
+
 static void record_mi_inter(Tile *t, InterState *st, int mi_row, int mi_col,
                             int w4, int h4, int is_inter, int ref, int mode,
-                            int mv_r, int mv_c, int y_mode, int skip) {
+                            int mv_r, int mv_c, int y_mode, int skip,
+                            int ref1, int mv1_r, int mv1_c) {
     Py_ssize_t S = t->mi_cols;
     int r1 = mi_row + h4 < t->mi_rows ? mi_row + h4 : t->mi_rows;
     int c1 = mi_col + w4 < t->mi_cols ? mi_col + w4 : t->mi_cols;
@@ -1676,9 +2003,9 @@ static void record_mi_inter(Tile *t, InterState *st, int mi_row, int mi_col,
                 st->mi_mvc[o] = 0;
                 st->mi_mode[o] = y_mode;
             }
-            st->mi_ref1[o] = 0;
-            st->mi_mv1r[o] = 0;
-            st->mi_mv1c[o] = 0;
+            st->mi_ref1[o] = is_inter ? ref1 : 0;
+            st->mi_mv1r[o] = is_inter ? mv1_r : 0;
+            st->mi_mv1c[o] = is_inter ? mv1_c : 0;
             st->mi_bw4[o] = w4;
             st->mi_bh4[o] = h4;
             t->y_modes[o] = is_inter ? 0 : y_mode;
@@ -1712,15 +2039,77 @@ static void tile_block_inter(Tile *t, int bw, int bh, int mi_row,
     int y_mode = st->mode_map[si][(Py_ssize_t)bi * st->map_w[si] + bj];
     int bse = bsize_enum_of(bw, bh);
 
-    /* ---- decide (port of BatchedDecider.decide_inter) ---- */
+    /* ---- decide (port of BatchedDecider.decide_inter: multi-ref
+     * single + averaged compound) ---- */
     MvStack stk;
+    stk.n = 0;
+    stk.mode_context = 0;
     int mode = 0, mv_r = 0, mv_c = 0, ref = 1;
-    int need_stack = 1;
-    mv_stack_find(t, st, mi_row, mi_col, w4, h4, 1, &stk);
-    (void)need_stack;
+    int ref1 = 0, mv1_r = 0, mv1_c = 0;
+    Py_ssize_t u16 = (Py_ssize_t)(y / 16) * st->nc16 + x / 16;
     if (is_inter) {
-        int pmv_r = st->mv16_r[(Py_ssize_t)(y / 16) * st->nc16 + x / 16];
-        int pmv_c = st->mv16_c[(Py_ssize_t)(y / 16) * st->nc16 + x / 16];
+        int sel = st->sel16[u16];
+        int comp_done = 0;
+        if (sel >= st->n_names) {
+            /* compound unit: NEW_NEW vs NEAREST_NEAREST on the true
+             * compound stack (BatchedDecider._decide_compound) */
+            int rf = st->names[st->fwd16[u16]];
+            int rb = st->names[st->bwd16[u16]];
+            mv_stack_find(t, st, mi_row, mi_col, w4, h4, rf, rb, &stk);
+            int tmode[2], tmv[2][4], tpen[2], nt = 0;
+            tmode[nt] = NEW_NEWMV;
+            tmv[nt][0] = st->mv16_r[u16]; tmv[nt][1] = st->mv16_c[u16];
+            tmv[nt][2] = st->mv16_1r[u16]; tmv[nt][3] = st->mv16_1c[u16];
+            tpen[nt] = 96; ++nt;
+            if (stk.n > 0) {
+                tmode[nt] = NEAREST_NEARESTMV_M;
+                for (int j = 0; j < 4; ++j) {
+                    int v = stk.mv[0][j];
+                    if (v & 1) v += v > 0 ? -1 : 1;   /* lower precision */
+                    tmv[nt][j] = v;
+                }
+                tpen[nt] = 0; ++nt;
+            }
+            int32_t pred[64 * 64];
+            long best_sad = 0;
+            int best_i = -1;
+            const int32_t *src = t->src[0];
+            int stride = t->pw_buf[0];
+            for (int k = 0; k < nt; ++k) {
+                if (!mv_window_ok(st, tmv[k][0], tmv[k][1], x, y, bw, bh)
+                    || !mv_window_ok(st, tmv[k][2], tmv[k][3], x, y, bw,
+                                     bh))
+                    continue;
+                mc_predict_compound(st, 0, rf, rb, tmv[k][0], tmv[k][1],
+                                    tmv[k][2], tmv[k][3], x, y, bw, bh,
+                                    t->bd, pred);
+                long sad = tpen[k];
+                for (int r = 0; r < bh; ++r)
+                    for (int c = 0; c < bw; ++c) {
+                        int32_t d = src[(Py_ssize_t)(y + r) * stride + x + c]
+                                    - pred[r * bw + c];
+                        sad += d < 0 ? -d : d;
+                    }
+                if (best_i < 0 || sad < best_sad) {
+                    best_sad = sad;
+                    best_i = k;
+                }
+            }
+            if (best_i >= 0) {
+                mode = tmode[best_i];
+                ref = rf; ref1 = rb;
+                mv_r = tmv[best_i][0]; mv_c = tmv[best_i][1];
+                mv1_r = tmv[best_i][2]; mv1_c = tmv[best_i][3];
+                comp_done = 1;
+            } else {
+                sel = st->fwd16[u16];   /* windows failed: single fwd */
+            }
+        }
+        if (!comp_done) {
+        ref = st->names[sel];
+        mv_stack_find(t, st, mi_row, mi_col, w4, h4, ref, 0, &stk);
+        int pmv_r = st->mv16_r[u16];
+        int pmv_c = st->mv16_c[u16];
         int nearest_r = stk.ref_list[0][0], nearest_c = stk.ref_list[0][1];
         int near_r = stk.ref_list[1][0], near_c = stk.ref_list[1][1];
         /* candidates in python order: NEW, NEAREST, NEAR, GLOBAL */
@@ -1746,13 +2135,14 @@ static void tile_block_inter(Tile *t, int bw, int bh, int mi_row,
         if (nc == 0) {
             is_inter = 0;           /* python: falls back to decide() */
         } else {
-            int32_t pred[32 * 32];
+            int32_t pred[64 * 64];
             long best_sad = 0;
             int best_i = -1;
             const int32_t *src = t->src[0];
             int stride = t->pw_buf[0];
             for (int k = 0; k < nc; ++k) {
-                mc_predict(st, st->ref_y[1], st->ref_w[1], st->ref_h[1], 0,
+                mc_predict(st, st->ref_y[ref], st->ref_w[ref],
+                           st->ref_h[ref], 0,
                            cmv[k][0], cmv[k][1], x, y, bw, bh, t->bd, pred);
                 long sad = cpen[k];
                 for (int r = 0; r < bh; ++r)
@@ -1771,6 +2161,7 @@ static void tile_block_inter(Tile *t, int bw, int bh, int mi_row,
             mv_c = cmv[best_i][1];
             if (mode == NEWMV && mv_r == nearest_r && mv_c == nearest_c)
                 mode = NEARESTMV;
+        }
         }
     }
 
@@ -1796,13 +2187,19 @@ static void tile_block_inter(Tile *t, int bw, int bh, int mi_row,
                 }
             if (ts < 0) { tile_err(t, "inter ts"); return; }
             tt = 0;    /* DCT_DCT */
-            const int32_t *rp = plane == 0 ? st->ref_y[ref]
-                               : (plane == 1 ? st->ref_u[ref]
-                                             : st->ref_v[ref]);
-            int rpw = plane ? st->ref_cw[ref] : st->ref_w[ref];
-            int rph = plane ? st->ref_ch[ref] : st->ref_h[ref];
-            mc_predict(st, rp, rpw, rph, plane, mv_r, mv_c, px, py, pw, ph,
-                       t->bd, pred);
+            if (ref1 > 0) {
+                mc_predict_compound(st, plane, ref, ref1, mv_r, mv_c,
+                                    mv1_r, mv1_c, px, py, pw, ph, t->bd,
+                                    pred);
+            } else {
+                const int32_t *rp = plane == 0 ? st->ref_y[ref]
+                                   : (plane == 1 ? st->ref_u[ref]
+                                                 : st->ref_v[ref]);
+                int rpw = plane ? st->ref_cw[ref] : st->ref_w[ref];
+                int rph = plane ? st->ref_ch[ref] : st->ref_h[ref];
+                mc_predict(st, rp, rpw, rph, plane, mv_r, mv_c, px, py, pw,
+                           ph, t->bd, pred);
+            }
         } else {
             int ts_y2 = -1, ts_uv2 = -1;
             for (int k = 0; k < 19; ++k) {
@@ -1875,9 +2272,33 @@ static void tile_block_inter(Tile *t, int bw, int bh, int mi_row,
     if (is_inter) {
         if (st->reference_select && (bw < bh ? bw : bh) >= 8) {
             int rm_ctx = reference_mode_ctx(t, st, mi_row, mi_col);
-            enc_symbol_adapt(&t->ec, 0,
+            enc_symbol_adapt(&t->ec, ref1 > 0,
                              nb_row2(&st->cdf_comp_inter, rm_ctx), 2);
         }
+        if (ref1 > 0) {
+            /* compound pair + mode + drl + MVDs
+             * (frame_codec._code_comp_ref_frames/_code_compound_mode) */
+            write_comp_ref_frames(t, st, mi_row, mi_col, ref, ref1);
+            int cctx = compound_mode_ctx(stk.mode_context);
+            enc_symbol_adapt(&t->ec, mode - NEAREST_NEARESTMV_M,
+                             nb_row2(&st->cdf_inter_compound, cctx), 8);
+            if (mode == NEW_NEWMV) {
+                if (stk.n > 1) {
+                    int w0 = stk.weight[0], w1 = stk.weight[1];
+                    int dctx = (w0 >= REF_CAT_LEVEL && w1 >= REF_CAT_LEVEL)
+                                   ? 0
+                                   : (w0 >= REF_CAT_LEVEL
+                                          ? 1
+                                          : (w1 < REF_CAT_LEVEL ? 2 : 0));
+                    enc_symbol_adapt(&t->ec, 0,
+                                     nb_row2(&st->cdf_drl, dctx), 2);
+                }
+                /* ref mvs: the raw stack[0] pair (ref_mv_idx == 0) */
+                enc_mv(t, st, mv_r, mv_c, stk.mv[0][0], stk.mv[0][1]);
+                enc_mv(t, st, mv1_r, mv1_c, stk.mv[0][2], stk.mv[0][3]);
+            }
+            /* NEAREST_NEARESTMV: no drl, no mvd */
+        } else {
         write_single_ref(t, st, mi_row, mi_col, ref);
         /* inter mode ladder */
         int mc_ctx = stk.mode_context;
@@ -1927,6 +2348,7 @@ static void tile_block_inter(Tile *t, int bw, int bh, int mi_row,
             if (stk.n > 1) { rr = stk.mv[0][0]; rc2 = stk.mv[0][1]; }
             enc_mv(t, st, mv_r, mv_c, rr, rc2);
         }
+        }
     } else {
         /* intra mode syntax inside an inter frame */
         int grp = SIZE_GROUP_BY_ENUM[bse];
@@ -1952,7 +2374,7 @@ static void tile_block_inter(Tile *t, int bw, int bh, int mi_row,
     }
 
     record_mi_inter(t, st, mi_row, mi_col, w4, h4, is_inter, ref, mode,
-                    mv_r, mv_c, y_mode, skip);
+                    mv_r, mv_c, y_mode, skip, ref1, mv1_r, mv1_c);
 
     /* ---- residual ---- */
     if (skip) {
@@ -2289,11 +2711,26 @@ static PyObject *code_inter_tile(PyObject *self, PyObject *args) {
         st.map_w[k] = (int)a.shape[1];
     }
     {
-        NB a, b;
+        NB a, b, c, d, e, f, g, h;
         nb_get(mvs, 0, &a);
         nb_get(mvs, 1, &b);
+        nb_get(mvs, 2, &c);
+        nb_get(mvs, 3, &d);
+        nb_get(mvs, 4, &e);
+        nb_get(mvs, 5, &f);
+        nb_get(mvs, 6, &g);
+        nb_get(mvs, 7, &h);
         st.mv16_r = (const int32_t *)a.data;
         st.mv16_c = (const int32_t *)b.data;
+        st.sel16 = (const int32_t *)c.data;
+        st.fwd16 = (const int32_t *)d.data;
+        st.bwd16 = (const int32_t *)e.data;
+        st.mv16_1r = (const int32_t *)f.data;
+        st.mv16_1c = (const int32_t *)g.data;
+        st.n_names = (int)h.shape[0];
+        if (st.n_names > 4) st.n_names = 4;
+        for (int k = 0; k < st.n_names; ++k)
+            st.names[k] = ((const int32_t *)h.data)[k];
         st.nc16 = (int)a.shape[1];
     }
     nb_get(icdfs, 0, &st.cdf_intra_inter);
@@ -2305,6 +2742,10 @@ static PyObject *code_inter_tile(PyObject *self, PyObject *args) {
     nb_get(icdfs, 6, &st.cdf_y_mode);
     nb_get(icdfs, 7, &st.cdf_inter_ext_tx);
     nb_get(icdfs, 8, &st.cdf_comp_inter);
+    nb_get(icdfs, 9, &st.cdf_comp_ref_type);
+    nb_get(icdfs, 10, &st.cdf_comp_ref);
+    nb_get(icdfs, 11, &st.cdf_comp_bwdref);
+    nb_get(icdfs, 12, &st.cdf_inter_compound);
 
     st.nmv_joints = (uint16_t *)pbuf(nmv, 0);
     for (int ci = 0; ci < 2; ++ci) {

@@ -322,12 +322,11 @@ def _eligible_inter(codec, decider) -> bool:
         return False
     if codec.refs is None or 1 not in codec.refs:
         return False
-    # the C walker is the single-reference LAST envelope: multi-ref or
-    # compound selections anywhere in the plan need the Python replay
-    sf = getattr(decider, "_sf", None)
-    if sf is None or sf["sel"].any():
+    # the plan's selection fields drive the C walker (multi-ref single
+    # + averaged compound); anything else needs the Python replay
+    if getattr(decider, "_sf", None) is None:
         return False
-    if getattr(decider, "_names", (1,))[0] != 1:
+    if not getattr(decider, "_names", None):
         return False
     return True
 
@@ -456,8 +455,11 @@ def try_encode_tiles_native_inter(codec, decider):
             decider._inter[s].astype(np.uint8)))
         maps.append(np.ascontiguousarray(
             decider._modes[s].astype(np.int8)))
-    mvs = (np.ascontiguousarray(decider._sf["mv_r"], np.int32),
-           np.ascontiguousarray(decider._sf["mv_c"], np.int32))
+    sf = decider._sf
+    mvs = tuple(np.ascontiguousarray(sf[k], np.int32)
+                for k in ("mv_r", "mv_c", "sel", "fwd_i", "bwd_i",
+                          "mv1_r", "mv1_c")) \
+        + (np.ascontiguousarray(decider._names, np.int32),)
     sig = (np.ascontiguousarray(sig_n), np.ascontiguousarray(sig_i),
            np.ascontiguousarray(tt_uv), _interp_taps(),
            np.asarray(codec.sign_bias, np.int32))
@@ -472,7 +474,8 @@ def try_encode_tiles_native_inter(codec, decider):
         fc = codec.fc
         icdfs = (fc.intra_inter, fc.single_ref, fc.newmv, fc.zeromv,
                  fc.refmv, fc.drl, fc.y_mode, fc.inter_ext_tx,
-                 fc.comp_inter)
+                 fc.comp_inter, fc.comp_ref_type, fc.comp_ref,
+                 fc.comp_bwdref, fc.inter_compound_mode)
         nmvc = fc.nmv
         nmv = [nmvc.joints]
         for comp in nmvc.comps:

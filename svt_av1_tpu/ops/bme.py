@@ -20,7 +20,14 @@ import numpy as np
 
 SB = 64
 COARSE_R = 8            # +-8 at /8 => +-64 full-pel
-REFINE_R = 8            # +-8 full-pel around the coarse winner
+# full-res refinement reach around the coarse winner.  16 (not 8)
+# because the /8 coarse SAD only sees the dominant low-frequency
+# layer: when a fine-textured layer moves differently (the classic
+# two-layer pan), its motion lies beyond +-8 of the coarse winner and
+# only a wide full-resolution search recovers it (the reference's
+# integer_search_sb runs a 48x48 area around the HME winner,
+# EbMotionEstimation.c:1868)
+REFINE_R = 16
 MARGIN = 8              # keep MC windows (incl. chroma taps) in-frame
 
 
@@ -69,9 +76,11 @@ def coarse_sb_search(src, ref, xp=np, row0: int = 0):
                     xp.where(take, dy, bdy).astype(xp.int32),
                     xp.where(take, dx, bdx).astype(xp.int32)), None
 
-        zeros = xp.zeros((n_sby, n_sbx), xp.int32)
-        init = (xp.full((n_sby, n_sbx), np.int32(2 ** 31 - 1), xp.int32),
-                zeros, zeros)
+        # derive the init from the (possibly shard_map-varying) source
+        # so the scan carry's varying-ness matches the body's outputs
+        # (JAX vma check under shard_map)
+        vary0 = (s8[:n_sby * 8:8, :n_sbx * 8:8] * 0).astype(xp.int32)
+        init = (vary0 + np.int32(2 ** 31 - 1), vary0, vary0)
         (best, bdy, bdx), _ = lax.scan(body, init,
                                        xp.arange(npos * npos))
         return xp.stack([bdy * 8, bdx * 8], axis=-1)

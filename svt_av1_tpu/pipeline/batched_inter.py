@@ -90,9 +90,69 @@ def _take16(stack, idx, xp):
     return xp.take_along_axis(stack, ix, axis=0)[0]
 
 
+MC_PAD = 80                   # edge pad for the per-unit MC gather
+JOINT_R = 3                   # full-pel joint-refine reach per arm
+
+
+def _joint_arm(refp, s16, fixed_pred, arm_k, seed_r, seed_c, pos_y,
+               pos_x, xp):
+    """Joint compound refinement of one arm: with the other direction's
+    prediction FIXED, search this arm at full-pel offsets within
+    +-JOINT_R of the seed MV, minimizing the COMPOUND (averaged) SAD —
+    av1_compound_single_motion_search's shape.  Independent per-arm
+    minima break the compound error-cancellation whenever the two
+    layers of a scene move differently; this restores it.
+
+    refp: [K, H+2*MC_PAD, W+2*MC_PAD]; s16/fixed_pred:
+    [nr16, nc16, 16, 16]; seeds in 1/8-pel.  Returns (comp_pred,
+    mv_r, mv_c, sad) with the chosen arm MV in 1/8-pel units."""
+    nr16, nc16 = seed_r.shape
+    n16 = nr16 * nc16
+    B = JOINT_R
+    win = 16 + 2 * B
+    ipy = pos_y + (seed_r.reshape(-1) >> 3)
+    ipx = pos_x + (seed_c.reshape(-1) >> 3)
+    oy = xp.clip(ipy - B + MC_PAD, 0, refp.shape[1] - win)
+    ox = xp.clip(ipx - B + MC_PAD, 0, refp.shape[2] - win)
+    ar = xp.asarray(np.arange(win))
+    rows = oy[:, None, None] + ar[None, :, None]
+    cols = ox[:, None, None] + ar[None, None, :]
+    patch = refp[arm_k.reshape(-1)[:, None, None], rows, cols] \
+        .astype(xp.int32)
+    fx = fixed_pred.reshape(n16, 16, 16).astype(xp.int32)
+    sblk = s16.reshape(n16, 16, 16).astype(xp.int32)
+    best_sad = best_dy = best_dx = None
+    for dy in range(2 * B + 1):
+        for dx in range(2 * B + 1):
+            pb = patch[:, dy:dy + 16, dx:dx + 16]
+            comp = (fx + pb + 1) >> 1
+            sad = xp.abs(sblk - comp).sum((-1, -2)).astype(xp.int32)
+            if best_sad is None:
+                best_sad = sad
+                best_dy = xp.full(sad.shape, dy, xp.int32)
+                best_dx = xp.full(sad.shape, dx, xp.int32)
+            else:
+                take = sad < best_sad
+                best_sad = xp.where(take, sad, best_sad)
+                best_dy = xp.where(take, dy, best_dy)
+                best_dx = xp.where(take, dx, best_dx)
+    # the clip on oy/ox means the realized MV comes from the window
+    # origin, not the seed
+    mv_r = ((oy - MC_PAD + best_dy) - pos_y) * 8
+    mv_c = ((ox - MC_PAD + best_dx) - pos_x) * 8
+    ar16 = xp.asarray(np.arange(16))
+    prows = best_dy[:, None, None] + ar16[None, :, None]   # [n16,16,1]
+    pcols = best_dx[:, None, None] + ar16[None, None, :]   # [n16,1,16]
+    pb = patch[xp.asarray(np.arange(n16))[:, None, None], prows, pcols]
+    comp = ((fx + pb + 1) >> 1).reshape(nr16, nc16, 16, 16)
+    return (comp, mv_r.reshape(nr16, nc16), mv_c.reshape(nr16, nc16),
+            best_sad.reshape(nr16, nc16))
+
+
 def inter_frame_maps(src_plane, ref_planes, buf_w, buf_h, qindex, lam,
                      mode_bits, bd=8, xp=np, row0=0, with_intra=True,
-                     bwd_mask=(False,), allow_compound=False):
+                     bwd_mask=(False,), allow_compound=False,
+                     rel_dists=None):
     """(intra_maps, inter_cost_maps, sel_fields, mvbits16): the full
     open-loop decision state for one inter frame against up to three
     references.  MVs are quarter-pel (1/8-unit values, multiples of 2):
@@ -121,6 +181,8 @@ def inter_frame_maps(src_plane, ref_planes, buf_w, buf_h, qindex, lam,
     if refs.ndim == 2:
         refs = refs[None]
     K = int(refs.shape[0])
+    if rel_dists is None:
+        rel_dists = tuple(1 if b else -1 for b in bwd_mask[:K])
     stripe_h = src.shape[0]
     nr16, nc16 = stripe_h // 16, buf_w // 16
 
@@ -164,6 +226,7 @@ def inter_frame_maps(src_plane, ref_planes, buf_w, buf_h, qindex, lam,
     bwd_list = [k for k in range(K) if bwd_mask[k]]
     do_comp = bool(allow_compound and fwd_list and bwd_list)
     zero_i = xp.zeros((nr16, nc16), xp.int32)
+    comp_mv = None
     if do_comp:
         f_gl = xp.asarray(np.asarray(fwd_list, np.int32))
         b_gl = xp.asarray(np.asarray(bwd_list, np.int32))
@@ -173,8 +236,57 @@ def inter_frame_maps(src_plane, ref_planes, buf_w, buf_h, qindex, lam,
                   if len(bwd_list) > 1 else zero_i]
         pf = _take16(p16, fi, xp)
         pb = _take16(p16, bi, xp)
-        comp16 = (pf + pb + 1) >> 1
-        sad_c = xp.abs(s16 - comp16).sum((-1, -2)).astype(xp.float32)
+        mvf_r = _take16(mv_r_all, fi, xp)
+        mvf_c = _take16(mv_c_all, fi, xp)
+        mvb_r = _take16(mv_r_all, bi, xp)
+        mvb_c_ = _take16(mv_c_all, bi, xp)
+        # JOINT compound refinement: when a scene's layers move
+        # differently, the independently-best fwd/bwd MVs usually align
+        # DIFFERENT layers and their average cancels nothing.  With one
+        # arm fixed, re-searching the other around the MIRRORED MV
+        # (-mv * d_other/d_this) by COMPOUND SAD restores the
+        # error-cancelling pair (both arms on the same layer, errors
+        # antisymmetric) — av1_compound_single_motion_search's job in
+        # the reference's jnt candidates.
+        dist_arr = xp.asarray(np.asarray(rel_dists, np.int32))
+        df = xp.maximum(xp.abs(dist_arr[fi]), 1)
+        db = xp.maximum(xp.abs(dist_arr[bi]), 1)
+
+        def _mirror(mvq8, d_from, d_to):
+            # floor-div is identical under numpy and jax (device/host
+            # bit-equality); the +-JOINT_R search absorbs rounding
+            q = mvq8 >> 1
+            m = -((q * d_to * 2 + d_from) // (2 * d_from)) * 2
+            return xp.clip(m, -512, 512).astype(xp.int32)
+
+        refp_all = xp.pad(refs.astype(xp.int32),
+                          ((0, 0), (MC_PAD, MC_PAD), (MC_PAD, MC_PAD)),
+                          mode="edge")
+        gy, gx = np.meshgrid(np.arange(nr16) * 16, np.arange(nc16) * 16,
+                             indexing="ij")
+        pos_y = xp.asarray(gy.ravel()) + row0
+        pos_x = xp.asarray(gx.ravel())
+        cb, cb_mvr, cb_mvc, sad_b = _joint_arm(
+            refp_all, s16, pf, bi, _mirror(mvf_r, df, db),
+            _mirror(mvf_c, df, db), pos_y, pos_x, xp)
+        cf, cf_mvr, cf_mvc, sad_f = _joint_arm(
+            refp_all, s16, pb, fi, _mirror(mvb_r, db, df),
+            _mirror(mvb_c_, db, df), pos_y, pos_x, xp)
+        p0 = (pf + pb + 1) >> 1
+        pairs = (
+            (p0, mvf_r, mvf_c, mvb_r, mvb_c_),
+            (cb, mvf_r, mvf_c, cb_mvr, cb_mvc),
+            (cf, cf_mvr, cf_mvc, mvb_r, mvb_c_),
+        )
+        sads = xp.stack(
+            [xp.abs(s16 - p0).sum((-1, -2)).astype(xp.float32),
+             sad_b.astype(xp.float32), sad_f.astype(xp.float32)])
+        pick = xp.argmin(sads, axis=0)                  # [nr16, nc16]
+        sad_c = xp.min(sads, axis=0)
+        comp16 = _take16(xp.stack([p[0] for p in pairs]), pick, xp)
+        comp_mv = tuple(
+            _take16(xp.stack([p[i] for p in pairs]), pick, xp)
+            for i in range(1, 5))                       # fr, fc, br, bc
         mvb_c = _take16(mvb_all, fi, xp) + _take16(mvb_all, bi, xp)
         base = xp.concatenate(
             [base, (sad_c + SEL_MV_W * mvb_c)[None]], axis=0)
@@ -211,8 +323,14 @@ def inter_frame_maps(src_plane, ref_planes, buf_w, buf_h, qindex, lam,
     kk = xp.where(is_comp, fi, xp.minimum(sel, K - 1))
     mv_r = _take16(mv_r_all, kk, xp)
     mv_c = _take16(mv_c_all, kk, xp)
-    mv1_r = xp.where(is_comp, _take16(mv_r_all, bi, xp), 0)
-    mv1_c = xp.where(is_comp, _take16(mv_c_all, bi, xp), 0)
+    if comp_mv is not None:
+        mv_r = xp.where(is_comp, comp_mv[0], mv_r)
+        mv_c = xp.where(is_comp, comp_mv[1], mv_c)
+        mv1_r = xp.where(is_comp, comp_mv[2], 0)
+        mv1_c = xp.where(is_comp, comp_mv[3], 0)
+    else:
+        mv1_r = xp.zeros_like(mv_r)
+        mv1_c = xp.zeros_like(mv_c)
     mvbits16 = xp.where(is_comp,
                         _take16(mvb_all, fi, xp) + _take16(mvb_all, bi, xp),
                         _take16(mvb_all, kk, xp))
@@ -237,7 +355,8 @@ _SEL_KEYS = ("sel", "mv_r", "mv_c", "mv1_r", "mv1_c", "fwd_i", "bwd_i")
 
 @functools.lru_cache(maxsize=8)
 def _jitted_inter(buf_w: int, buf_h: int, bd: int, n_refs: int,
-                  bwd_mask: tuple, allow_compound: bool):
+                  bwd_mask: tuple, allow_compound: bool,
+                  rel_dists: tuple = None):
     import jax
     import jax.numpy as jnp
 
@@ -245,7 +364,8 @@ def _jitted_inter(buf_w: int, buf_h: int, bd: int, n_refs: int,
         intra, inter_cost, sf, mvb = inter_frame_maps(
             src_u8.astype(jnp.int32), refs_u8.astype(jnp.int32),
             buf_w, buf_h, qindex, lam, mode_bits, bd, jnp,
-            bwd_mask=bwd_mask, allow_compound=allow_compound)
+            bwd_mask=bwd_mask, allow_compound=allow_compound,
+            rel_dists=rel_dists)
         parts = []
         for s in omd.ALL_SHAPES:
             m, c = intra[s]
@@ -261,7 +381,8 @@ def _jitted_inter(buf_w: int, buf_h: int, bd: int, n_refs: int,
 
 
 def inter_maps_dispatch(src, refs, buf_w, buf_h, qindex, lam, mode_bits,
-                        bd, use_jax, bwd_mask=None, allow_compound=False):
+                        bd, use_jax, bwd_mask=None, allow_compound=False,
+                        rel_dists=None):
     """Run inter_frame_maps as ONE jitted device program (or the numpy
     reference), returning numpy results."""
     refs = np.asarray(refs)
@@ -270,10 +391,12 @@ def inter_maps_dispatch(src, refs, buf_w, buf_h, qindex, lam, mode_bits,
     if bwd_mask is None:
         bwd_mask = (False,) * refs.shape[0]
     bwd_mask = tuple(bool(b) for b in bwd_mask)
+    if rel_dists is not None:
+        rel_dists = tuple(int(d) for d in rel_dists)
     if use_jax:
         try:
             fn = _jitted_inter(buf_w, buf_h, bd, refs.shape[0], bwd_mask,
-                               bool(allow_compound))
+                               bool(allow_compound), rel_dists)
             dt = np.uint8 if bd == 8 else np.uint16
             flat = np.asarray(fn(np.asarray(src).astype(dt),
                                  refs.astype(dt),
@@ -307,7 +430,8 @@ def inter_maps_dispatch(src, refs, buf_w, buf_h, qindex, lam, mode_bits,
             pass
     return inter_frame_maps(src, refs, buf_w, buf_h, qindex, lam,
                             mode_bits, bd, np, bwd_mask=bwd_mask,
-                            allow_compound=allow_compound)
+                            allow_compound=allow_compound,
+                            rel_dists=rel_dists)
 
 
 class BatchedDecider(BatchedIntraDecider):
@@ -361,14 +485,22 @@ class BatchedDecider(BatchedIntraDecider):
         names = codec.search_refs()[:3]
         self._names = names
         refs = np.stack([self._ref_plane(codec, n) for n in names])
-        bwd_mask = tuple(codec.sign_bias[n] > 0 for n in names)
+        # the "backward" side of a compound pair follows the NAMED ref
+        # class (BWDREF..ALTREF), not display order: bidirectional
+        # compound syntax codes ref1 with the comp_bwdref tree
+        # (_code_comp_ref_frames), so the pair must split by name class
+        bwd_mask = tuple(n >= 5 for n in names)
         allow_comp = bool(codec.fh.reference_select
                           and getattr(codec, "compound_level", 1) > 0
                           and any(bwd_mask) and not all(bwd_mask))
+        ref_dists = getattr(codec, "ref_dists", None)
+        rel = tuple(
+            (ref_dists.get(n, 1 if n >= 5 else -1) if ref_dists
+             else (1 if n >= 5 else -1)) for n in names)
         intra, inter_cost, sf, mvbits16 = inter_maps_dispatch(
             codec.source[0], refs, codec.buf_w, codec.buf_h,
             codec.fh.base_q_idx, lam, mode_bits, codec.seq.bit_depth,
-            self.use_jax, bwd_mask, allow_comp)
+            self.use_jax, bwd_mask, allow_comp, rel)
         sf = {k: np.asarray(v) for k, v in sf.items()}
         self._sf = sf
         mvb = np.asarray(mvbits16)

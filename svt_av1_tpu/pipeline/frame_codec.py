@@ -487,9 +487,13 @@ class FrameCodec:
     """Encodes or decodes one key frame's tile data."""
 
     def __init__(self, seq: SequenceHeader, fh: FrameHeader,
-                 source_planes=None, refs=None):
+                 source_planes=None, refs=None, init_fc=None):
         self.seq = seq
         self.fh = fh
+        # starting CDF state: the primary ref's saved (frame-end
+        # adapted) contexts, or None for spec defaults (load_cdfs vs
+        # init_non_coeff_cdfs, spec 7.20 / EbDecParseFrame primary ref)
+        self.init_fc = init_fc
         self.mi_cols = fh.mi_cols()
         self.mi_rows = fh.mi_rows()
         self.aligned_w = self.mi_cols * MI
@@ -509,7 +513,7 @@ class FrameCodec:
             self.source = [self._pad_plane(p, i) for i, p in enumerate(source_planes)]
         else:
             self.source = None
-        self.fc = FrameCdfs(fh.base_q_idx)
+        self.fc = self._fresh_fc()
         self.yq, self.uq, self.vq = qz.build_quantizer(seq.bit_depth)
         # tile-level contexts
         self.above_part = np.zeros(self.mi_cols + 32, np.int32)
@@ -617,11 +621,15 @@ class FrameCodec:
         self._init_lr_state()
         rects = self.tile_rects()
         assert len(blobs) == len(rects), (len(blobs), len(rects))
-        for rect, data in zip(rects, blobs):
+        self.saved_fc = None
+        for ti, (rect, data) in enumerate(zip(rects, blobs)):
             self.tile = rect
             self._reset_tile_contexts()
             self.io = SymbolReader(data)
             self._walk_superblocks()
+            if ti == self.fh.context_update_tile_id:
+                # frame-end CDF save source (spec 7.20 SavedCdfs)
+                self.saved_fc = self.fc
 
     # -- structure ---------------------------------------------------------
 
@@ -648,11 +656,17 @@ class FrameCodec:
                 rects.append((r0, c0, r1, c1))
         return rects
 
+    def _fresh_fc(self) -> FrameCdfs:
+        """Per-tile starting CDFs: primary-ref chained or defaults."""
+        if self.init_fc is not None:
+            return self.init_fc.copy()
+        return FrameCdfs(self.fh.base_q_idx)
+
     def _reset_tile_contexts(self):
         from ..ops import restoration as lr
 
         r0, c0, r1, c1 = self.tile
-        self.fc = FrameCdfs(self.fh.base_q_idx)
+        self.fc = self._fresh_fc()
         self.above_part[c0:c1 + 32] = 0
         self.left_part[r0:r1 + 32] = 0
         for p in range(self.num_planes):

@@ -14,15 +14,98 @@ the reference's packetization -> RC feedback port (EbEncHandle.c:673).
 from __future__ import annotations
 
 import dataclasses
+import functools
+import math
+from pathlib import Path
 
 import numpy as np
 
 from ..bitstream.headers import QUANTIZER_TO_QINDEX
 from ..config import EncoderConfig, RateControlMode
 
-# per-layer qindex offsets relative to the picture-type base
+# per-layer qindex offsets relative to the picture-type base (VBR path;
+# the CQP path derives its ladder from kf/gf boosts below)
 KEY_OFFSET = -12
 LAYER_OFFSETS = (-8, 8, 14, 18, 22, 24)
+
+# boost operating ranges (EbRateControlProcess.c:5271-5274)
+KF_LOW, KF_HIGH = 400, 5000
+GF_LOW_TPL, GF_HIGH_TPL = 300, 2400
+DEFAULT_KF_BOOST = 2700
+DEFAULT_GF_BOOST = 1350
+MAX_GFUBOOST_FACTOR = 10.0
+
+
+@functools.lru_cache(maxsize=1)
+def _minq_tables():
+    path = Path(__file__).parent / "data" / "rc_tables.npz"
+    return dict(np.load(path))
+
+
+def _minq(name: str, bit_depth: int) -> np.ndarray:
+    return _minq_tables()[f"{name}_{10 if bit_depth > 8 else 8}"]
+
+
+def _convert_qindex_to_q(qindex: int, bit_depth: int) -> float:
+    """svt_av1_convert_qindex_to_q: quantizer step in pel units."""
+    from ..ops.quant import ac_quant
+    shift = {8: 2, 10: 4, 12: 6}[bit_depth]
+    return float(ac_quant(int(qindex), 0, bit_depth)) / (1 << shift)
+
+
+def compute_qdelta(qstart: float, qtarget: float, bit_depth: int) -> int:
+    """Smallest qindex delta moving the quantizer step from qstart to
+    (at most) qtarget (svt_av1_compute_qdelta)."""
+    start_index, target_index = 255, 255
+    for i in range(256):
+        if _convert_qindex_to_q(i, bit_depth) >= qstart:
+            start_index = i
+            break
+    for i in range(256):
+        if _convert_qindex_to_q(i, bit_depth) >= qtarget:
+            target_index = i
+            break
+    return target_index - start_index
+
+
+def _active_quality(q: int, boost: int, low: int, high: int,
+                    low_motion_minq: np.ndarray,
+                    high_motion_minq: np.ndarray) -> int:
+    """get_active_quality: interpolate the minq curves by boost."""
+    if boost > high:
+        return int(low_motion_minq[q])
+    if boost < low:
+        return int(high_motion_minq[q])
+    gap = high - low
+    offset = high - boost
+    qdiff = int(high_motion_minq[q]) - int(low_motion_minq[q])
+    adjustment = (offset * qdiff + (gap >> 1)) // gap
+    return int(low_motion_minq[q]) + adjustment
+
+
+def kf_boost_from_r0(r0: float) -> int:
+    """get_cqp_kf_boost_from_r0 with frames_to_key unknown (1-pass)."""
+    factor = (10.0 + 4.0) / 2
+    return int(round(3 * (75.0 + 17.0 * factor) / 2 / max(r0, 1e-6)))
+
+
+def gfu_boost_from_r0(min_factor: float, r0: float, frame_count: int) -> int:
+    """get_gfu_boost_from_r0_lap."""
+    factor = math.sqrt(float(frame_count))
+    factor = min(max(factor, min_factor), MAX_GFUBOOST_FACTOR)
+    return int(round((200.0 + 10.0 * factor) / max(r0, 1e-6)))
+
+
+# per-layer quantizer-step scale when no TPL stats exist
+# (cqp_qindex_calc's delta_rate_new, EbRateControlProcess.c:5760)
+DELTA_RATE_NEW = (
+    (1.0, 1.0, 1.0, 1.0, 1.0, 1.0),
+    (0.6, 1.0, 1.0, 1.0, 1.0, 1.0),
+    (0.6, 0.8, 1.0, 1.0, 1.0, 1.0),
+    (0.6, 0.8, 0.9, 1.0, 1.0, 1.0),
+    (0.35, 0.6, 0.8, 0.9, 1.0, 1.0),
+    (0.35, 0.6, 0.8, 0.9, 0.95, 1.0),
+)
 
 
 def _qp_to_qindex(qp: float) -> int:
@@ -47,6 +130,10 @@ class RateControl:
     def __init__(self, cfg: EncoderConfig, fps: float,
                  all_intra: bool = False):
         self.tpl_offsets = {}
+        self.r0 = {}                  # display -> TPL r0 (intra/total cost)
+        self.frame_meta = {}          # display -> (qindex, layer, is_key)
+        self.hierarchical_levels = max(cfg.hierarchical_levels, 1)
+        self.tpl_group_size = 16
         self.cfg = cfg
         self.mode = cfg.rate_control_mode
         self.all_intra = all_intra
@@ -89,21 +176,99 @@ class RateControl:
             return self.pick_qindex(is_key, layer, display)
         return None
 
-    def pick_qindex(self, is_key: bool, layer: int,
-                    display: int | None = None) -> int:
-        if self.mode == RateControlMode.CQP:
-            base = QUANTIZER_TO_QINDEX[self.cfg.qp]
-            if base == 0 or self.all_intra:
-                return base
-            if is_key:
-                off = KEY_OFFSET
+    def note_coded(self, display: int, qindex: int, layer: int,
+                   is_key: bool) -> None:
+        """Record a coded frame's quantizer for reference-chained qindex
+        derivation (the reference's ref_pic_qp_array feedback)."""
+        self.frame_meta[display] = (int(qindex), int(layer), bool(is_key))
+        for store in (self.frame_meta, self.r0):
+            for d in [d for d in store if d < display - 64]:
+                del store[d]
+
+    def _pick_qindex_cqp(self, is_key: bool, layer: int,
+                         display: int | None,
+                         ref_displays: tuple = (),
+                         n_deps: int = -1) -> int:
+        """cqp_qindex_calc(_tpl_la) analog: kf/gf boosts from the TPL r0
+        plus reference-chained internal-ARF qindex
+        (EbRateControlProcess.c:5589 / :5734)."""
+        base = QUANTIZER_TO_QINDEX[self.cfg.qp]
+        if base == 0 or self.all_intra:
+            return base
+        bd = self.cfg.encoder_bit_depth
+        levels = max(self.hierarchical_levels, 1)
+        r0 = self.r0.get(display) if display is not None else None
+        if is_key:
+            boost = DEFAULT_KF_BOOST if r0 is None else kf_boost_from_r0(r0)
+            if r0 is None:
+                abq = _active_quality(base, boost, KF_LOW, KF_HIGH,
+                                      _minq("kf_low_motion_minq_cqp", bd),
+                                      _minq("kf_high_motion_minq_cqp", bd))
             else:
-                off = LAYER_OFFSETS[min(layer, 5)]
-                # TPL modulation (cqp_qindex_calc_tpl_la analog): the
-                # propagated dependency boost deepens the ladder for
-                # heavily-referenced frames; leaves stay put
-                off += self.tpl_offsets.get(display, 0)
-            return int(np.clip(base + off, 1, 255))
+                abq = _active_quality(base, boost, KF_LOW, KF_HIGH,
+                                      _minq("kf_low_motion_minq_cqp", bd),
+                                      _minq("kf_high_motion_minq", bd))
+            return int(np.clip(abq, 1, base))
+        refs = [self.frame_meta[d] for d in ref_displays
+                if d in self.frame_meta]
+        if layer == 0:
+            # a base frame's boost is only worth what leans on it: tail
+            # bases with no dependents code at the leaf operating point
+            # (the reference's gfu boost scales with the GF group size)
+            if n_deps == 0:
+                return base
+            small_group = 0 <= n_deps < (1 << levels)
+            if r0 is None:
+                gfu = DEFAULT_GF_BOOST
+                if small_group:
+                    gfu = int(gfu * math.sqrt((n_deps + 1.0)
+                                              / (1 << levels)))
+            elif small_group:
+                gfu = min(gfu_boost_from_r0(1.0, r0, n_deps + 1),
+                          DEFAULT_GF_BOOST * (n_deps + 1) // (1 << levels))
+            else:
+                group = self.tpl_group_size + (1 << levels)
+                gfu = gfu_boost_from_r0(math.sqrt(1 << levels), r0, group)
+            abq = _active_quality(base, gfu, GF_LOW_TPL, GF_HIGH_TPL,
+                                  _minq("arfgf_low_motion_minq", bd),
+                                  _minq("arfgf_high_motion_minq", bd))
+            # arf_boost_factor: deepen the boost right after a key frame
+            # whose r0 shows the scene got easier to predict
+            factor = 1.0
+            if refs and refs[0][2] and r0 is not None:
+                ref_r0 = self.r0.get(ref_displays[0])
+                if ref_r0 is not None and ref_r0 - r0 >= 0.08:
+                    factor = 1.3
+            min_boost = int(_minq("arfgf_high_motion_minq", bd)[base])
+            abq = min_boost - int((min_boost - abq) * factor)
+            aworst = (abq + 3 * base + 2) // 4
+            return int(np.clip(abq, 1, max(aworst, 1)))
+        if layer < levels and refs:
+            # internal ARF: chain from the references' coded qp, halving
+            # toward the base per pyramid level crossed
+            arf_q = max(((q >> 2) << 2) + 2 for q, _, _ in refs)
+            ref_layer = max(l for _, l, _ in refs)
+            abq = arf_q
+            for _ in range(max(layer - ref_layer, 0)):
+                abq = (abq + base + 1) // 2
+            aworst = (abq + 3 * base + 2) // 4
+            return int(np.clip(abq, 1, max(aworst, 1)))
+        if layer < levels:
+            # referenced frame without usable ref feedback (non-TPL
+            # path): per-layer quantizer-step compression
+            qv = _convert_qindex_to_q(base, bd)
+            scale = DELTA_RATE_NEW[min(levels, 5)][min(layer, 5)]
+            return int(np.clip(
+                base + compute_qdelta(qv, qv * scale, bd), 1, 255))
+        return base
+
+    def pick_qindex(self, is_key: bool, layer: int,
+                    display: int | None = None,
+                    ref_displays: tuple = (),
+                    n_deps: int = -1) -> int:
+        if self.mode == RateControlMode.CQP:
+            return self._pick_qindex_cqp(is_key, layer, display,
+                                         ref_displays, n_deps)
         # VBR/CVBR: operating qp adjusted by buffer fullness; the
         # correction stays gentle inside the configured shoot band and
         # ramps up quadratically beyond it (under/over_shoot_pct

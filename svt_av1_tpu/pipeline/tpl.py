@@ -84,14 +84,45 @@ def _pair_stats(src, ref, buf_w, buf_h, bd, use_jax):
                  for v in (sad, mv_r, mv_c, var))
 
 
-def tpl_gop_offsets(frames_y, displays, buf_w: int, buf_h: int,
-                    bd: int = 8, use_jax: bool = True) -> dict:
-    """Per-display qindex offsets for one mini-GOP window.
+def _scatter_dep(tgt, prop, mv_r, mv_c):
+    """Bilinear area-weighted deposit of ``prop`` onto the 16x16 grid of
+    the reference frame through the MV field (mc_flow_dispenser's grid
+    scatter)."""
+    nr, nc = prop.shape
+    ys = (np.arange(nr)[:, None] * 16 + mv_r).astype(np.float64)
+    xs = (np.arange(nc)[None, :] * 16 + mv_c).astype(np.float64)
+    y0 = np.floor(ys / 16).astype(int)
+    x0 = np.floor(xs / 16).astype(int)
+    fy = ys / 16 - y0
+    fx = xs / 16 - x0
+    for dy in (0, 1):
+        wy = np.where(dy == 0, 1 - fy, fy)
+        yy = np.clip(y0 + dy, 0, nr - 1)
+        for dx in (0, 1):
+            wx = np.where(dx == 0, 1 - fx, fx)
+            xx = np.clip(x0 + dx, 0, nc - 1)
+            np.add.at(tgt, (yy, xx), prop * wy * wx)
 
-    frames_y: luma planes in DISPLAY order (the anchor's predecessor
-    first, so pairs are (frames_y[i-1] -> frames_y[i])); displays: the
-    display index of each entry.  Returns {display: qindex_offset}
-    (non-positive: referenced frames get boosted).
+
+def tpl_gop_flow(frames_y, displays, buf_w: int, buf_h: int,
+                 bd: int = 8, use_jax: bool = True,
+                 include_first: bool = False) -> dict:
+    """Per-display TPL r0 for one mini-GOP window.
+
+    frames_y: luma planes in DISPLAY order; displays: the display index
+    of each entry.  Each adjacent pair is measured in BOTH directions
+    (forward: i predicted from i-1; backward: i predicted from i+1) and
+    every frame deposits its propagated dependency through whichever
+    neighbour predicts it better per block.  Chained over the window,
+    forward flow credits past anchors (key frames / previous base) and
+    backward flow credits the mini-GOP's own base-layer frame — the two
+    anchors the dyadic pyramid actually references.
+
+    Returns {display: r0} with r0 = intra_cost / (intra_cost + mc_dep)
+    in (0, 1]; small r0 = heavily depended-on frame (generate_r0beta,
+    EbSourceBasedOperationsProcess.c).  ``include_first`` also reports
+    the first entry (a key frame leading its own group); otherwise the
+    seed is context only.
     """
     n = len(frames_y)
     if n < 2 or buf_h < bme.SB + 2 * (bme.REFINE_R + bme.MARGIN):
@@ -106,46 +137,70 @@ def tpl_gop_offsets(frames_y, displays, buf_w: int, buf_h: int,
         return a
 
     planes = [bufal(np.asarray(f)) for f in frames_y]
-    stats = [None]                       # index 0 (the seed) has no pair
-    for i in range(1, n):
-        sad, mv_r, mv_c, var = _pair_stats(planes[i], planes[i - 1],
-                                           buf_w, buf_h, bd, use_jax)
-        # SATD-ish costs: intra proxy = spatial variance; inter = SAD^2/n
-        intra = var.astype(np.float64) + 1.0
-        inter = (sad.astype(np.float64) ** 2) / 256.0 + 1.0
-        stats.append(dict(intra=intra, inter=np.minimum(inter, intra),
-                          mv_r=mv_r, mv_c=mv_c))
+    intra = [None] * n       # per-frame intra-cost proxy (variance)
+    fwd = [None] * n         # i predicted from i-1
+    bwd = [None] * n         # i predicted from i+1
+    for i in range(n):
+        if i > 0:
+            sad, mv_r, mv_c, var = _pair_stats(planes[i], planes[i - 1],
+                                               buf_w, buf_h, bd, use_jax)
+            intra[i] = var.astype(np.float64) + 1.0
+            fwd[i] = ((sad.astype(np.float64) ** 2) / 256.0 + 1.0,
+                      mv_r, mv_c)
+        if i < n - 1:
+            sad, mv_r, mv_c, var = _pair_stats(planes[i], planes[i + 1],
+                                               buf_w, buf_h, bd, use_jax)
+            if intra[i] is None:
+                intra[i] = var.astype(np.float64) + 1.0
+            bwd[i] = ((sad.astype(np.float64) ** 2) / 256.0 + 1.0,
+                      mv_r, mv_c)
 
-    nr, nc = stats[1]["intra"].shape
+    nr, nc = intra[1].shape
     mc_dep = [np.zeros((nr, nc)) for _ in range(n)]
-    # backward flow: later frames deposit their dependency onto the
-    # blocks of their reference (display predecessor) via the MV field
-    # with bilinear area weights (mc_flow_dispenser's grid scatter)
+    # two chained sweeps, mirroring the decode-order property that
+    # anchors are coded before the frames that reference them:
+    # 1) right-to-left: dependency mass flows toward EARLIER frames
+    #    through the blocks where forward prediction wins;
+    # 2) left-to-right: mass flows toward LATER frames (the mini-GOP
+    #    base) where backward prediction wins.
     for i in range(n - 1, 0, -1):
-        st = stats[i]
-        ratio = np.clip((st["intra"] - st["inter"]) / st["intra"], 0, 1)
-        prop = (st["intra"] + mc_dep[i]) * ratio
-        ys = (np.arange(nr)[:, None] * 16 + st["mv_r"]).astype(np.float64)
-        xs = (np.arange(nc)[None, :] * 16 + st["mv_c"]).astype(np.float64)
-        y0 = np.floor(ys / 16).astype(int)
-        x0 = np.floor(xs / 16).astype(int)
-        fy = ys / 16 - y0
-        fx = xs / 16 - x0
-        tgt = mc_dep[i - 1]
-        for dy in (0, 1):
-            wy = np.where(dy == 0, 1 - fy, fy)
-            yy = np.clip(y0 + dy, 0, nr - 1)
-            for dx in (0, 1):
-                wx = np.where(dx == 0, 1 - fx, fx)
-                xx = np.clip(x0 + dx, 0, nc - 1)
-                np.add.at(tgt, (yy, xx), prop * wy * wx)
+        ic = intra[i]
+        f_cost = np.minimum(fwd[i][0], ic)
+        b_cost = np.minimum(bwd[i][0], ic) if bwd[i] is not None else None
+        use_f = np.ones_like(ic, bool) if b_cost is None \
+            else f_cost <= b_cost
+        ratio = np.clip((ic - f_cost) / ic, 0, 1) * use_f
+        _scatter_dep(mc_dep[i - 1], (ic + mc_dep[i]) * ratio,
+                     fwd[i][1], fwd[i][2])
+    for i in range(0, n - 1):
+        if bwd[i] is None:
+            continue
+        ic = intra[i]
+        b_cost = np.minimum(bwd[i][0], ic)
+        f_cost = np.minimum(fwd[i][0], ic) if fwd[i] is not None else None
+        use_b = np.ones_like(ic, bool) if f_cost is None \
+            else b_cost < f_cost
+        ratio = np.clip((ic - b_cost) / ic, 0, 1) * use_b
+        _scatter_dep(mc_dep[i + 1], (ic + mc_dep[i]) * ratio,
+                     bwd[i][1], bwd[i][2])
 
     out = {}
     for i, d in enumerate(displays):
-        if i == 0:
+        if i == 0 and not include_first:
             continue                      # the seed frame is context only
-        intra_sum = float(stats[i]["intra"].sum()) if stats[i] else 1.0
-        beta = (intra_sum + float(mc_dep[i].sum())) / intra_sum
-        boost = min(QSTEP_PER_OCTAVE * np.log2(beta), MAX_BOOST)
+        intra_sum = float(intra[i].sum())
+        out[d] = intra_sum / (intra_sum + float(mc_dep[i].sum()))
+    return out
+
+
+def tpl_gop_offsets(frames_y, displays, buf_w: int, buf_h: int,
+                    bd: int = 8, use_jax: bool = True) -> dict:
+    """Legacy qindex-offset form of :func:`tpl_gop_flow` (offset =
+    -QSTEP_PER_OCTAVE * log2(1/r0), capped)."""
+    r0s = tpl_gop_flow(frames_y, displays, buf_w, buf_h, bd, use_jax)
+    out = {}
+    for d, r0 in r0s.items():
+        boost = min(QSTEP_PER_OCTAVE * np.log2(1.0 / max(r0, 1e-9)),
+                    MAX_BOOST)
         out[d] = -int(round(boost))
     return out

@@ -30,8 +30,9 @@ def test_shapes_aggregate_consistency():
     """Aggregated shape SADs at a common offset equal the sum of their
     8x8 children."""
     rng = np.random.default_rng(3)
+    wsz = bme.SB + 2 * bme.REFINE_R
     src = rng.integers(0, 256, (64, 64)).astype(np.int32)
-    win = rng.integers(0, 256, (80, 80)).astype(np.int32)
+    win = rng.integers(0, 256, (wsz, wsz)).astype(np.int32)
     s8 = bme.sad8_surfaces(src[None], win[None], np)
     a16 = bme.aggregate(s8, 2, 2, np)
     manual = (s8[0, 0, 0] + s8[0, 0, 1] + s8[0, 1, 0] + s8[0, 1, 1])

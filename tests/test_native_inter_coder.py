@@ -53,6 +53,47 @@ def test_inter_native_matches_python(monkeypatch, w, h, qp):
     assert ref_stream == nat_stream
 
 
+def _fade_clip(n, w, h, seed=3):
+    """Cross-fade between two patterns: the plan selects compound on
+    most units, exercising the C walker's compound stack + jnt MC +
+    NEW_NEW/NEAREST_NEAREST syntax."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    a = 90 + 70 * np.sin(xx / 9 + yy / 13) + rng.integers(-3, 4, (h, w))
+    b = 140 + 60 * np.cos(xx / 6 - yy / 17) + rng.integers(-3, 4, (h, w))
+    frames = []
+    for i in range(n):
+        t = i / (n - 1)
+        y = ((1 - t) * a + t * b
+             + rng.integers(-2, 3, (h, w))).clip(0, 255).astype(np.uint8)
+        u = (y[::2, ::2] // 2 + 60).astype(np.uint8)
+        v = (200 - y[::2, ::2] // 2).astype(np.uint8)
+        frames.append((y, u, v))
+    return frames
+
+
+def test_inter_native_matches_python_compound(monkeypatch):
+    w, h = 192, 128
+    frames = _fade_clip(8, w, h)
+    ref_stream = _encode(frames, w, h, native=False,
+                         monkeypatch=monkeypatch, qp=44)
+    monkeypatch.undo()
+    # the plan must actually contain compound units for this to test
+    # anything
+    from svt_av1_tpu.pipeline import batched_inter as bi
+    seen = {"comp": 0}
+    orig = bi.BatchedDecider._plan_inter
+
+    def spy(self, codec):
+        orig(self, codec)
+        seen["comp"] += int((self._sf["sel"] >= len(self._names)).sum())
+
+    monkeypatch.setattr(bi.BatchedDecider, "_plan_inter", spy)
+    nat_stream = _encode(frames, w, h, native=True, qp=44)
+    assert seen["comp"] > 0, "clip produced no compound units"
+    assert ref_stream == nat_stream
+
+
 def test_inter_native_used(monkeypatch):
     frames = _clip(3, 128, 128)
     used = {}
