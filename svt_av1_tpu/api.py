@@ -543,10 +543,9 @@ class Encoder:
             filter_level=(lvl, lvl),
             filter_level_uv=(lvl, lvl),
             cdef_damping=min(3 + (qindex >> 6), 6),
-            # TX_MODE_SELECT on intra frames at the RD presets (intra
-            # tx_size syntax; inter frames keep TX_MODE_LARGEST until
-            # var-tx lands)
-            tx_mode_select=job.is_key and self.cfg.enc_mode <= 4,
+            # TX_MODE_SELECT at the RD presets: intra tx_size syntax on
+            # key frames, recursive txfm_split (var-tx) on inter frames
+            tx_mode_select=self.cfg.enc_mode <= 4,
             is_motion_mode_switchable=not job.is_key
             and self.sig.enable_warped_motion,
             allow_warped_motion=not job.is_key
@@ -1033,12 +1032,13 @@ def _variance_aq(y_plane: np.ndarray, sb_size: int, base_q: int):
     h, w = y_plane.shape
     rows = (h + sb_size - 1) // sb_size
     cols = (w + sb_size - 1) // sb_size
-    var = np.zeros((rows, cols))
-    for r in range(rows):
-        for c in range(cols):
-            blk = y_plane[r * sb_size:(r + 1) * sb_size,
-                          c * sb_size:(c + 1) * sb_size].astype(np.float64)
-            var[r, c] = blk.var()
+    # one batched reduction over the SB grid (edge SBs edge-padded so
+    # their variance reflects only real samples' distribution shape)
+    pad = np.pad(y_plane.astype(np.float64),
+                 ((0, rows * sb_size - h), (0, cols * sb_size - w)),
+                 mode="edge")
+    blocks = pad.reshape(rows, sb_size, cols, sb_size).transpose(0, 2, 1, 3)
+    var = blocks.var(axis=(-1, -2))
     lv = np.log2(var + 1.0)
     qs = np.quantile(lv, [0.25, 0.5, 0.75])
     seg = np.digitize(lv, qs).astype(np.int8)      # 0..3

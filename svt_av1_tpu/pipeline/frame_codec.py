@@ -28,7 +28,8 @@ from ..entropy.tables import FrameCdfs, table
 from ..ops import intra as intra_ops
 from ..ops import quant as qz
 from ..ops import transforms as tf
-from ..bitstream.headers import FrameHeader, SequenceHeader
+from ..bitstream.headers import (FrameHeader, SequenceHeader,
+                                 UnsupportedBitstream)
 from ..entropy.mv import (MV_SUBPEL_LOW_PRECISION, decode_mv, encode_mv)
 from . import mv_pred
 from ..ops import inter as inter_ops
@@ -522,6 +523,11 @@ class FrameCodec:
         self.skips = np.zeros((self.mi_rows, self.mi_cols), np.int32)
         self.partitions = np.zeros((self.mi_rows, self.mi_cols), np.int32)
         self.seg_map = np.zeros((self.mi_rows, self.mi_cols), np.int8)
+        # var-tx split contexts: above tx widths / left tx heights in
+        # pixels (TXFM_CONTEXT; txfm_partition_context,
+        # EbEntropyCoding.c:4986); left is scoped to one SB row
+        self.txfm_above = np.full(self.mi_cols + 32, 64, np.uint8)
+        self.txfm_left = np.full(self.mi_rows + 32, 64, np.uint8)
         # txb level|dcsign contexts per plane (4px units in plane space)
         self.txb_above = [np.zeros(self.buf_w >> (2 + (p > 0)), np.int32)
                           for p in range(3)]
@@ -669,6 +675,7 @@ class FrameCodec:
         self.fc = self._fresh_fc()
         self.above_part[c0:c1 + 32] = 0
         self.left_part[r0:r1 + 32] = 0
+        self.txfm_above[c0:c1 + 32] = 64
         for p in range(self.num_planes):
             sub = 1 if p else 0
             x0, x1 = (c0 * MI >> sub) >> 2, (c1 * MI >> sub) >> 2
@@ -688,6 +695,9 @@ class FrameCodec:
             plan = getattr(self.decider, "plan_superblock", None)
         r0, c0, r1, c1 = self.tile
         for mi_row in range(r0, r1, sb_mi):
+            # left tx context is scoped to one SB row (clear_left_context,
+            # EbDecParseFrame.c:110)
+            self.txfm_left[mi_row:mi_row + sb_mi] = 64
             for mi_col in range(c0, c1, sb_mi):
                 self._code_lr(mi_row, mi_col)
                 if plan is not None:
@@ -2206,6 +2216,100 @@ class FrameCodec:
                            self.fc.refmv[ref_ctx], 2)
         return mv_pred.NEARMV if nearmv else mv_pred.NEARESTMV
 
+    def _effective_drl_idx(self, mode, stack, ref_mv_idx) -> int:
+        """_code_drl's index reconstruction WITHOUT coding: what the
+        decoder will derive when a (possibly stale) requested index is
+        coded against this stack.  Must mirror _code_drl exactly."""
+        out = 0
+        if mode in (mv_pred.NEWMV, mv_pred.NEW_NEWMV):
+            for idx in range(2):
+                if len(stack) > idx + 1:
+                    out = idx
+                    if ref_mv_idx == idx:
+                        return out
+                    out = idx + 1
+        elif mode in (mv_pred.NEARMV, mv_pred.NEAR_NEARMV,
+                      mv_pred.NEAR_NEWMV, mv_pred.NEW_NEARMV):
+            for idx in range(1, 3):
+                if len(stack) > idx + 1:
+                    bit = int(ref_mv_idx > idx - 1)
+                    out = idx + bit - 1
+                    if not bit:
+                        return out
+        return out
+
+    def _revalidate_inter_mvs(self, decision, mi_row, mi_col, w4, h4,
+                              bw, bh):
+        """Re-derive stack-implied MVs against the CODING-time MV
+        stacks.  The decider's cached decisions were evaluated inside
+        partition-search branches whose neighbor mi state may differ
+        from the final pass; NEAREST/NEAR/GLOBAL (and compound) MVs are
+        not coded explicitly, so a stale cached value would make the
+        encoder predict with an MV the bitstream does not say
+        (conformance desync).  Mirrors the derivations in _block_inter
+        and _code_compound_mode."""
+        mode = decision.inter_mode
+        ref, ref1 = decision.ref, int(decision.ref1 or 0)
+        lower = lambda mv: mv_pred.lower_mv_precision(mv, False, False)
+        if ref1 > 0:
+            stack_res = mv_pred.find_mv_stack(
+                self.mi, mi_row, mi_col, w4, h4, ref,
+                self.mi_rows, self.mi_cols, sb_mi=self.seq.sb_size // MI,
+                sign_bias=self.sign_bias, ref_frame1=ref1,
+                tile=self.tile,
+                **self.gm_stack_kwargs(ref, ref1, mi_row, mi_col,
+                                       w4, h4))
+            stack = stack_res.stack
+            idx = self._effective_drl_idx(mode, stack,
+                                          decision.ref_mv_idx)
+            nearest = (lower(stack[0][0]), lower(stack[0][1]))
+            near_idx = min(idx + 1, len(stack) - 1)
+            near = (lower(stack[near_idx][0]), lower(stack[near_idx][1]))
+            mv0, mv1 = tuple(decision.mv), tuple(decision.mv1)
+            if mode == mv_pred.NEAREST_NEARESTMV:
+                mv0, mv1 = nearest
+            elif mode == mv_pred.NEAR_NEARMV:
+                mv0, mv1 = near
+            elif mode == mv_pred.GLOBAL_GLOBALMV:
+                mv0 = self.gm_mv_for(ref, mi_row, mi_col, bw, bh)
+                mv1 = self.gm_mv_for(ref1, mi_row, mi_col, bw, bh)
+            elif mode == mv_pred.NEW_NEARESTMV:
+                mv1 = nearest[1]
+            elif mode == mv_pred.NEAREST_NEWMV:
+                mv0 = nearest[0]
+            elif mode == mv_pred.NEW_NEARMV:
+                mv1 = near[1]
+            elif mode == mv_pred.NEAR_NEWMV:
+                mv0 = near[0]
+            if (tuple(mv0), tuple(mv1), idx) != \
+                    (tuple(decision.mv), tuple(decision.mv1),
+                     decision.ref_mv_idx):
+                decision = dataclasses.replace(
+                    decision, mv=(int(mv0[0]), int(mv0[1])),
+                    mv1=(int(mv1[0]), int(mv1[1])), ref_mv_idx=idx)
+            return decision
+        stack_res = mv_pred.find_mv_stack(
+            self.mi, mi_row, mi_col, w4, h4, ref,
+            self.mi_rows, self.mi_cols, sb_mi=self.seq.sb_size // MI,
+            sign_bias=self.sign_bias, tile=self.tile,
+            **self.gm_stack_kwargs(ref, 0, mi_row, mi_col, w4, h4))
+        stack = stack_res.stack
+        idx = self._effective_drl_idx(mode, stack, decision.ref_mv_idx)
+        if mode == mv_pred.NEWMV:
+            mv = tuple(decision.mv)
+        elif mode == mv_pred.NEARESTMV:
+            mv = tuple(stack_res.ref_mv_list[0])
+        elif mode == mv_pred.NEARMV:
+            mv = tuple(stack_res.ref_mv_list[1])
+            if idx > 0:
+                mv = tuple(stack[1 + idx][0])
+        else:                             # GLOBALMV
+            mv = tuple(self.gm_mv_for(ref, mi_row, mi_col, bw, bh))
+        if (mv, idx) != (tuple(decision.mv), decision.ref_mv_idx):
+            decision = dataclasses.replace(
+                decision, mv=(int(mv[0]), int(mv[1])), ref_mv_idx=idx)
+        return decision
+
     def _code_drl(self, mode, stack, ref_mv_idx):
         io = self.io
         out_idx = 0
@@ -2534,6 +2638,11 @@ class FrameCodec:
                 tt = TxType.DCT_DCT
                 pred = self.predict_inter_block(plane, decision, px, py,
                                                 pw, ph)
+                if (plane == 0 and self.fh.tx_mode_select
+                        and self.fh.base_q_idx > 0):
+                    out += self._luma_vartx_txbs(decision, pred, px, py,
+                                                 pw, ph, bw, bh)
+                    continue
             else:
                 tt = self.tx_type_for(plane, decision, ts)
                 if plane == 0:
@@ -2562,6 +2671,174 @@ class FrameCodec:
                             px=px, py=py, pw=pw, ph=ph))
         return out
 
+    def _luma_vartx_txbs(self, decision, pred, px, py, pw, ph, bw, bh):
+        """Var-tx luma TUs for one inter block: uniform split depth 0 vs
+        1 chosen by true SSE + a coefficient-rate proxy (the encoder's
+        envelope of write_tx_size_vartx — depth <= 1 keeps the TU order
+        raster).  Sets ``decision.tx_depth`` and writes the winning
+        recon/geometry."""
+        from .rdo import rd_lambda
+        lam = rd_lambda(self.fh.base_q_idx, self.seq.bit_depth)
+        max_ts = max_txsize_rect(bw, bh)
+        depths = (0,) if max_ts == TxSize.TX_4X4 else (0, 1)
+        forced = getattr(self, "force_tx_depth", None)
+        if forced is not None:
+            depths = (min(int(forced), len(depths) - 1),)
+        best = None
+        for d in depths:
+            ts = depth_to_tx_size(d, bw, bh)
+            tw, th = TX_WIDTH[ts], TX_HEIGHT[ts]
+            txbs = []
+            sse = 0.0
+            bits = 1.0 + (4.0 if d else 0.0)     # txfm_partition flags
+            for ty in range(py, py + ph, th):
+                for tx_ in range(px, px + pw, tw):
+                    sblk = self.source[0][ty:ty + th, tx_:tx_ + tw]
+                    pblk = pred[ty - py:ty - py + th,
+                                tx_ - px:tx_ - px + tw]
+                    beq = pw == tw and ph == th
+                    rdoq_ctx = None
+                    if self.rdoq_level:
+                        sk_ctx, dc_ctx = self._txb_ctx(
+                            0, tx_, ty, tw, th, ts, beq)
+                        rdoq_ctx = (sk_ctx, dc_ctx, True)
+                    qc, eob, recon = self._tx_quant_recon(
+                        0, sblk, pblk, ts, TxType.DCT_DCT,
+                        rdoq_ctx=rdoq_ctx)
+                    sse += float(((sblk.astype(np.int64) - recon) ** 2)
+                                 .sum())
+                    nnz = int((qc != 0).sum())
+                    bits += (1.2 * nnz + 2.0
+                             + float(np.log2(1.0 + np.abs(qc)).sum()))
+                    ch, cw = min(th, 32), min(tw, 32)
+                    txbs.append(dict(
+                        plane=0, tx_size=ts, tx_type=TxType.DCT_DCT,
+                        qcoeff=qc[:ch, :cw], eob=eob, pred=pblk,
+                        px=tx_, py=ty, pw=tw, ph=th, beq=beq,
+                        recon=recon))
+            cost = sse + lam * bits
+            if best is None or cost < best[0]:
+                best = (cost, d, txbs)
+        decision.tx_depth = best[1]
+        for t in best[2]:
+            self.recon[0][t["py"]:t["py"] + t["ph"],
+                          t["px"]:t["px"] + t["pw"]] = t.pop("recon")
+        # tx geometry (DLF edge grid) is recorded at residual-write
+        # time: a block whose TUs all quantize to zero codes SKIP, and
+        # skip blocks take the implicit max tx size, not the TU grid
+        return best[2]
+
+    # -- var-tx (TX_MODE_SELECT on inter frames) ----------------------------
+
+    _SQR_TX = {4: TxSize.TX_4X4, 8: TxSize.TX_8X8, 16: TxSize.TX_16X16,
+               32: TxSize.TX_32X32, 64: TxSize.TX_64X64,
+               128: TxSize.TX_64X64}
+
+    def _txfm_split_ctx(self, ts, mi_row, mi_col, bw, bh) -> int:
+        """txfm_partition_context (EbEntropyCoding.c:4986 /
+        get_txfm_split_ctx, EbDecParseBlock.c:1362)."""
+        above = int(int(self.txfm_above[mi_col]) < TX_WIDTH[ts])
+        left = int(int(self.txfm_left[mi_row]) < TX_HEIGHT[ts])
+        max_ts = self._SQR_TX[min(64, max(bw, bh))]
+        sqr_up = self._SQR_TX[min(64, max(TX_WIDTH[ts], TX_HEIGHT[ts]))]
+        return (int(sqr_up != max_ts) * 3 + (4 - int(max_ts)) * 6
+                + above + left)
+
+    def _vartx_tree(self, ts, depth, mi_row, mi_col, bw, bh, enc_depth,
+                    leaves) -> None:
+        """write_tx_size_vartx / read_var_tx_size: the recursive
+        txfm_split tree of one max-tx unit.  The encoder codes a UNIFORM
+        ``enc_depth`` (split every node above it); the parser accepts
+        any legal tree.  Leaves append as (tx_size, mi_row, mi_col) in
+        recursion order — the residual TU order."""
+        io = self.io
+        if mi_row >= self.mi_rows or mi_col >= self.mi_cols:
+            return
+        if ts == TxSize.TX_4X4 or depth == 2:       # MAX_VARTX_DEPTH
+            split = 0
+        else:
+            ctx = self._txfm_split_ctx(ts, mi_row, mi_col, bw, bh)
+            split = io.symbol(
+                None if io.is_decoder else int(depth < enc_depth),
+                self.fc.txfm_partition[ctx], 2)
+        if split:
+            sub = SUB_TX_SIZE[ts]
+            sh4 = max(TX_HEIGHT[sub] // MI, 1)
+            sw4 = max(TX_WIDTH[sub] // MI, 1)
+            for r in range(0, TX_HEIGHT[ts] // MI, sh4):
+                for c in range(0, TX_WIDTH[ts] // MI, sw4):
+                    self._vartx_tree(sub, depth + 1, mi_row + r,
+                                     mi_col + c, bw, bh, enc_depth,
+                                     leaves)
+            return
+        leaves.append((ts, mi_row, mi_col))
+        self.txfm_above[mi_col:mi_col + TX_WIDTH[ts] // MI] = TX_WIDTH[ts]
+        self.txfm_left[mi_row:mi_row + TX_HEIGHT[ts] // MI] = \
+            TX_HEIGHT[ts]
+
+    def _tx_size_ctx_inter(self, mi_row, mi_col, bw, bh) -> int:
+        """get_tx_size_context for inter frames: inter neighbors count
+        with their BLOCK dims (EbDecParseHelper.c:56)."""
+        max_ts = max_txsize_rect(bw, bh)
+        up = mi_row > self.tile[0]
+        left = mi_col > self.tile[1]
+        a = l = 0
+        if up:
+            if self.mi.ref_frame[mi_row - 1, mi_col] > 0:
+                a = int(self.mi.bw4[mi_row - 1, mi_col] * MI
+                        >= TX_WIDTH[max_ts])
+            else:
+                a = int(self.txfm_above[mi_col] >= TX_WIDTH[max_ts])
+        if left:
+            if self.mi.ref_frame[mi_row, mi_col - 1] > 0:
+                l = int(self.mi.bh4[mi_row, mi_col - 1] * MI
+                        >= TX_HEIGHT[max_ts])
+            else:
+                l = int(self.txfm_left[mi_row] >= TX_HEIGHT[max_ts])
+        if up and left:
+            return a + l
+        return a if up else (l if left else 0)
+
+    def _code_block_tx_size(self, decision, skip, is_inter, mi_row,
+                            mi_col, bw, bh):
+        """read_block_tx_size analog (EbDecParseBlock.c:1540): var-tx
+        split tree for coded inter blocks under TX_MODE_SELECT, tx_size
+        depth symbol for intra blocks, txfm context updates for all.
+        Returns the luma TU leaf list for var-tx blocks, else None."""
+        io = self.io
+        fh = self.fh
+        w4, h4 = bw // MI, bh // MI
+        if not fh.tx_mode_select or fh.base_q_idx == 0:
+            return None
+        if is_inter and not skip:
+            max_ts = max_txsize_rect(bw, bh)
+            enc_depth = None if io.is_decoder \
+                else getattr(decision, "tx_depth", 0)
+            leaves = []
+            # one max-tx unit covers every block <= 64px
+            self._vartx_tree(max_ts, 0, mi_row, mi_col, bw, bh,
+                             enc_depth, leaves)
+            return leaves
+        if not is_inter:
+            if not (bw == 4 and bh == 4):
+                mdep = bsize_max_tx_depth(bw, bh)
+                ctx = self._tx_size_ctx_inter(mi_row, mi_col, bw, bh)
+                depth = io.symbol(
+                    None if io.is_decoder
+                    else getattr(decision, "tx_depth", 0),
+                    self.fc.tx_size[bsize_tx_size_cat(bw, bh)][ctx],
+                    mdep + 1)
+                if io.is_decoder:
+                    decision.tx_depth = depth
+            ts = self.luma_tx_size(decision, bw, bh)
+            txw, txh = TX_WIDTH[ts], TX_HEIGHT[ts]
+        else:
+            # skipped inter: implicit largest tx; ctx takes BLOCK dims
+            txw, txh = min(bw, 64), min(bh, 64)
+        self.txfm_above[mi_col:mi_col + w4] = min(txw, 64)
+        self.txfm_left[mi_row:mi_row + h4] = min(txh, 64)
+        return None
+
     def _block_inter(self, bw: int, bh: int, mi_row: int, mi_col: int):
         io = self.io
         x, y = mi_col * MI, mi_row * MI
@@ -2575,6 +2852,14 @@ class FrameCodec:
         if not io.is_decoder:
             decision = self.decider.decide_inter(self, x, y, bw, bh,
                                                  mi_row, mi_col, w4, h4)
+            if decision.is_inter:
+                decision = self._revalidate_inter_mvs(
+                    decision, mi_row, mi_col, w4, h4, bw, bh)
+            if not decision.is_inter:
+                # intra sub-tx inside inter frames is not wired into the
+                # inter residual path: code depth 0 (legal; the intra tx
+                # search stays a key-frame tool)
+                decision.tx_depth = 0
             if decision.motion_mode == 2:
                 # re-validate against the mi state of THIS coding pass
                 # (the decide cache may span partition-trial contexts)
@@ -2680,13 +2965,20 @@ class FrameCodec:
                     assert self._cur_warp_mat is not None, \
                         "WARPED_CAUSAL with invalid projection"
 
+        vartx = self._code_block_tx_size(decision, skip, is_inter,
+                                         mi_row, mi_col, bw, bh)
+        if io.is_decoder and not is_inter \
+                and getattr(decision, "tx_depth", 0):
+            raise UnsupportedBitstream("intra sub-tx in inter frame")
+
         self.y_modes[mi_row:mi_row + h4, mi_col:mi_col + w4] = \
             0 if is_inter else int(decision.y_mode)
         self.skips[mi_row:mi_row + h4, mi_col:mi_col + w4] = int(skip)
         self._record_mi(mi_row, mi_col, w4, h4, decision, int(skip))
 
         if io.is_decoder:
-            self._decode_residual_inter(decision, skip, x, y, bw, bh)
+            self._decode_residual_inter(decision, skip, x, y, bw, bh,
+                                        vartx)
         else:
             self._write_residual_inter(decision, txbs, skip, x, y, bw, bh)
 
@@ -2831,6 +3123,19 @@ class FrameCodec:
         return tx_type_val
 
     def _write_residual_inter(self, decision, txbs, skip, x, y, bw, bh):
+        if decision.is_inter and self.fh.tx_mode_select \
+                and self.fh.base_q_idx > 0:
+            # luma DLF geometry for var-tx blocks: skip codes the
+            # implicit max tx size; coded blocks take the TU grid
+            if skip:
+                self._record_tx_geometry(0, x, y, bw, bh,
+                                         self.tx_size_for(0, bw, bh))
+            else:
+                for t in txbs:
+                    if t["plane"] == 0:
+                        self._record_tx_geometry(
+                            0, t["px"], t["py"], t["pw"], t["ph"],
+                            t["tx_size"])
         if skip:
             for t in txbs:
                 plane = t["plane"]
@@ -2841,8 +3146,8 @@ class FrameCodec:
         for t in txbs:
             plane = t["plane"]
             plane_type = int(plane > 0)
-            bsize_eq_tx = (t["pw"] == TX_WIDTH[t["tx_size"]]
-                           and t["ph"] == TX_HEIGHT[t["tx_size"]])
+            bsize_eq_tx = t.get("beq", (t["pw"] == TX_WIDTH[t["tx_size"]]
+                                        and t["ph"] == TX_HEIGHT[t["tx_size"]]))
             sk_ctx, dc_ctx = self._txb_ctx(plane, t["px"], t["py"], t["pw"],
                                            t["ph"], t["tx_size"], bsize_eq_tx)
             if decision.is_inter:
@@ -2863,11 +3168,42 @@ class FrameCodec:
                     tx_type_writer=ttw)
             self._update_txb_ctx(plane, t["px"], t["py"], t["tx_size"], cul)
 
-    def _decode_residual_inter(self, decision, skip, x, y, bw, bh):
+    def _decode_vartx_luma(self, decision, leaves, px, py, pw, ph):
+        """Parse + recon the luma TUs of a var-tx inter block (leaf
+        order from the txfm_split tree)."""
+        pred = self.predict_inter_block(0, decision, px, py, pw, ph)
+        for ts, lr, lc in leaves:
+            tx_, ty = lc * MI, lr * MI
+            tw, th = TX_WIDTH[ts], TX_HEIGHT[ts]
+            self._record_tx_geometry(0, tx_, ty, tw, th, ts)
+            beq = pw == tw and ph == th
+            sk_ctx, dc_ctx = self._txb_ctx(0, tx_, ty, tw, th, ts, beq)
+            ttr = (lambda ts=ts: self._inter_tx_type_io(ts, None))
+            qc, eob, cul, tt = cf.parse_coeffs_txb(
+                self.io.ec, self.fc, ts, TxType.DCT_DCT, 0,
+                sk_ctx, dc_ctx, tx_type_reader=ttr)
+            self._update_txb_ctx(0, tx_, ty, ts, cul)
+            pblk = pred[ty - py:ty - py + th, tx_ - px:tx_ - px + tw]
+            if eob == 0:
+                self.recon[0][ty:ty + th, tx_:tx_ + tw] = pblk
+                continue
+            full = np.zeros((th, tw), np.int32)
+            full[:qc.shape[0], :qc.shape[1]] = qc
+            dqc = np.asarray(qz.dequant_block(
+                full, self.fh.base_q_idx, self._plane_quant(0), ts))
+            self.recon[0][ty:ty + th, tx_:tx_ + tw] = np.asarray(
+                tf.inv_txfm2d_add(dqc, pblk, tt, ts, self.seq.bit_depth))
+
+    def _decode_residual_inter(self, decision, skip, x, y, bw, bh,
+                               vartx=None):
         for plane in range(self.num_planes):
             sx = 1 if plane else 0
             px, py = x >> sx, y >> sx
             pw, ph = bw >> sx, bh >> sx
+            if plane == 0 and vartx is not None and decision.is_inter \
+                    and not skip:
+                self._decode_vartx_luma(decision, vartx, px, py, pw, ph)
+                continue
             ts = self.tx_size_for(plane, bw, bh)
             self._record_tx_geometry(plane, px, py, pw, ph, ts)
             if decision.is_inter:

@@ -397,6 +397,8 @@ class _RegionState:
             grab(getattr(codec.mi, f), np.s_[mi_row:r1, mi_col:c1])
         grab(codec.above_part, np.s_[mi_col:mi_col + bs_mi])
         grab(codec.left_part, np.s_[mi_row:mi_row + bs_mi])
+        grab(codec.txfm_above, np.s_[mi_col:mi_col + bs_mi])
+        grab(codec.txfm_left, np.s_[mi_row:mi_row + bs_mi])
 
     def restore(self, codec: FrameCodec) -> None:
         for arr, sl, data in self.items:
