@@ -1847,6 +1847,33 @@ class FrameCodec:
                     self.recon[p] = out[p]
             self._save_deblocked()
             return
+        if (self.source is not None
+                and not getattr(fh, "dlf_level_searched", False)
+                and max(fh.filter_level) > 0):
+            # host twin of the device DLF level search: same candidate
+            # ladder around the closed-form qindex fit, picked by luma
+            # SSE incl. the no-filter option (EbDlfProcess.c:89 search;
+            # the fit alone over-filters noisy content)
+            base = max(fh.filter_level)
+            cands = sorted({max(base // 2, 1), base,
+                            min(3 * base // 2, dlf.MAX_LOOP_FILTER)})
+            vw, vh = fh.frame_width, fh.frame_height
+            src = np.asarray(self.source[0][:vh, :vw]).astype(np.int64)
+            best = (float(((self.recon[0][:vh, :vw] - src) ** 2).sum()), 0)
+            for lv2 in cands:
+                trial = self.recon[0].copy()
+                dlf.loop_filter_plane(
+                    trial, self.tx_w_grid[0], self.tx_h_grid[0],
+                    self.skip_grid[0], self.bedge_x[0], self.bedge_y[0],
+                    vw, vh, lv2, lv2, fh.sharpness, False,
+                    self.seq.bit_depth)
+                sse = float(((trial[:vh, :vw] - src) ** 2).sum())
+                if sse < best[0]:
+                    best = (sse, lv2)
+            level = best[1]
+            fh.filter_level = (level, level)
+            fh.filter_level_uv = (level, level)
+            fh.dlf_level_searched = True
         lv, lh = fh.filter_level
         lu, lvv = fh.filter_level_uv
         # all-intra: intra blocks never count as skip for DLF edge rules
