@@ -99,7 +99,8 @@ def gop_schedule(anchor: int, g: int) -> list[CodeJob]:
     coded = set()
     for d, layer in order:
         is_leaf = layer == max_layer
-        jobs.append(CodeJob("code", d, layer, show=is_leaf))
+        jobs.append(CodeJob("code", d, layer, show=is_leaf,
+                            n_deps=0 if is_leaf and g > 1 else -1))
         coded.add(d)
         if is_leaf:
             # dyadic order guarantees leaves arrive display-consecutive
@@ -580,7 +581,9 @@ class Encoder:
         if not (job.is_key or job.layer == 0):
             return planes
         from .pipeline.mctf import temporal_filter
-        half = max((self.cfg.altref_nframes - 1) // 2, 1)
+        # tf_level 2 = the reference's small-window mode at fast presets
+        half = 1 if self.sig.tf_level >= 2 \
+            else max((self.cfg.altref_nframes - 1) // 2, 1)
         neighbors = []
         for d in range(job.display - half, job.display + half + 1):
             idx = d - self._next_display

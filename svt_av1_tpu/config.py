@@ -316,7 +316,11 @@ def derive_signals(cfg: EncoderConfig) -> DerivedSignals:
         # unit at negligible cost, so compound stays on across the
         # preset ladder (set_comp_controls analog)
         compound_level=cfg.compound_level if cfg.compound_level != -1 else 1,
-        tf_level=cfg.tf_level if cfg.tf_level != -1 else (1 if m <= 7 else 0),
+        # the reference filters layer-0 pictures at EVERY preset: level
+        # 1/2 (full window) below M7, level 4 (small window) above
+        # (set_tf_controls, EbPictureDecisionProcess.c:3820-3840); our
+        # level 2 = small (3-frame) window
+        tf_level=cfg.tf_level if cfg.tf_level != -1 else (1 if m <= 6 else 2),
         # the reference keeps RDOQ on at every preset (rdoq_level 1 for
         # <=M7, 2/3 with speed gates above); our level 1 = full trellis
         # with quantize_fp feeding it (set_rdoq_controls,

@@ -1529,23 +1529,28 @@ static void mv_stack_find(Tile *t, InterState *st, int mi_row, int mi_col,
 
 /* ---- motion compensation (convolve_2d_sr, REGULAR filter) -------- */
 
-/* mv_window_in_frame: MC read windows (luma + chroma, 8-tap margins)
- * stay inside the visible frame */
+/* mv_window_in_frame twin: MC read windows (luma + chroma, 8-tap
+ * margins) stay inside the PADDED reference extent — references carry
+ * ref_pad of edge replication, which reproduces the spec's clamped MC
+ * reads (7.11.3.3), so MVs may overhang the visible frame up to the
+ * pad reach (FrameCodec.mv_window_in_frame) */
 static int mv_window_ok(InterState *st, int mv_r, int mv_c, int x, int y,
                         int bw, int bh) {
+    int B = st->ref_pad - 8;
     for (int plane = 0; plane < 2; ++plane) {
         int sh = plane ? 1 : 0;
         int px = x >> sh, py = y >> sh;
         int pw = bw >> sh, ph = bh >> sh;
         int vw = st->frame_w >> sh, vh = st->frame_h >> sh;
+        int bb = B >> sh;
         int pos_x = (px << 4) + (mv_c << (1 - sh));
         int pos_y = (py << 4) + (mv_r << (1 - sh));
         int ix = pos_x >> 4, iy = pos_y >> 4;
         int sub_x = pos_x & 15, sub_y = pos_y & 15;
         int mx0 = sub_x ? 3 : 0, mx1 = sub_x ? 4 : 0;
         int my0 = sub_y ? 3 : 0, my1 = sub_y ? 4 : 0;
-        if (ix - mx0 < 0 || iy - my0 < 0) return 0;
-        if (ix + pw + mx1 > vw || iy + ph + my1 > vh) return 0;
+        if (ix - mx0 < -bb || iy - my0 < -bb) return 0;
+        if (ix + pw + mx1 > vw + bb || iy + ph + my1 > vh + bb) return 0;
     }
     return 1;
 }

@@ -2378,13 +2378,26 @@ class FrameCodec:
 
     def mv_window_in_frame(self, mv, x, y, bw, bh) -> bool:
         """True when the MC read windows (luma + chroma, incl. 8-tap
-        margins) stay inside the visible frame for this mv."""
+        margins) stay inside the PADDED reference extent.
+
+        References are stored with REF_PAD of edge replication around
+        the visible frame, which reproduces the spec's clamped MC reads
+        (7.11.3.3 clips every sample coordinate to the frame: infinite
+        edge extension) exactly for any window inside the pad.  MVs may
+        therefore point outside the visible frame up to the pad reach —
+        the reference encoder likewise allows out-of-frame MVs against
+        its padded references (EbPictureBufferDesc origin padding).
+        Blocking at the visible edge (the old behavior) forced every
+        boundary block onto zero-ish MVs or intra, which measurably
+        wrecked edge prediction on moving content."""
+        B = REF_PAD - 8                 # keep the window inside the pad
         for plane in (0, 1):
             sh = 1 if plane else 0
             px, py = x >> sh, y >> sh
             pw, ph = bw >> sh, bh >> sh
             vw = self.fh.frame_width >> sh
             vh = self.fh.frame_height >> sh
+            bb = B >> sh
             pos_x = (px << 4) + (mv[1] << (1 - sh))
             pos_y = (py << 4) + (mv[0] << (1 - sh))
             ix, iy = pos_x >> 4, pos_y >> 4
@@ -2393,9 +2406,9 @@ class FrameCodec:
             mx1 = 4 if sub_x else 0
             my0 = 3 if sub_y else 0
             my1 = 4 if sub_y else 0
-            if ix - mx0 < 0 or iy - my0 < 0:
+            if ix - mx0 < -bb or iy - my0 < -bb:
                 return False
-            if ix + pw + mx1 > vw or iy + ph + my1 > vh:
+            if ix + pw + mx1 > vw + bb or iy + ph + my1 > vh + bb:
                 return False
         return True
 

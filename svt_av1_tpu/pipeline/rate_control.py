@@ -243,6 +243,12 @@ class RateControl:
             abq = min_boost - int((min_boost - abq) * factor)
             aworst = (abq + 3 * base + 2) // 4
             return int(np.clip(abq, 1, max(aworst, 1)))
+        if layer > 0 and n_deps == 0:
+            # non-reference leaves code at the base operating point
+            # (cqp_qindex_calc_tpl_la: is_intrl_arf_boost requires
+            # is_used_as_reference_flag; otherwise
+            # active_best_quality = cq_level)
+            return base
         if layer < levels and refs:
             # internal ARF: chain from the references' coded qp, halving
             # toward the base per pyramid level crossed

@@ -62,3 +62,74 @@ def test_inter_decider_e2e_own_decoder(tmp_path):
     for i, (o, r) in enumerate(zip(ours, recons)):
         for p in range(3):
             np.testing.assert_array_equal(o[p], r[p], err_msg=f"f{i} p{p}")
+
+
+def test_mv_window_allows_padded_edge_reach():
+    """MC windows may overhang the visible frame into the edge-replicated
+    reference pad (spec 7.11.3.3 clamps sample reads to the frame, i.e.
+    infinite edge extension): edge blocks keep their motion instead of
+    degrading to zero-MV/intra.  Reach beyond the pad stays rejected."""
+    from svt_av1_tpu.bitstream.headers import SequenceHeader, FrameHeader
+    from svt_av1_tpu.constants import FrameType
+    from svt_av1_tpu.pipeline.frame_codec import FrameCodec, REF_PAD
+
+    seq = SequenceHeader(max_frame_width=64, max_frame_height=64)
+    fh = FrameHeader(frame_type=FrameType.INTER_FRAME, frame_width=64,
+                     frame_height=64, base_q_idx=100)
+    codec = FrameCodec(seq, fh)
+    # right-edge block, 4px rightward MV: window overhangs by 4+taps
+    assert codec.mv_window_in_frame((0, 32), 48, 0, 16, 16)
+    # subpel tap overhang alone (quarter-pel at the very edge)
+    assert codec.mv_window_in_frame((0, 2), 48, 0, 16, 16)
+    # reach beyond the pad is rejected (would silently clip the read)
+    too_far = (REF_PAD + 24) * 8
+    assert not codec.mv_window_in_frame((0, too_far), 48, 0, 16, 16)
+    assert not codec.mv_window_in_frame((-too_far, 0), 0, 0, 16, 16)
+
+
+def test_edge_blocks_stay_inter_on_panning_content(tmp_path):
+    """A clip panning 4px/frame: with padded-edge MC the trailing edge
+    column codes inter (previously every edge block fell back to
+    zero-ish MVs or intra, measurably wrecking prediction)."""
+    from svt_av1_tpu.api import Encoder
+    from svt_av1_tpu.config import EncoderConfig
+    from svt_av1_tpu.pipeline.batched_inter import BatchedDecider
+    from svt_av1_tpu.pipeline import frame_codec as fc
+    from svt_av1_tpu.constants import FrameType
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(30, 220, (96, 256)).astype(np.uint8)
+    frames = []
+    for i in range(3):
+        y = base[:, 4 * i:4 * i + 128].copy()
+        u = np.full((48, 64), 128, np.uint8)
+        v = np.full((48, 64), 120, np.uint8)
+        frames.append((y, u, v))
+    cfg = EncoderConfig(source_width=128, source_height=96, qp=32,
+                        intra_period_length=-1, hierarchical_levels=0)
+    seen = {"intra_edge": 0, "inter_edge": 0}
+    orig = fc.FrameCodec._record_mi
+
+    def spy(self, mi_row, mi_col, w4, h4, decision, skip):
+        if (not self.io.is_decoder
+                and self.fh.frame_type != FrameType.KEY_FRAME
+                and (mi_col + w4) * 4 >= self.fh.frame_width - 8):
+            key = "inter_edge" if decision.is_inter else "intra_edge"
+            seen[key] += 1
+        return orig(self, mi_row, mi_col, w4, h4, decision, skip)
+
+    from svt_av1_tpu.native import tile_coder as tc
+    native = (tc.try_encode_tiles_native, tc.try_encode_tiles_native_inter)
+    fc.FrameCodec._record_mi = spy
+    tc.try_encode_tiles_native = lambda *a, **k: None
+    tc.try_encode_tiles_native_inter = lambda *a, **k: None
+    try:
+        enc = Encoder(cfg, BatchedDecider(use_jax=False))
+        for f in frames:
+            enc.send_picture(f)
+        enc.flush()
+    finally:
+        fc.FrameCodec._record_mi = orig
+        tc.try_encode_tiles_native, tc.try_encode_tiles_native_inter = native
+    assert seen["inter_edge"] > 0
+    assert seen["inter_edge"] >= 3 * seen["intra_edge"]

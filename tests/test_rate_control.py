@@ -19,6 +19,26 @@ def test_cqp_ladder_monotone_layers():
     assert rc.pick_qindex(True, 0) < qs[0]
 
 
+def test_cqp_nonref_leaves_code_at_base():
+    """Non-reference leaves take the base operating point exactly
+    (cqp_qindex_calc_tpl_la: is_intrl_arf_boost requires
+    is_used_as_reference_flag), never a finer chained qindex."""
+    from svt_av1_tpu.bitstream.headers import QUANTIZER_TO_QINDEX
+    cfg = EncoderConfig(source_width=64, source_height=64, qp=40)
+    rc = RateControl(cfg, 30.0)
+    base = QUANTIZER_TO_QINDEX[40]
+    # simulate coded refs at boosted (lower) qindex
+    rc.note_coded(0, base - 45, 0, True)
+    rc.note_coded(2, base - 23, 1, False)
+    leaf_q = rc.pick_qindex(False, 2, display=1, ref_displays=(0, 2),
+                            n_deps=0)
+    assert leaf_q == base
+    # a referenced mid-layer frame still chains below base
+    mid_q = rc.pick_qindex(False, 1, display=2, ref_displays=(0,),
+                           n_deps=2)
+    assert mid_q < base
+
+
 def test_cqp_all_intra_uses_exact_qp():
     cfg = EncoderConfig(source_width=64, source_height=64, qp=40)
     rc = RateControl(cfg, 30.0, all_intra=True)
