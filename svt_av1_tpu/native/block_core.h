@@ -299,6 +299,12 @@ static int block_code_core_rdoq(const Plan *p, const int32_t *resid,
         if (p->rect) v = mul_sqrt2_round(v, NEW_SQRT2);
         tbuf[i] = v;
     }
+    /* 64-point transforms only keep the top-left 32x32 coefficients
+     * (fwd_txfm2d's band mask) */
+    if (w > 32 || h > 32)
+        for (int r = 0; r < h; ++r)
+            for (int c = 0; c < w; ++c)
+                if (r >= 32 || c >= 32) tbuf[r * w + c] = 0;
 
     /* ---- quantize (b, or fp when the trellis follows) + dequant ---- */
     int ls = p->log_scale;

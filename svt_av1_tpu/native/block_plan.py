@@ -46,13 +46,13 @@ def _pass_net(kind1d: int, n: int, prefix: str):
 @functools.lru_cache(maxsize=4096)
 def get_plan(pq_key: int, qindex: int, tx_size: TxSize, tx_type: TxType,
              bd: int):
-    """Returns a plan capsule, or None when the fused path does not
-    cover this configuration (64-point transforms)."""
+    """Returns a plan capsule, or None when the fused C module is not
+    built.  64-dim sizes run the same extracted stage tables
+    (fdct64/idct64); the C core zero-masks coefficients beyond the
+    coded 32x32 band like fwd_txfm2d."""
     if _bn is None:
         return None
     w, h = TX_WIDTH[tx_size], TX_HEIGHT[tx_size]
-    if w > 32 or h > 32:
-        return None
     pq = qz._PQ_REGISTRY[pq_key]
     vt, ht = tf._VTX[tx_type], tf._HTX[tx_type]
     s0, s1, s2 = tf._FWD_SHIFT[tx_size]

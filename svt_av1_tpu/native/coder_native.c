@@ -1037,9 +1037,9 @@ typedef struct {
     int ref_pad;
     int frame_w, frame_h;             /* visible dims */
     /* decision maps (per shape) + per-16 MVs (1/8 pel) */
-    const uint8_t *is_inter_map[7];   /* shapes: see SHAPE_LIST */
-    const int8_t *mode_map[7];
-    int map_w[7], map_h[7];
+    const uint8_t *is_inter_map[10];  /* shapes: see SHAPE_LIST */
+    const int8_t *mode_map[10];
+    int map_w[10], map_h[10];
     const int32_t *mv16_r, *mv16_c;   /* [nr16][nc16] chosen/fwd MV */
     const int32_t *sel16, *fwd16, *bwd16;   /* per-16 selection fields */
     const int32_t *mv16_1r, *mv16_1c;       /* compound bwd MV */
@@ -1065,20 +1065,22 @@ typedef struct {
     int reference_select;
 } InterState;
 
-static const int SHAPE_LIST[7][2] = {{8, 8}, {16, 16}, {32, 32}, {16, 8},
-                                     {8, 16}, {32, 16}, {16, 32}};
+static const int SHAPE_LIST[10][2] = {{8, 8}, {16, 16}, {32, 32}, {16, 8},
+                                      {8, 16}, {32, 16}, {16, 32},
+                                      {64, 64}, {64, 32}, {32, 64}};
 
 static int shape_idx(int w, int h) {
-    for (int i = 0; i < 7; ++i)
+    for (int i = 0; i < 10; ++i)
         if (SHAPE_LIST[i][0] == w && SHAPE_LIST[i][1] == h) return i;
     return -1;
 }
 
 static int bsize_enum_of(int bw, int bh) {
-    static const int tab[7][3] = {{8, 8, 3}, {8, 16, 4}, {16, 8, 5},
-                                  {16, 16, 6}, {16, 32, 7}, {32, 16, 8},
-                                  {32, 32, 9}};
-    for (int i = 0; i < 7; ++i)
+    static const int tab[10][3] = {{8, 8, 3}, {8, 16, 4}, {16, 8, 5},
+                                   {16, 16, 6}, {16, 32, 7}, {32, 16, 8},
+                                   {32, 32, 9}, {32, 64, 10}, {64, 32, 11},
+                                   {64, 64, 12}};
+    for (int i = 0; i < 10; ++i)
         if (tab[i][0] == bw && tab[i][1] == bh) return tab[i][2];
     return -1;
 }
@@ -2043,6 +2045,11 @@ static void tile_block_inter(Tile *t, int bw, int bh, int mi_row,
     int is_inter = st->is_inter_map[si][(Py_ssize_t)bi * st->map_w[si] + bj];
     int y_mode = st->mode_map[si][(Py_ssize_t)bi * st->map_w[si] + bj];
     int bse = bsize_enum_of(bw, bh);
+    if (!is_inter && (bw > 32 || bh > 32)) {
+        /* 64-px shapes are inter-only in the plan (batched_inter) */
+        tile_err(t, "intra 64");
+        return;
+    }
 
     /* ---- decide (port of BatchedDecider.decide_inter: multi-ref
      * single + averaged compound) ---- */
@@ -2170,11 +2177,12 @@ static void tile_block_inter(Tile *t, int bw, int bh, int mi_row,
         }
     }
 
-    /* ---- compute all tx blocks ---- */
+    /* ---- compute all tx blocks (luma up to 64x64; the TX_64-family
+     * codes a 32x32 band, packed into Txb.qc below) ---- */
     Txb txbs[3];
     int n_txb = 0;
-    int32_t pred_buf[3][32 * 32];
-    int32_t resid[32 * 32], rec[32 * 32];
+    int32_t pred_buf[3][64 * 64];
+    int32_t resid[64 * 64], rec[64 * 64], qc_full[64 * 64];
     int ts_of[3], tt_of[3];
     for (int plane = 0; plane < t->num_planes; ++plane) {
         int sub = plane ? 1 : 0;
@@ -2232,18 +2240,23 @@ static void tile_block_inter(Tile *t, int bw, int bh, int mi_row,
         const Plan *plan = t->plans[plane][ts][tt];
         if (!plan) { tile_err(t, "missing plan"); return; }
         Txb *tb = &txbs[n_txb++];
+        int cw = pw > 32 ? 32 : pw, ch = ph > 32 ? 32 : ph;
         tb->plane = plane; tb->ts = ts; tb->tt = tt;
-        tb->px = px; tb->py = py; tb->w = pw; tb->h = ph;
+        tb->px = px; tb->py = py; tb->w = cw; tb->h = ch;
         RdoqRun rr;
         int sk0, dc0;
         if (t->rdq_txb_skip) {
             txb_ctx_for(t, plane, px, py, ts, 1, &sk0, &dc0);
             rdoq_run_for(t, plane, ts, tt, sk0, dc0, is_inter, &rr);
-            tb->eob = block_code_core_rdoq(plan, resid, pred, tb->qc, rec,
+            tb->eob = block_code_core_rdoq(plan, resid, pred, qc_full, rec,
                                            &rr);
         } else {
-            tb->eob = block_code_core(plan, resid, pred, tb->qc, rec);
+            tb->eob = block_code_core(plan, resid, pred, qc_full, rec);
         }
+        /* pack the coded cw x ch coefficient band (block stride pw) */
+        for (int r = 0; r < ch; ++r)
+            for (int c = 0; c < cw; ++c)
+                tb->qc[r * cw + c] = qc_full[r * pw + c];
         int32_t *rpn = t->rec[plane];
         if (tb->eob == 0 && is_inter) {
             /* skip recon = the MC pred itself (already clipped) */
@@ -2705,8 +2718,8 @@ static PyObject *code_inter_tile(PyObject *self, PyObject *args) {
         st.ref_cw[name] = (int)u.shape[1];
     }
 
-    /* decision maps: 7 pairs (is_inter uint8, mode int8) */
-    for (int k = 0; k < 7; ++k) {
+    /* decision maps: 10 pairs (is_inter uint8, mode int8) */
+    for (int k = 0; k < 10; ++k) {
         NB a, b;
         nb_get(maps, 2 * k, &a);
         nb_get(maps, 2 * k + 1, &b);

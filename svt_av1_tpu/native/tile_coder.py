@@ -269,9 +269,10 @@ def _interp_taps():
     return _INTERP_TAPS
 
 
-# C-side shape order (coder_native.c SHAPE_LIST)
+# C-side shape order (coder_native.c SHAPE_LIST); the 64-px shapes are
+# inter-only (no mode map — zeros passed)
 _C_SHAPES = ((8, 8), (16, 16), (32, 32), (16, 8), (8, 16), (32, 16),
-             (16, 32))
+             (16, 32), (64, 64), (64, 32), (32, 64))
 
 
 def _sig_tables(codec):
@@ -303,7 +304,9 @@ def _eligible_inter(codec, decider) -> bool:
     if getattr(decider, "_inter", None) is None:
         return False
     for s in _C_SHAPES:
-        if s not in decider._inter or s not in decider._modes:
+        if s not in decider._inter:
+            return False
+        if max(s) <= 32 and s not in decider._modes:
             return False
     if getattr(fh, "tx_mode_select", False) or seq.monochrome:
         return False
@@ -355,13 +358,13 @@ def _dry_run_partitions(codec, decider, rect):
         parts.append(part)
         half = bsize // 2
         if part == PARTITION_NONE:
-            return 8 <= bsize <= 32
+            return 8 <= bsize <= 64
         if part == PARTITION_SPLIT:
             return (walk(half, r, c) and walk(half, r, c + hbs)
                     and walk(half, r + hbs, c)
                     and walk(half, r + hbs, c + hbs))
         if part in (PARTITION_HORZ, PARTITION_VERT):
-            return half >= 8 and bsize <= 32
+            return half >= 8 and bsize <= 64
         return False
 
     sb_mi = codec.seq.sb_size // 4
@@ -451,10 +454,12 @@ def try_encode_tiles_native_inter(codec, decider):
                  for name, pl in codec.refs.items())
     maps = []
     for s in _C_SHAPES:
-        maps.append(np.ascontiguousarray(
-            decider._inter[s].astype(np.uint8)))
-        maps.append(np.ascontiguousarray(
-            decider._modes[s].astype(np.int8)))
+        im = decider._inter[s]
+        maps.append(np.ascontiguousarray(im.astype(np.uint8)))
+        md = decider._modes.get(s)
+        if md is None:          # inter-only 64-px shapes
+            md = np.zeros(im.shape, np.int8)
+        maps.append(np.ascontiguousarray(md.astype(np.int8)))
     sf = decider._sf
     mvs = tuple(np.ascontiguousarray(sf[k], np.int32)
                 for k in ("mv_r", "mv_c", "sel", "fwd_i", "bwd_i",

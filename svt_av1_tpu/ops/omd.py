@@ -39,6 +39,11 @@ ALL_MODES = tuple(PredictionMode(m) for m in range(13))
 SQUARE_SHAPES = ((8, 8), (16, 16), (32, 32))
 RECT_SHAPES = ((16, 8), (8, 16), (32, 16), (16, 32))
 ALL_SHAPES = SQUARE_SHAPES + RECT_SHAPES
+# 64-px shapes the INTER partition DP additionally composes (coherent
+# motion codes as one block: one mode/ref/MV/skip for the whole area);
+# their TX is the 64-point family whose coded band clamps to 32x32
+BIG_SHAPES = ((64, 64), (64, 32), (32, 64))
+INTER_SHAPES = ALL_SHAPES + BIG_SHAPES
 
 # coefficient-rate proxy weights (bits ~ A*nnz + B*sum(log2(1+|q|)) + C)
 # calibrated against the native trial packer (tools/calibrate_omd.py)
@@ -246,14 +251,18 @@ def _dct_mat(n: int) -> np.ndarray:
 @functools.cache
 def _tx_gain(w: int, h: int) -> float:
     """Gain of the integer AV1 forward DCT vs the orthonormal one
-    (maps the quantizer tables into the unit-DCT domain)."""
+    (maps the quantizer tables into the unit-DCT domain).  For 64-dim
+    sizes the integer TX zeroes coefficients beyond the top-left 32x32
+    band, so the gain is measured over the coded band only."""
     rng = np.random.default_rng(12345)
     r = rng.integers(-255, 256, (8, h, w)).astype(np.int32)
-    ci = tf.fwd_txfm2d(r, TxType.DCT_DCT, txsize_for(w, h), 8, np)
+    ci = np.asarray(tf.fwd_txfm2d(r, TxType.DCT_DCT, txsize_for(w, h),
+                                  8, np))
     cu = _dct_mat(h).astype(np.float64) @ r.astype(np.float64) \
         @ _dct_mat(w).astype(np.float64).T
-    return float(np.sqrt((ci.astype(np.float64) ** 2).sum()
-                         / (cu ** 2).sum()))
+    lh, lw = min(h, 32), min(w, 32)
+    return float(np.sqrt((ci[:, :lh, :lw].astype(np.float64) ** 2).sum()
+                         / (cu[:, :lh, :lw] ** 2).sum()))
 
 
 def _quant_maps(w: int, h: int, qindex, pq: qz.PlaneQuant, xp=np):

@@ -54,11 +54,15 @@ DEV_PEN = 320.0              # per-unit deviation from the SB winner
 SEL_MV_W = 16.0              # weight of the mv-bits proxy in selection
 
 
-def _mc_cost_maps(resid_padded, buf_w, buf_h, qindex, lam, bd, xp):
+def _mc_cost_maps(resid_padded, buf_w, buf_h, qindex, lam, bd, xp,
+                  shapes=omd.INTER_SHAPES):
     """Per-shape RD cost of coding the (motion-compensated) residual:
-    same unit-DCT/quantizer model as the intra pass, pred = MC."""
+    same unit-DCT/quantizer model as the intra pass, pred = MC.  64-dim
+    shapes model TX_64-family semantics: coefficients beyond the
+    top-left 32x32 band are zeroed (their energy counts as distortion,
+    they cost no rate)."""
     out = {}
-    for (w, h) in omd.ALL_SHAPES:
+    for (w, h) in shapes:
         blocks = omd.grid_blocks(resid_padded, w, h, buf_w, buf_h, xp)
         zbin, rnd, step = omd._quant_maps(w, h, qindex,
                                           qz.build_quantizer(bd)[0], xp)
@@ -68,6 +72,10 @@ def _mc_cost_maps(resid_padded, buf_w, buf_h, qindex, lam, bd, xp):
         ac = xp.abs(cf)
         q = xp.floor((ac + rnd) / step)
         q = xp.where(ac >= zbin, xp.maximum(q, 0.0), 0.0)
+        if w > 32 or h > 32:
+            band = np.zeros((h, w), np.float32)
+            band[:32, :32] = 1.0
+            q = q * xp.asarray(band)
         err = ac - q * step
         sse = (err * err).sum(axis=(-1, -2))
         nnz = (q > 0).sum(axis=(-1, -2)).astype(xp.float32)
@@ -371,7 +379,7 @@ def _jitted_inter(buf_w: int, buf_h: int, bd: int, n_refs: int,
             m, c = intra[s]
             parts.append(m.astype(jnp.float32).ravel())
             parts.append(c.ravel())
-        for s in omd.ALL_SHAPES:
+        for s in omd.INTER_SHAPES:
             parts.append(inter_cost[s].ravel())
         parts += [sf[k].astype(jnp.float32).ravel() for k in _SEL_KEYS]
         parts.append(mvb.ravel())
@@ -412,7 +420,7 @@ def inter_maps_dispatch(src, refs, buf_w, buf_h, qindex, lam, mode_bits,
                 c = flat[off + n:off + 2 * n].reshape(nr, nc)
                 intra[s] = (m, c)
                 off += 2 * n
-            for s in omd.ALL_SHAPES:
+            for s in omd.INTER_SHAPES:
                 w, h = s
                 nr, nc = buf_h // h, buf_w // w
                 inter_cost[s] = flat[off:off + nr * nc].reshape(nr, nc)
@@ -514,9 +522,16 @@ class BatchedDecider(BatchedIntraDecider):
         cost = {}
         unif_keys = ("sel", "fwd_i", "bwd_i", "mv_r", "mv_c",
                      "mv1_r", "mv1_c")
-        for (w, h) in omd.ALL_SHAPES:
-            ic = np.asarray(intra[(w, h)][1]) + lam * INTRA_IN_INTER_BITS
+        for (w, h) in omd.INTER_SHAPES:
             nc = np.asarray(inter_cost[(w, h)])
+            if (w, h) in intra:
+                ic = np.asarray(intra[(w, h)][1]) \
+                    + lam * INTRA_IN_INTER_BITS
+            else:
+                # 64-px shapes are inter-only: intra stays <= 32 (the
+                # key-frame tool set); the DP splits where inter is
+                # ineligible
+                ic = np.full(nc.shape, np.inf, np.float32)
             nr, ncol = ic.shape
             fy, fx = max(h // 16, 1), max(w // 16, 1)
             pr = np.arange(nr) * h // 16
@@ -537,12 +552,13 @@ class BatchedDecider(BatchedIntraDecider):
 
     def _build_plan(self, codec, cost, lam):
         """Partition DP over the combined cost maps (shared vectorized
-        form, batched_md.partition_dp)."""
+        form, batched_md.partition_dp), up to 64x64 NONE on inter
+        frames (coherent motion codes as one block)."""
         from .batched_md import _partition_bits, partition_dp
 
-        pbits = {b: _partition_bits(codec.fc, b) for b in (8, 16, 32)}
+        pbits = {b: _partition_bits(codec.fc, b) for b in (8, 16, 32, 64)}
         self._plan = partition_dp(cost, lam, pbits, codec.mi_rows,
-                                  codec.mi_cols)
+                                  codec.mi_cols, bsizes=(16, 32, 64))
 
     # -- replay ---------------------------------------------------------
 

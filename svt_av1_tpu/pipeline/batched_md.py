@@ -48,12 +48,14 @@ def _partition_bits(fc, bsize: int) -> dict:
 
 
 def partition_dp(cost, lam: float, pbits: dict, mi_rows: int,
-                 mi_cols: int) -> dict:
+                 mi_cols: int, bsizes=(16, 32)) -> dict:
     """Vectorized bottom-up DP over the partition tree (the host twin
     of FrameCodec._partition's recursion).  Arithmetic mirrors the
     scalar form exactly: pair sums for HORZ/VERT stay in the cost maps'
     float32 before widening, everything else accumulates in float64.
-    Returns {(bsize, mi_row, mi_col): partition}."""
+    Returns {(bsize, mi_row, mi_col): partition}.  ``bsizes`` lists the
+    decision levels bottom-up; infinite shape costs (e.g. intra-only
+    regions at inter-only 64-px shapes) force SPLIT."""
     plan = {}
 
     def pad_to(a, hh, ww):
@@ -72,7 +74,7 @@ def partition_dp(cost, lam: float, pbits: dict, mi_rows: int,
     best[h8:, :] = 0.0
     best[:, w8:] = 0.0
 
-    for bsize in (16, 32):
+    for bsize in bsizes:
         bs_mi = bsize // 4
         hbs = bs_mi // 2
         half = bsize // 2

@@ -15,8 +15,8 @@ from svt_av1_tpu.ops import transforms as tf
 needs_native = pytest.mark.skipif(not block_plan.available(),
                                   reason="block_native not built")
 
-SIZES = [ts for ts in TxSize
-         if TX_WIDTH[ts] <= 32 and TX_HEIGHT[ts] <= 32]
+# all sizes, including the 64-dim family (coded band clamps to 32x32)
+SIZES = list(TxSize)
 
 
 def _ref(resid, pred, pq, qindex, ts, tt, bd):
