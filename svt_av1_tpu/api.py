@@ -710,9 +710,21 @@ class Encoder:
                               self.sig.enable_hme_level1,
                               self.sig.enable_hme_level2)
         codec.aq_map = aq_map
+        # filter searches below may change tile syntax (cdef strength
+        # indices, LR params), forcing a second entropy pass; cache the
+        # first pass's decisions + quantized coefficients so that pass
+        # replays instead of recomputing (single-compute, like the
+        # reference's EncDec -> DLF -> CDEF -> REST -> EC stage order)
+        may_reencode = ((self.sig.cdef_multi and self.seq.enable_cdef
+                         and fh.base_q_idx > 0 and not fh.allow_intrabc)
+                        or self.seq.enable_restoration)
+        if may_reencode:
+            codec.txb_cache = {}
         with self.prof("encode_tiles"):
             tile_data = _assemble_tile_group(codec.encode_tiles(decider),
                                              fh)
+        pre_filter_recon = [p.copy() for p in codec.recon] \
+            if may_reencode else None
         from .ops.filter_chain import dlf_cdef_chain
         cdef_reenc = False
         with self.prof("dlf_cdef"):
@@ -753,6 +765,12 @@ class Encoder:
             codec2.aq_map = aq_map
             codec2.lr_plan = codec.lr_plan
             codec2.cdef_idx_grid[:] = codec.cdef_idx_grid
+            # replay pass: cached decisions + coefficients; recon comes
+            # from the first pass's pre-filter state (compute skipped)
+            codec2.txb_replay = codec.txb_cache
+            if pre_filter_recon is not None:
+                for p in range(codec2.num_planes):
+                    codec2.recon[p][:] = pre_filter_recon[p]
             with self.prof("reencode"):
                 tile_data = _assemble_tile_group(
                     codec2.encode_tiles(decider), fh)

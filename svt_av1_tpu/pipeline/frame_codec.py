@@ -570,6 +570,14 @@ class FrameCodec:
         self.tile = (0, 0, self.mi_rows, self.mi_cols)
         self.io = None
         self.decider = None
+        # decision/coefficient cache for the filter-search re-encode:
+        # txb_cache (dict) collects (decision, txbs) per block on the
+        # first pass; txb_replay replays them so the second entropy
+        # pass skips decide + predict + transform + quantize entirely
+        # (the reference instead orders entropy after REST,
+        # EbEncHandle.c:1802-1866 — same single-compute property)
+        self.txb_cache = None
+        self.txb_replay = None
         self.deblocked = None        # post-DLF pre-CDEF copy (for LR)
         self.lr_units = None
         self.lr_plan = None
@@ -1121,8 +1129,18 @@ class FrameCodec:
         decision = None
         txbs = None
         if not io.is_decoder:
-            decision = self.decider.decide(self, x, y, bw, bh)
-            txbs = self._compute_block(decision, x, y, bw, bh)
+            key = (mi_row, mi_col, bw, bh)
+            if self.txb_replay is not None and key in self.txb_replay:
+                decision, txbs = self.txb_replay[key]
+                for t in txbs:      # DLF geometry (compute is skipped)
+                    self._record_tx_geometry(t["plane"], t["px"],
+                                             t["py"], t["pw"], t["ph"],
+                                             t["tx_size"])
+            else:
+                decision = self.decider.decide(self, x, y, bw, bh)
+                txbs = self._compute_block(decision, x, y, bw, bh)
+            if self.txb_cache is not None:
+                self.txb_cache[key] = (decision, txbs)
             skip = all(t["eob"] == 0 for t in txbs)
         else:
             skip = None
@@ -2889,7 +2907,18 @@ class FrameCodec:
         decision = None
         txbs = None
         self._cur_warp_mat = None
-        if not io.is_decoder:
+        if not io.is_decoder and self.txb_replay is not None \
+                and (mi_row, mi_col, bw, bh) in self.txb_replay:
+            decision, txbs = self.txb_replay[(mi_row, mi_col, bw, bh)]
+            vartx_luma = (decision.is_inter and self.fh.tx_mode_select
+                          and self.fh.base_q_idx > 0)
+            for t in txbs:          # DLF geometry (compute is skipped;
+                if vartx_luma and t["plane"] == 0:
+                    continue        # vartx TUs record at residual-write)
+                self._record_tx_geometry(t["plane"], t["px"], t["py"],
+                                         t["pw"], t["ph"], t["tx_size"])
+            skip = all(t["eob"] == 0 for t in txbs)
+        elif not io.is_decoder:
             decision = self.decider.decide_inter(self, x, y, bw, bh,
                                                  mi_row, mi_col, w4, h4)
             if decision.is_inter:
@@ -2916,6 +2945,9 @@ class FrameCodec:
             skip = all(t["eob"] == 0 for t in txbs)
         else:
             skip = None
+
+        if not io.is_decoder and self.txb_cache is not None:
+            self.txb_cache[(mi_row, mi_col, bw, bh)] = (decision, txbs)
 
         skip_ctx = 0
         if up_avail:

@@ -76,6 +76,7 @@ def _check(host, dev, check_intra=True):
         assert close > 0.99, ("inter", s, close)
 
 
+@pytest.mark.slow
 def test_inter_maps_device_matches_numpy_single():
     host, dev = _run_pair(("past",), (False,), False)
     _check(host, dev)
@@ -83,6 +84,7 @@ def test_inter_maps_device_matches_numpy_single():
     assert not np.asarray(dev[2]["sel"]).any()
 
 
+@pytest.mark.slow
 def test_inter_maps_device_matches_numpy_multiref():
     host, dev = _run_pair(("past", "fut"), (False, True), False)
     _check(host, dev, check_intra=False)
@@ -91,6 +93,7 @@ def test_inter_maps_device_matches_numpy_multiref():
     assert (sel == 0).any() and (sel == 1).any()
 
 
+@pytest.mark.slow
 def test_inter_maps_device_matches_numpy_compound():
     host, dev = _run_pair(("past", "fut"), (False, True), True)
     _check(host, dev, check_intra=False)

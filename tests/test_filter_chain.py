@@ -29,6 +29,7 @@ def _coded_frame(w, h, qidx=80, seed=1):
     return codec
 
 
+@pytest.mark.slow
 def test_chain_matches_sequential(monkeypatch):
     monkeypatch.setenv("SVT_TPU_DEVICE", "1")
     monkeypatch.setenv("SVT_TPU_DLF_DEVICE", "0")   # host DLF reference

@@ -72,6 +72,7 @@ def _fade_clip(n, w, h, seed=3):
     return frames
 
 
+@pytest.mark.slow
 def test_inter_native_matches_python_compound(monkeypatch):
     w, h = 192, 128
     frames = _fade_clip(8, w, h)

@@ -43,6 +43,7 @@ def test_batched_predictors_bit_match(shape):
             assert np.array_equal(pred[r, c], ref), (shape, mode, r, c)
 
 
+@pytest.mark.slow
 def test_numpy_jax_paths_agree():
     """The numpy reference path and the jitted path must produce the
     same decisions (identical integer predictions; float cost math may

@@ -46,6 +46,7 @@ def test_cqp_all_intra_uses_exact_qp():
     assert rc.pick_qindex(True, 0) == QUANTIZER_TO_QINDEX[40]
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("target", [200_000, 600_000])
 def test_vbr_hits_target(tmp_path, target):
     # tolerance mirrors the reference's under/over_shoot_pct defaults (25%)
@@ -103,6 +104,7 @@ def test_stats_roundtrip(tmp_path):
 
 @pytest.mark.parametrize("mode", [RateControlMode.VBR,
                                   RateControlMode.CVBR])
+@pytest.mark.slow
 def test_three_scene_rate_accuracy(tmp_path, mode):
     """VBR/CVBR within +-10% of target across a 3-scene clip (the
     reference's under/over_shoot_pct defaults allow 25%)."""

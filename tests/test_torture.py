@@ -5,7 +5,6 @@ import pytest
 
 from svt_av1_tpu.api import encode_ivf, decode_ivf
 from svt_av1_tpu.config import EncoderConfig, RateControlMode
-import svt_av1_tpu.pipeline.frame_codec as fc
 from test_e2e import ref_decode, REF_DECAPP
 
 needs_refdec = pytest.mark.skipif(not REF_DECAPP.exists(),
@@ -28,29 +27,26 @@ def _clip(n=11, w=176, h=144):
     return out
 
 
+@pytest.mark.slow
 @needs_refdec
 def test_all_features_8bit(tmp_path):
-    orig = fc.FrameCodec.search_lr
-    fc.FrameCodec.search_lr = lambda self, lam=0.0: orig(self, 0.0)
-    try:
-        frames = _clip()
-        cfg = EncoderConfig(
-            source_width=176, source_height=144, qp=44, enc_mode=6,
-            intra_period_length=7, hierarchical_levels=3,
-            rate_control_mode=RateControlMode.VBR, target_bit_rate=500_000,
-            frame_rate=30, film_grain_denoise_strength=6, tf_level=1)
-        path = str(tmp_path / "t.ivf")
-        encode_ivf(frames, cfg, path)
-        ours, _ = decode_ivf(path)
-        refs = ref_decode(path, 176, 144)
-        for i, (o, r) in enumerate(zip(ours, refs)):
-            for p in range(3):
-                np.testing.assert_array_equal(o[p], r[p],
-                                              err_msg=f"f{i} p{p}")
-    finally:
-        fc.FrameCodec.search_lr = orig
+    frames = _clip()
+    cfg = EncoderConfig(
+        source_width=176, source_height=144, qp=44, enc_mode=6,
+        intra_period_length=7, hierarchical_levels=3,
+        rate_control_mode=RateControlMode.VBR, target_bit_rate=500_000,
+        frame_rate=30, film_grain_denoise_strength=6, tf_level=1)
+    path = str(tmp_path / "t.ivf")
+    encode_ivf(frames, cfg, path)
+    ours, _ = decode_ivf(path)
+    refs = ref_decode(path, 176, 144)
+    for i, (o, r) in enumerate(zip(ours, refs)):
+        for p in range(3):
+            np.testing.assert_array_equal(o[p], r[p],
+                                          err_msg=f"f{i} p{p}")
 
 
+@pytest.mark.slow
 @needs_refdec
 def test_all_features_10bit(tmp_path):
     frames = [tuple((p.astype(np.uint16) << 2) for p in f)

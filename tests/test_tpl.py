@@ -1,5 +1,6 @@
 """TPL lookahead -> per-frame qindex boosts (tpl_mc_flow analog)."""
 import numpy as np
+import pytest
 
 from svt_av1_tpu.api import Encoder, encode_ivf
 from svt_av1_tpu.config import EncoderConfig
@@ -32,6 +33,7 @@ def test_offsets_shape_and_sign():
     assert offs[1] <= offs[4]
 
 
+@pytest.mark.slow
 def test_tpl_stays_rd_neutral_on_easy_content(tmp_path):
     """Same qp, 5-layer pyramid: the r0-driven ladder must not regress
     RD vs the default-boost ladder on predictable content (on a smooth
@@ -58,6 +60,7 @@ def test_tpl_stays_rd_neutral_on_easy_content(tmp_path):
     assert bits_on < bits_off * 1.05, (bits_off, bits_on)
 
 
+@pytest.mark.slow
 def test_tpl_r0_flows_into_qindex():
     """The propagated flow must populate per-display r0 (intra/total
     cost in (0, 1]) and the anchors of a predictable clip must read as
