@@ -824,28 +824,17 @@ class Encoder:
         return out
 
     def _estimate_film_grain(self, job: CodeJob, planes):
-        """Simple grain model: source noise sigma -> flat scaling curve
-        with a white (lag-0) grain template.  The reference fits a full
-        AR model (noise_model.c); this covers the synthesis/signaling
-        surface with an honest strength estimate."""
-        from .ops.film_grain import FilmGrainParams
-        from .pipeline.mctf import estimate_noise
+        """Flat-block noise extraction + AR model fit + intensity-binned
+        scaling curve (pipeline/noise_model.py; reference
+        noise_model.c:1756 svt_aom_noise_model_update)."""
+        from .pipeline.noise_model import fit_film_grain
 
-        sigma = max(estimate_noise(np.asarray(planes[0])), 0.0)
-        strength = self.cfg.film_grain_denoise_strength
-        s = int(np.clip(round(sigma * 13.5 * strength / 8.0), 0, 120))
-        if s == 0:
-            return None
-        pts = [(0, s), (255, s)]
-        return FilmGrainParams(
-            apply_grain=True,
-            grain_seed=(7391 + 173 * job.display) & 0xFFFF,
-            scaling_points_y=list(pts),
-            scaling_points_cb=[(0, s // 2), (255, s // 2)],
-            scaling_points_cr=[(0, s // 2), (255, s // 2)],
-            ar_coeff_lag=0,
-            ar_coeffs_cb=[0], ar_coeffs_cr=[0],
-        )
+        return fit_film_grain(
+            np.asarray(planes[0]),
+            seed=(7391 + 173 * job.display) & 0xFFFF,
+            strength=self.cfg.film_grain_denoise_strength,
+            bd=self.cfg.encoder_bit_depth,
+            u=np.asarray(planes[1]), v=np.asarray(planes[2]))
 
     def _rel_dist(self, a: int, b: int) -> int:
         bits = self.seq.order_hint_bits

@@ -113,3 +113,46 @@ def test_film_grain_ar_lag_e2e(tmp_path):
                                                   err_msg=f"f{i} p{p}")
     finally:
         api.Encoder._estimate_film_grain = orig
+
+
+def test_ar_noise_model_recovers_known_grain():
+    """Synthesize AR grain with known coefficients via our own
+    conformant generator, fit with the noise model, and require the
+    recovered AR coefficients and energy to match (noise_model.c:1756
+    estimation parity, self-oracle)."""
+    from svt_av1_tpu.ops.film_grain import (FilmGrainParams, apply_grain,
+                                            generate_grain, scaling_lut)
+    from svt_av1_tpu.pipeline.noise_model import fit_film_grain
+
+    true = FilmGrainParams(
+        apply_grain=True, grain_seed=4321,
+        scaling_points_y=[(0, 96), (255, 96)],
+        ar_coeff_lag=2,
+        ar_coeffs_y=[0, 0, 0, 0, 0, 0, 0, 0, 12, 0, 0, 44],
+        ar_coeffs_cb=[0] * 13, ar_coeffs_cr=[0] * 13)
+    rng = np.random.default_rng(5)
+    h, w = 256, 384
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (110 + 60 * np.sin(xx / 71) + 40 * np.cos(yy / 53)
+            ).clip(16, 235).astype(np.uint8)
+    u = np.full((h // 2, w // 2), 128, np.uint8)
+    v = np.full((h // 2, w // 2), 128, np.uint8)
+    grainy = apply_grain(true, (base, u, v), bd=8)
+
+    got = fit_film_grain(np.asarray(grainy[0]), seed=777, strength=8,
+                         lag=2)
+    assert got is not None
+    # dominant AR taps recovered (left and above neighbors)
+    assert abs(got.ar_coeffs_y[11] - 44) <= 12
+    assert abs(got.ar_coeffs_y[8] - 12) <= 12
+    for k in (0, 1, 2, 3, 5, 6):     # far taps stay small
+        assert abs(got.ar_coeffs_y[k]) <= 10
+    # synthesized energy matches the true grain's energy within 20%
+    def grain_sigma(params):
+        tmpl, _, _ = generate_grain(params, 8)
+        lut = scaling_lut(params.scaling_points_y)
+        s = float(lut[128]) / 256.0
+        return float(tmpl[3:, 3:-3].std()) * s
+    sig_true = grain_sigma(true)
+    sig_got = grain_sigma(got)
+    assert abs(sig_got - sig_true) / sig_true < 0.20, (sig_true, sig_got)
