@@ -242,6 +242,7 @@ class Encoder:
                 cfg.source_width, cfg.source_height,
                 float(cfg.frame_rate)),
             use_128x128_superblock=cfg.super_block_size == 128,
+            seq_tier=cfg.tier,
             bit_depth=cfg.encoder_bit_depth,
             enable_filter_intra=sig.enable_filter_intra,
             enable_warped_motion=sig.enable_warped_motion,
@@ -551,6 +552,10 @@ class Encoder:
             and self.sig.enable_warped_motion,
             allow_warped_motion=not job.is_key
             and self.sig.enable_warped_motion,
+            # frame_end_cdf_update=0 disables frame-end CDF adaptation
+            # chaining for every frame (reference knob semantics)
+            disable_frame_end_update_cdf=self.cfg.frame_end_cdf_update
+            == 0,
         )
 
     def _refresh_mask(self, job: CodeJob) -> int:
@@ -575,7 +580,8 @@ class Encoder:
 
     def _tf_source(self, job: CodeJob, planes):
         """MCTF for key / layer-0 pictures: filter the source against up
-        to altref_nframes buffered neighbors (mctf_frame analog)."""
+        to altref_nframes buffered neighbors (mctf_frame analog).
+        ``look_ahead_distance`` bounds the future reach."""
         if self.sig.tf_level <= 0 or self.pd.gop <= 1:
             return planes
         if not (job.is_key or job.layer == 0):
@@ -584,8 +590,12 @@ class Encoder:
         # tf_level 2 = the reference's small-window mode at fast presets
         half = 1 if self.sig.tf_level >= 2 \
             else max((self.cfg.altref_nframes - 1) // 2, 1)
+        fwd = half
+        lad = self.cfg.look_ahead_distance
+        if lad >= 0:
+            fwd = min(fwd, lad)
         neighbors = []
-        for d in range(job.display - half, job.display + half + 1):
+        for d in range(job.display - half, job.display + fwd + 1):
             idx = d - self._next_display
             if d == job.display or idx < 0 or idx >= len(self._buffer):
                 continue

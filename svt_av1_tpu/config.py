@@ -227,6 +227,32 @@ def validate_config(cfg: EncoderConfig) -> None:
     if cfg.active_channel_count != 1:
         raise ConfigError("active_channel_count must be 1 (run one "
                           "Encoder per channel)")
+    if cfg.profile != 0:
+        raise ConfigError("profile must be 0 (main: 4:2:0, 8/10-bit); "
+                          "high/professional input formats are not "
+                          "supported")
+    if cfg.tier not in (0, 1):
+        raise ConfigError("tier must be 0 (main) or 1 (high)")
+    if cfg.encoder_color_format != ColorFormat.YUV420:
+        raise ConfigError("encoder_color_format must be YUV420 (the "
+                          "pipeline is 4:2:0-only; profile 0)")
+    if cfg.intra_refresh_type != 2:
+        raise ConfigError("intra_refresh_type must be 2 (closed-GOP "
+                          "key frames); CRA open GOPs are not "
+                          "implemented")
+    if cfg.partition_depth != -1:
+        raise ConfigError("partition_depth is derived per preset; "
+                          "use -1 (auto)")
+    if cfg.look_ahead_distance != -1 and not (
+            0 <= cfg.look_ahead_distance <= 120):
+        raise ConfigError("look_ahead_distance out of range [0, 120] "
+                          "(-1 = auto)")
+    if cfg.use_fixed_qindex_offsets:
+        if cfg.rate_control_mode != RateControlMode.CQP:
+            raise ConfigError("use_fixed_qindex_offsets requires CQP")
+        if any(abs(v) > 255 for v in cfg.qindex_offsets) \
+                or abs(cfg.key_frame_qindex_offset) > 255:
+            raise ConfigError("qindex offsets out of range [-255, 255]")
     for v in (cfg.search_area_width, cfg.search_area_height):
         if v != -1 and not (1 <= v <= 256):
             raise ConfigError("search_area dimensions out of range "

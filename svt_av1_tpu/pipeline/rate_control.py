@@ -193,6 +193,13 @@ class RateControl:
         plus reference-chained internal-ARF qindex
         (EbRateControlProcess.c:5589 / :5734)."""
         base = QUANTIZER_TO_QINDEX[self.cfg.qp]
+        if self.cfg.use_fixed_qindex_offsets:
+            # user-pinned per-layer ladder: bypass the boost machinery
+            # entirely (reference use_fixed_qindex_offsets semantics)
+            offs = self.cfg.qindex_offsets
+            off = self.cfg.key_frame_qindex_offset if is_key else \
+                (offs[min(layer, len(offs) - 1)] if offs else 0)
+            return int(np.clip(base + off, 1 if base else 0, 255))
         if base == 0 or self.all_intra:
             return base
         bd = self.cfg.encoder_bit_depth

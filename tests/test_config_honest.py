@@ -85,3 +85,67 @@ def test_rdoq_level_changes_streams_and_validates():
     assert on != off
     assert derive_signals(EncoderConfig(source_width=64, source_height=64,
                                         rdoq_level=0)).rdoq_level == 0
+
+
+def test_fixed_qindex_offsets_wired():
+    """use_fixed_qindex_offsets pins the per-layer ladder exactly."""
+    from svt_av1_tpu.config import EncoderConfig
+    from svt_av1_tpu.pipeline.rate_control import RateControl
+    from svt_av1_tpu.bitstream.headers import QUANTIZER_TO_QINDEX
+
+    cfg = EncoderConfig(source_width=64, source_height=64, qp=40,
+                        use_fixed_qindex_offsets=True,
+                        qindex_offsets=(-20, 0, 10, 20),
+                        key_frame_qindex_offset=-40)
+    rc = RateControl(cfg, 30.0)
+    base = QUANTIZER_TO_QINDEX[40]
+    assert rc.pick_qindex(True, 0) == base - 40
+    assert rc.pick_qindex(False, 0) == base - 20
+    assert rc.pick_qindex(False, 2, display=5, ref_displays=(0,),
+                          n_deps=3) == base + 10
+    assert rc.pick_qindex(False, 3, n_deps=0) == base + 20
+
+
+def test_frame_end_cdf_update_wired():
+    """frame_end_cdf_update=0 signals disable_frame_end_update_cdf in
+    every frame header (stream changes; decoder honors it)."""
+    import numpy as np
+    from svt_av1_tpu.api import encode_ivf, decode_ivf
+    from svt_av1_tpu.config import EncoderConfig
+
+    rng = np.random.default_rng(4)
+    frames = []
+    for i in range(3):
+        y = rng.integers(0, 255, (64, 96)).astype(np.uint8)
+        u = np.full((32, 48), 128, np.uint8)
+        v = np.full((32, 48), 128, np.uint8)
+        frames.append((y, u, v))
+    outs = {}
+    for val in (-1, 0):
+        cfg = EncoderConfig(source_width=96, source_height=64, qp=40,
+                            intra_period_length=3,
+                            frame_end_cdf_update=val)
+        import tempfile, os
+        path = tempfile.mktemp(suffix=".ivf")
+        encode_ivf(frames, cfg, path)
+        ours, _ = decode_ivf(path)
+        for f, (a, b, c) in zip(frames, ours):
+            pass
+        outs[val] = open(path, "rb").read()
+        os.unlink(path)
+    assert outs[-1] != outs[0]
+
+
+def test_rejected_knobs_raise():
+    import pytest
+    from svt_av1_tpu.config import EncoderConfig, ConfigError, ColorFormat
+
+    base = dict(source_width=64, source_height=64, qp=40)
+    for kw in (dict(profile=1), dict(tier=2),
+               dict(encoder_color_format=ColorFormat.YUV444),
+               dict(intra_refresh_type=1), dict(partition_depth=2),
+               dict(look_ahead_distance=999),
+               dict(use_fixed_qindex_offsets=True,
+                    rate_control_mode=1, target_bit_rate=10000)):
+        with pytest.raises(ConfigError):
+            EncoderConfig(**base, **kw)
