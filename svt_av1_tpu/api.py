@@ -243,6 +243,8 @@ class Encoder:
                 float(cfg.frame_rate)),
             use_128x128_superblock=cfg.super_block_size == 128,
             seq_tier=cfg.tier,
+            force_screen_content_tools=2 if (sig.palette_level
+                                             or sig.intrabc_level) else 0,
             bit_depth=cfg.encoder_bit_depth,
             enable_filter_intra=sig.enable_filter_intra,
             enable_warped_motion=sig.enable_warped_motion,
@@ -547,11 +549,19 @@ class Encoder:
             cdef_damping=min(3 + (qindex >> 6), 6),
             # TX_MODE_SELECT at the RD presets: intra tx_size syntax on
             # key frames, recursive txfm_split (var-tx) on inter frames
-            tx_mode_select=self.cfg.enc_mode <= 4,
+            tx_mode_select=self.cfg.enc_mode <= 4
+            and not (bool(self.sig.intrabc_level) and job.is_key),
             is_motion_mode_switchable=not job.is_key
             and self.sig.enable_warped_motion,
             allow_warped_motion=not job.is_key
             and self.sig.enable_warped_motion,
+            # screen content tools: intra frames only (inter frames
+            # would force integer MVs; palette/IBC are intra tools)
+            allow_screen_content_tools=bool(self.sig.palette_level
+                                            or self.sig.intrabc_level)
+            and job.is_key,
+            allow_intrabc=bool(self.sig.intrabc_level) and job.is_key
+            and self.cfg.superres_mode == 0,
             # frame_end_cdf_update=0 disables frame-end CDF adaptation
             # chaining for every frame (reference knob semantics)
             disable_frame_end_update_cdf=self.cfg.frame_end_cdf_update
@@ -738,8 +748,11 @@ class Encoder:
         from .ops.filter_chain import dlf_cdef_chain
         cdef_reenc = False
         with self.prof("dlf_cdef"):
-            if (self.sig.cdef_multi and self.seq.enable_cdef
-                    and fh.base_q_idx > 0 and not fh.allow_intrabc):
+            if fh.allow_intrabc:
+                # spec forces DLF/CDEF/LR off on intrabc frames
+                codec.apply_loop_filter()      # early-returns, saves state
+            elif (self.sig.cdef_multi and self.seq.enable_cdef
+                    and fh.base_q_idx > 0):
                 # per-64x64 cdef presets (finish_cdef_search analog); the
                 # strength indices are tile syntax, so the entropy pass
                 # reruns below — shared with the LR re-encode
@@ -751,7 +764,7 @@ class Encoder:
                 codec.search_and_apply_cdef()
         codec.apply_superres()
         lr_reenc = False
-        if self.seq.enable_restoration:
+        if self.seq.enable_restoration and not fh.allow_intrabc:
             from .pipeline.rdo import rd_lambda
             with self.prof("lr_search"):
                 lr_reenc = codec.search_lr(

@@ -55,6 +55,10 @@ class SequenceHeader:
     enable_warped_motion: bool = False
     film_grain_params_present: bool = False
     still_picture: bool = False
+    # screen content: 0 = off, 2 = per-frame selection (spec
+    # seq_force_screen_content_tools / seq_force_integer_mv)
+    force_screen_content_tools: int = 0
+    force_integer_mv: int = 2
     # derived
     frame_width_bits: int = 16
     frame_height_bits: int = 16
@@ -171,8 +175,17 @@ def write_sequence_header(seq: SequenceHeader) -> bytes:
     if seq.enable_order_hint:
         w.flag(False)                   # enable_jnt_comp
         w.flag(False)                   # enable_ref_frame_mvs
-    w.flag(False)                       # seq_choose_screen_content_tools
-    w.flag(False)                       # seq_force_screen_content_tools = 0
+    if seq.force_screen_content_tools == 2:
+        w.flag(True)                    # seq_choose_screen_content_tools
+    else:
+        w.flag(False)
+        w.flag(seq.force_screen_content_tools == 1)
+    if seq.force_screen_content_tools > 0:
+        if seq.force_integer_mv == 2:
+            w.flag(True)                # seq_choose_integer_mv
+        else:
+            w.flag(False)
+            w.flag(seq.force_integer_mv == 1)
     if seq.enable_order_hint:
         w.f(seq.order_hint_bits - 1, 3)
     w.flag(seq.enable_superres)
@@ -245,8 +258,12 @@ def parse_sequence_header(data: bytes) -> SequenceHeader:
         force_sc = 2
     else:
         force_sc = r.f(1)
-    if force_sc:
-        raise UnsupportedBitstream("screen content tools")
+    seq.force_screen_content_tools = force_sc
+    if force_sc > 0:
+        if r.flag():                     # seq_choose_integer_mv
+            seq.force_integer_mv = 2
+        else:
+            seq.force_integer_mv = r.f(1)
     if seq.enable_order_hint:
         seq.order_hint_bits = r.f(3) + 1
     seq.enable_superres = r.flag()
@@ -371,7 +388,12 @@ def write_frame_header(w: BitWriter, seq: SequenceHeader, fh: FrameHeader,
     if not (fh.frame_type == FrameType.KEY_FRAME and fh.show_frame):
         w.flag(fh.error_resilient_mode)
     w.flag(fh.disable_cdf_update)
-    # allow_screen_content_tools: seq_force == 0 -> nothing coded
+    if seq.force_screen_content_tools == 2:
+        w.flag(fh.allow_screen_content_tools)
+    if fh.allow_screen_content_tools and seq.force_integer_mv == 2:
+        # force_integer_mv: 1 whenever screen content is on (intra
+        # frames override to 1 regardless, spec 5.9.2)
+        w.flag(True)
     w.flag(False)                        # frame_size_override_flag
     if seq.enable_order_hint:
         w.f(fh.order_hint & ((1 << seq.order_hint_bits) - 1),
@@ -398,7 +420,8 @@ def write_frame_header(w: BitWriter, seq: SequenceHeader, fh: FrameHeader,
             w.f(fh.refresh_frame_flags, 8)
         _write_frame_size(w, seq, fh)
         _write_render_size(w)
-        # allow_intrabc: only if allow_screen_content_tools
+        if fh.allow_screen_content_tools and fh.superres_denom == 8:
+            w.flag(fh.allow_intrabc)
     if not fh.disable_cdf_update:
         w.flag(fh.disable_frame_end_update_cdf)
     _write_tile_info(w, seq, fh)
@@ -557,6 +580,12 @@ def parse_frame_header(r: BitReader, seq: SequenceHeader,
     if not (fh.frame_type == FrameType.KEY_FRAME and fh.show_frame):
         fh.error_resilient_mode = r.flag()
     fh.disable_cdf_update = r.flag()
+    if seq.force_screen_content_tools == 2:
+        fh.allow_screen_content_tools = r.flag()
+    else:
+        fh.allow_screen_content_tools = seq.force_screen_content_tools == 1
+    if fh.allow_screen_content_tools and seq.force_integer_mv == 2:
+        r.flag()                         # force_integer_mv (intra: ->1)
     size_override = r.flag()
     assert not size_override
     fh.frame_width = seq.max_frame_width
@@ -586,6 +615,8 @@ def parse_frame_header(r: BitReader, seq: SequenceHeader,
         _parse_superres(r, seq, fh)
         render_diff = r.flag()
         assert not render_diff
+        if fh.allow_screen_content_tools and fh.superres_denom == 8:
+            fh.allow_intrabc = r.flag()
     if not fh.disable_cdf_update:
         fh.disable_frame_end_update_cdf = r.flag()
     else:

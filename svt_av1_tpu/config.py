@@ -210,10 +210,7 @@ def validate_config(cfg: EncoderConfig) -> None:
     # worse than rejecting it (verify_settings parity: unsupported
     # combinations error out).  -1 = auto resolves to "off" today; any
     # explicit enable is refused until the tool lands.
-    for field, label in (("palette_level", "palette"),
-                         ("intrabc_mode", "intra block copy"),
-                         ("screen_content_mode", "screen content tools"),
-                         ("pic_based_rate_est", "picture-based rate "
+    for field, label in (("pic_based_rate_est", "picture-based rate "
                           "estimation"),
                          ("enable_mfmv", "temporal MV prediction"),
                          ("inter_intra_compound", "inter-intra compound")):
@@ -247,6 +244,15 @@ def validate_config(cfg: EncoderConfig) -> None:
             0 <= cfg.look_ahead_distance <= 120):
         raise ConfigError("look_ahead_distance out of range [0, 120] "
                           "(-1 = auto)")
+    if cfg.palette_level not in (-1, 0, 1):
+        raise ConfigError("palette_level must be -1 (auto), 0 or 1")
+    if cfg.intrabc_mode not in (-1, 0, 1):
+        raise ConfigError("intrabc_mode must be -1 (auto), 0 (off) or "
+                          "1 (on for intra frames)")
+    if cfg.screen_content_mode not in (-1, 0, 1):
+        raise ConfigError("screen_content_mode must be -1 (auto), 0 "
+                          "(off) or 1 (on); content detection (2) is "
+                          "not implemented")
     if cfg.use_fixed_qindex_offsets:
         if cfg.rate_control_mode != RateControlMode.CQP:
             raise ConfigError("use_fixed_qindex_offsets requires CQP")
@@ -294,6 +300,8 @@ class DerivedSignals:
     enable_adaptive_quantization: bool
     obmc_level: int
     compound_level: int
+    palette_level: int
+    intrabc_level: int
     tf_level: int
     rdoq_level: int            # 0 off / 1 full trellis + fp quant
     md_stage_nics: tuple[int, int, int, int]   # candidates kept per MD stage
@@ -352,6 +360,12 @@ def derive_signals(cfg: EncoderConfig) -> DerivedSignals:
         # with quantize_fp feeding it (set_rdoq_controls,
         # EbEncDecProcess.c:2090)
         rdoq_level=auto_i(cfg.rdoq_level, 1),
+        # palette: on when screen-content mode requests it (the
+        # reference gates palette_level by sc_class; explicit knob wins)
+        palette_level=(cfg.palette_level if cfg.palette_level != -1
+                       else (1 if cfg.screen_content_mode == 1 else 0)),
+        intrabc_level=(cfg.intrabc_mode if cfg.intrabc_mode != -1
+                       else (1 if cfg.screen_content_mode == 1 else 0)),
         md_stage_nics=(64, 16, 8, 4) if m <= 2 else ((32, 12, 6, 3) if m <= 5 else (16, 8, 4, 2)),
     )
 

@@ -92,13 +92,6 @@ _FRAME_CDF_TABLES = {
     "cfl_alpha": "default_cfl_alpha_cdf",
     "filter_intra_mode": "default_filter_intra_mode_cdf",
     "filter_intra": "default_filter_intra_cdfs",
-    "palette_y_mode": "default_palette_y_mode_cdf",
-    "palette_uv_mode": "default_palette_uv_mode_cdf",
-    "palette_y_size": "default_palette_y_size_cdf",
-    "palette_uv_size": "default_palette_uv_size_cdf",
-    "palette_y_color_index": "default_palette_y_color_index_cdf",
-    "palette_uv_color_index": "default_palette_uv_color_index_cdf",
-    "intrabc": "default_intrabc_cdf",
     # tx signaling
     "tx_size": "default_tx_size_cdf",
     "txfm_partition": "default_txfm_partition_cdf",
@@ -141,6 +134,14 @@ _FRAME_CDF_TABLES = {
     "switchable_restore": "default_switchable_restore_cdf",
     "wiener_restore": "default_wiener_restore_cdf",
     "sgrproj_restore": "default_sgrproj_restore_cdf",
+    # screen content
+    "palette_y_mode": "default_palette_y_mode_cdf",
+    "palette_uv_mode": "default_palette_uv_mode_cdf",
+    "palette_y_size": "default_palette_y_size_cdf",
+    "palette_uv_size": "default_palette_uv_size_cdf",
+    "palette_y_color_index": "default_palette_y_color_index_cdf",
+    "palette_uv_color_index": "default_palette_uv_color_index_cdf",
+    "intrabc": "default_intrabc_cdf",
 }
 
 # coefficient CDFs: tables indexed [q_ctx][...]; attribute gets the q_ctx
@@ -182,7 +183,8 @@ class FrameCdfs:
     defaults (key frames / primary_ref_none).
     """
 
-    __slots__ = tuple(_FRAME_CDF_TABLES) + tuple(_COEF_CDF_TABLES) + ("nmv",)
+    __slots__ = tuple(_FRAME_CDF_TABLES) + tuple(_COEF_CDF_TABLES) \
+        + ("nmv", "ndv")
 
     def __init__(self, base_qindex: int = 0):
         self.reset(base_qindex)
@@ -197,6 +199,7 @@ class FrameCdfs:
         for attr, name in _COEF_CDF_TABLES.items():
             setattr(self, attr, data[name][qctx].copy())
         self.nmv = NmvContext()
+        self.ndv = NmvContext()       # intrabc DV context (ndvc)
 
     def copy(self) -> "FrameCdfs":
         import copy as _copy
@@ -229,17 +232,17 @@ class FrameCdfs:
             v = getattr(self, attr)
             if isinstance(v, np.ndarray):
                 _zero(v)
-        nmv = self.nmv
-        _zero(nmv.joints)
-        for comp in nmv.comps:
-            for name in vars(comp):
-                cv = getattr(comp, name)
-                if isinstance(cv, np.ndarray):
-                    _zero(cv)
-                elif isinstance(cv, (list, tuple)):
-                    for item in cv:
-                        if isinstance(item, np.ndarray):
-                            _zero(item)
+        for nmv in (self.nmv, self.ndv):
+            _zero(nmv.joints)
+            for comp in nmv.comps:
+                for name in vars(comp):
+                    cv = getattr(comp, name)
+                    if isinstance(cv, np.ndarray):
+                        _zero(cv)
+                    elif isinstance(cv, (list, tuple)):
+                        for item in cv:
+                            if isinstance(item, np.ndarray):
+                                _zero(item)
 
     def eob_flag(self, eob_pt_alphabet_size_log2: int) -> np.ndarray:
         """eob_pt cdf table for a txsize with 2^k max eob."""

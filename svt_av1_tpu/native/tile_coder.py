@@ -58,6 +58,8 @@ def _consts():
 
 
 def _eligible(codec, decider) -> bool:
+    if getattr(codec.fh, "allow_screen_content_tools", False):
+        return False          # palette blocks need the Python walk
     fh, seq = codec.fh, codec.seq
     if fh.frame_type != FrameType.KEY_FRAME:
         return False
@@ -301,6 +303,8 @@ def _sig_tables(codec):
 
 def _eligible_inter(codec, decider) -> bool:
     fh, seq = codec.fh, codec.seq
+    if getattr(fh, "allow_screen_content_tools", False):
+        return False
     if getattr(decider, "_inter", None) is None:
         return False
     for s in _C_SHAPES:

@@ -30,7 +30,8 @@ from ..ops import quant as qz
 from ..ops import transforms as tf
 from ..bitstream.headers import (FrameHeader, SequenceHeader,
                                  UnsupportedBitstream)
-from ..entropy.mv import (MV_SUBPEL_LOW_PRECISION, decode_mv, encode_mv)
+from ..entropy.mv import (MV_SUBPEL_LOW_PRECISION, MV_SUBPEL_NONE,
+                          decode_mv, encode_mv)
 from . import mv_pred
 from ..ops import inter as inter_ops
 
@@ -242,6 +243,10 @@ class BlockDecision:
     motion_mode: int = 0                # SIMPLE / OBMC_CAUSAL / WARPED_CAUSAL
     segment_id: int = 0
     # inter fields
+    # palette (screen content): sorted luma colors + per-pixel index map
+    palette_colors: tuple = ()
+    palette_map: object = None
+    use_intrabc: bool = False           # DV in .mv (full-pel, 1/8 units)
     is_inter: bool = False
     inter_mode: int = 0                 # PredictionMode NEARESTMV..NEW_NEWMV
     mv: tuple = (0, 0)                  # (row, col) 1/8 pel
@@ -521,6 +526,12 @@ class FrameCodec:
         self.left_part = np.zeros(self.mi_rows + 32, np.int32)
         self.y_modes = np.zeros((self.mi_rows, self.mi_cols), np.int32)
         self.skips = np.zeros((self.mi_rows, self.mi_cols), np.int32)
+        # palette neighbor state: per-mi size + colors of the covering
+        # block (above/left cache + mode ctx, EbDecParseBlock.c:53,570)
+        self.pal_size = np.zeros((self.mi_rows, self.mi_cols), np.int32)
+        self.pal_colors = np.zeros((self.mi_rows, self.mi_cols, 8),
+                                   np.int32)
+        self.intrabc_grid = np.zeros((self.mi_rows, self.mi_cols), bool)
         self.partitions = np.zeros((self.mi_rows, self.mi_cols), np.int32)
         self.seg_map = np.zeros((self.mi_rows, self.mi_cols), np.int8)
         # var-tx split contexts: above tx widths / left tx heights in
@@ -1138,6 +1149,11 @@ class FrameCodec:
                                              t["tx_size"])
             else:
                 decision = self.decider.decide(self, x, y, bw, bh)
+                if self.fh.allow_screen_content_tools:
+                    decision = self._try_palette(decision, x, y, bw, bh)
+                if self.fh.allow_intrabc:
+                    decision = self._try_intrabc(decision, x, y, bw, bh,
+                                                 mi_row, mi_col, w4, h4)
                 txbs = self._compute_block(decision, x, y, bw, bh)
             if self.txb_cache is not None:
                 self.txb_cache[key] = (decision, txbs)
@@ -1161,58 +1177,146 @@ class FrameCodec:
 
         self._code_cdef_idx(skip, mi_row, mi_col, w4, h4)
 
-        # intra_frame_y_mode
-        above_mode = int(self.y_modes[mi_row - 1, mi_col]) if up_avail else 0
-        left_mode = int(self.y_modes[mi_row, mi_col - 1]) if left_avail else 0
-        kf_cdf = self.fc.kf_y_mode[INTRA_MODE_CONTEXT[above_mode]][
-            INTRA_MODE_CONTEXT[left_mode]]
-        y_mode = io.symbol(None if decision is None else int(decision.y_mode),
-                           kf_cdf, 13)
-        use_delta = _bsize_enum(bw, bh) >= 3      # av1_use_angle_delta
-        angle_delta_y = 0
-        if use_delta and intra_ops.is_directional(PredictionMode(y_mode)):
-            sym = io.symbol(None if decision is None
-                            else decision.angle_delta_y + 3,
-                            self.fc.angle_delta[y_mode - 1], 7)
-            angle_delta_y = sym - 3
-
-        # chroma
-        uv_mode = 0
-        angle_delta_uv = 0
-        if self.num_planes > 1:
-            cfl_allowed = bw <= 32 and bh <= 32
-            uv_cdf = self.fc.uv_mode[int(cfl_allowed)][y_mode]
-            uv_mode = io.symbol(None if decision is None else decision.uv_mode,
-                                uv_cdf, 14 if cfl_allowed else 13)
-            if uv_mode == 13:
-                cfl_signs, cfl_idx = self._code_cfl(decision)
-            elif use_delta and intra_ops.is_directional(PredictionMode(uv_mode)):
+        # use_intrabc (intra_frame_mode_info, spec 5.11.18): IBC blocks
+        # code a DV and skip the whole intra mode syntax
+        use_ibc = 0
+        if self.fh.allow_intrabc:
+            use_ibc = io.symbol(
+                None if decision is None else int(decision.use_intrabc),
+                self.fc.intrabc, 2)
+        if use_ibc:
+            from . import palette as pal
+            y_mode = 0
+            angle_delta_y = angle_delta_uv = 0
+            uv_mode = 0
+            pal_colors = ()
+            fi_mode = -1
+            dv_ref = self._dv_ref(mi_row, mi_col, w4, h4)
+            if io.is_decoder:
+                dv = decode_mv(io.ec, dv_ref[0], dv_ref[1], self.fc.ndv,
+                               MV_SUBPEL_NONE)
+                dv = ((dv[0] >> 3) * 8, (dv[1] >> 3) * 8)
+                decision = BlockDecision(use_intrabc=True,
+                                         mv=(int(dv[0]), int(dv[1])),
+                                         segment_id=seg)
+            else:
+                encode_mv(io.ec, decision.mv[0], decision.mv[1],
+                          dv_ref[0], dv_ref[1], self.fc.ndv,
+                          MV_SUBPEL_NONE)
+            npal = 0
+            self.pal_size[mi_row:mi_row + h4, mi_col:mi_col + w4] = 0
+        else:
+            # intra_frame_y_mode
+            above_mode = int(self.y_modes[mi_row - 1, mi_col]) if up_avail else 0
+            left_mode = int(self.y_modes[mi_row, mi_col - 1]) if left_avail else 0
+            kf_cdf = self.fc.kf_y_mode[INTRA_MODE_CONTEXT[above_mode]][
+                INTRA_MODE_CONTEXT[left_mode]]
+            y_mode = io.symbol(None if decision is None else int(decision.y_mode),
+                               kf_cdf, 13)
+            use_delta = _bsize_enum(bw, bh) >= 3      # av1_use_angle_delta
+            angle_delta_y = 0
+            if use_delta and intra_ops.is_directional(PredictionMode(y_mode)):
                 sym = io.symbol(None if decision is None
-                                else decision.angle_delta_uv + 3,
-                                self.fc.angle_delta[uv_mode - 1], 7)
-                angle_delta_uv = sym - 3
+                                else decision.angle_delta_y + 3,
+                                self.fc.angle_delta[y_mode - 1], 7)
+                angle_delta_y = sym - 3
 
-        # filter_intra (read_filter_intra_mode_info)
-        fi_mode = -1
-        if (self.seq.enable_filter_intra and y_mode == 0
-                and bw <= 32 and bh <= 32):
-            use_fi = io.symbol(
-                None if decision is None
-                else int(decision.filter_intra_mode >= 0),
-                self.fc.filter_intra[_bsize_enum(bw, bh)], 2)
-            if use_fi:
-                fi_mode = io.symbol(
+            # chroma
+            uv_mode = 0
+            angle_delta_uv = 0
+            if self.num_planes > 1:
+                cfl_allowed = bw <= 32 and bh <= 32
+                uv_cdf = self.fc.uv_mode[int(cfl_allowed)][y_mode]
+                uv_mode = io.symbol(None if decision is None else decision.uv_mode,
+                                    uv_cdf, 14 if cfl_allowed else 13)
+                if uv_mode == 13:
+                    cfl_signs, cfl_idx = self._code_cfl(decision)
+                elif use_delta and intra_ops.is_directional(PredictionMode(uv_mode)):
+                    sym = io.symbol(None if decision is None
+                                    else decision.angle_delta_uv + 3,
+                                    self.fc.angle_delta[uv_mode - 1], 7)
+                    angle_delta_uv = sym - 3
+
+            # palette (palette_mode_info, spec 5.11.46)
+            pal_colors = ()
+            from . import palette as pal
+            if pal.allow_palette(self.fh.allow_screen_content_tools, bw, bh):
+                bctx = pal.bsize_ctx(bw, bh)
+                if y_mode == 0:
+                    mctx = 0
+                    if up_avail:
+                        mctx += int(self.pal_size[mi_row - 1, mi_col] > 0)
+                    if left_avail:
+                        mctx += int(self.pal_size[mi_row, mi_col - 1] > 0)
+                    has = io.symbol(
+                        None if decision is None
+                        else int(len(decision.palette_colors) > 0),
+                        self.fc.palette_y_mode[bctx][mctx], 2)
+                    if has:
+                        nsym = io.symbol(
+                            None if decision is None
+                            else len(decision.palette_colors) - 2,
+                            self.fc.palette_y_size[bctx], 7) + 2
+                        cache = pal.get_cache(self, mi_row, mi_col)
+                        if io.is_decoder:
+                            pal_colors = tuple(pal.read_colors_y(
+                                io, cache, nsym, self.seq.bit_depth))
+                        else:
+                            pal_colors = tuple(decision.palette_colors)
+                            pal.write_colors_y(io, cache, list(pal_colors),
+                                               self.seq.bit_depth)
+                if self.num_planes > 1 and uv_mode == 0:
+                    # uv palette: flag coded, tool not searched (always 0)
+                    uv_has = io.symbol(0 if decision is not None else None,
+                                       self.fc.palette_uv_mode[
+                                           int(len(pal_colors) > 0)], 2)
+                    if io.is_decoder and uv_has:
+                        raise UnsupportedBitstream("uv palette")
+            # record palette neighbor state over the block extent
+            npal = len(pal_colors)
+            self.pal_size[mi_row:mi_row + h4, mi_col:mi_col + w4] = npal
+            if npal:
+                self.pal_colors[mi_row:mi_row + h4, mi_col:mi_col + w4,
+                                :npal] = np.asarray(pal_colors, np.int32)
+
+            # filter_intra (read_filter_intra_mode_info; palette blocks
+            # exclude it, filter_intra_allowed EbDecParseBlock.c:293)
+            fi_mode = -1
+            if (self.seq.enable_filter_intra and y_mode == 0
+                    and not pal_colors
+                    and bw <= 32 and bh <= 32):
+                use_fi = io.symbol(
                     None if decision is None
-                    else decision.filter_intra_mode,
-                    self.fc.filter_intra_mode, 5)
+                    else int(decision.filter_intra_mode >= 0),
+                    self.fc.filter_intra[_bsize_enum(bw, bh)], 2)
+                if use_fi:
+                    fi_mode = io.symbol(
+                        None if decision is None
+                        else decision.filter_intra_mode,
+                        self.fc.filter_intra_mode, 5)
 
-        if io.is_decoder:
-            decision = BlockDecision(
-                y_mode=PredictionMode(y_mode), angle_delta_y=angle_delta_y,
-                uv_mode=uv_mode, angle_delta_uv=angle_delta_uv,
-                cfl_signs=cfl_signs if uv_mode == 13 else 0,
-                cfl_idx=cfl_idx if uv_mode == 13 else 0,
-                filter_intra_mode=fi_mode, segment_id=seg)
+            if io.is_decoder:
+                decision = BlockDecision(
+                    y_mode=PredictionMode(y_mode), angle_delta_y=angle_delta_y,
+                    uv_mode=uv_mode, angle_delta_uv=angle_delta_uv,
+                    cfl_signs=cfl_signs if uv_mode == 13 else 0,
+                    cfl_idx=cfl_idx if uv_mode == 13 else 0,
+                    filter_intra_mode=fi_mode, segment_id=seg,
+                    palette_colors=pal_colors)
+
+
+        # palette color index map (palette_tokens: after mode_info,
+        # before read_block_tx_size — EbDecParseBlock.c:2487; coded
+        # skip or not, it IS the prediction)
+        if pal_colors:
+            on_w = min(bw, (self.mi_cols - mi_col) * MI)
+            on_h = min(bh, (self.mi_rows - mi_row) * MI)
+            cmap = pal.code_color_map(
+                io, self.fc,
+                None if io.is_decoder else decision.palette_map,
+                bw, bh, len(pal_colors), 0, on_w, on_h)
+            if io.is_decoder:
+                decision.palette_map = cmap
 
         # luma tx size (read_tx_size; signaled even for skip intra blocks)
         if self.fh.tx_mode_select and not (bw == 4 and bh == 4):
@@ -1462,7 +1566,13 @@ class FrameCodec:
             ch, cw = min(th, 32), min(tw, 32)
             for py in range(py0, py0 + ph, th):
                 for px in range(px0, px0 + pw, tw):
-                    if plane == 0:
+                    if decision.use_intrabc:
+                        pred = self._ibc_pred(decision, plane, px, py,
+                                              tw, th)
+                    elif plane == 0 and decision.palette_colors:
+                        pred = self._palette_pred(decision, px, py, tw,
+                                                  th, (px0, py0, pw, ph))
+                    elif plane == 0:
                         pred = self.predict(
                             plane, decision.y_mode, decision.angle_delta_y,
                             px, py, tw, th, ts, decision.filter_intra_mode,
@@ -1738,9 +1848,17 @@ class FrameCodec:
                                         and t["ph"] == TX_HEIGHT[t["tx_size"]]))
             sk_ctx, dc_ctx = self._txb_ctx(plane, t["px"], t["py"], t["pw"],
                                            t["ph"], t["tx_size"], bsize_eq_tx)
-            ttw = (lambda ts=t["tx_size"], tt=t["tx_type"],
-                   ym=_ctx_dir(decision):
-                   self._tx_type_io(plane, ts, ym, tt)) if plane == 0 else None
+            if plane != 0:
+                ttw = None
+            elif decision.use_intrabc:
+                # intrabc blocks are inter for tx-type purposes
+                # (is_inter_block includes use_intrabc, spec 5.11.47)
+                ttw = (lambda ts=t["tx_size"], tt=t["tx_type"]:
+                       self._inter_tx_type_io(ts, tt))
+            else:
+                ttw = (lambda ts=t["tx_size"], tt=t["tx_type"],
+                       ym=_ctx_dir(decision):
+                       self._tx_type_io(plane, ts, ym, tt))
             if hasattr(self.io.ec, "write_coeffs_fast"):
                 cul = self.io.ec.write_coeffs_fast(
                     self.fc, t["qcoeff"], t["tx_size"], t["tx_type"],
@@ -1752,9 +1870,174 @@ class FrameCodec:
                     tx_type_writer=ttw)
             self._update_txb_ctx(plane, t["px"], t["py"], t["tx_size"], cul)
 
+    def _dv_ref(self, mi_row, mi_col, w4, h4):
+        """DV prediction for intrabc (assign_intrabc_mv,
+        EbDecParseInterBlock.c:1559): INTRA_FRAME MV stack nearest/near,
+        falling back to av1_find_ref_dv's defaults."""
+        stack_res = mv_pred.find_mv_stack(
+            self.mi, mi_row, mi_col, w4, h4, 0,
+            self.mi_rows, self.mi_cols, sb_mi=self.seq.sb_size // MI,
+            sign_bias=self.sign_bias, force_int=True, tile=self.tile)
+        nearest = tuple(stack_res.ref_mv_list[0])
+        near = tuple(stack_res.ref_mv_list[1])
+        dv = near if nearest == (0, 0) else nearest
+        if dv == (0, 0):
+            mib = self.seq.sb_size // MI
+            if mi_row - mib < self.tile[0]:
+                dv = (0, -(self.seq.sb_size + 256) * 8)
+            else:
+                dv = (-self.seq.sb_size * 8, 0)
+        return ((dv[0] >> 3) * 8, (dv[1] >> 3) * 8)
+
+    INTRABC_DELAY_SB64 = 1
+
+    def _dv_valid(self, dv, mi_row, mi_col, bw, bh) -> bool:
+        """is_dv_valid (EbDecParseInterBlock.c:1478): full-pel, tile
+        bounds, 256-px (one 64-SB) delay, wavefront constraint."""
+        if (dv[0] & 7) or (dv[1] & 7):
+            return False
+        t_r0, t_c0, t_r1, t_c1 = self.tile
+        src_top = mi_row * MI * 8 + dv[0]
+        src_left = mi_col * MI * 8 + dv[1]
+        src_bottom = (mi_row * MI + bh) * 8 + dv[0]
+        src_right = (mi_col * MI + bw) * 8 + dv[1]
+        if src_top < t_r0 * MI * 8 or src_left < t_c0 * MI * 8:
+            return False
+        if src_bottom > t_r1 * MI * 8 or src_right > t_c1 * MI * 8:
+            return False
+        if self.num_planes > 1:
+            if bw < 8 and src_left < t_c0 * MI * 8 + 4 * 8:
+                return False
+            if bh < 8 and src_top < t_r0 * MI * 8 + 4 * 8:
+                return False
+        mib_log2 = 5 if self.seq.sb_size == 128 else 4
+        sb_size = self.seq.sb_size
+        active_sb_row = mi_row >> mib_log2
+        active_sb64_col = (mi_col * MI) >> 6
+        src_sb_row = ((src_bottom >> 3) - 1) // sb_size
+        src_sb64_col = ((src_right >> 3) - 1) >> 6
+        total = ((t_c1 - t_c0 - 1) >> 4) + 1
+        active = active_sb_row * total + active_sb64_col
+        src = src_sb_row * total + src_sb64_col
+        if src >= active - self.INTRABC_DELAY_SB64:
+            return False
+        grad = 1 + self.INTRABC_DELAY_SB64 + (sb_size > 64)
+        wf = grad * (active_sb_row - src_sb_row)
+        if src_sb_row > active_sb_row or \
+                src_sb64_col >= active_sb64_col \
+                - self.INTRABC_DELAY_SB64 + wf:
+            return False
+        return True
+
+    def _ibc_pred(self, decision, plane, px, py, pw, ph):
+        """Intrabc prediction: copy from this frame's recon at the DV
+        offset (filters are off on IBC frames, so recon is final).  The
+        encoder restricts DVs to even full-pel, so chroma lands on
+        integer positions."""
+        sh = 1 if plane else 0
+        dr = (decision.mv[0] >> 3) >> sh
+        dc = (decision.mv[1] >> 3) >> sh
+        return self.recon[plane][py + dr:py + dr + ph,
+                                 px + dc:px + dc + pw].copy()
+
+    def _try_intrabc(self, decision, x, y, bw, bh, mi_row, mi_col, w4,
+                     h4):
+        """IBC candidate: try a small set of valid even full-pel DVs
+        (dv_ref, neighbor DVs, block-width/height strides) by recon SAD
+        vs the chosen intra mode (hash-ME analog envelope,
+        hash_motion.c:369)."""
+        if decision.palette_colors or decision.use_intrabc:
+            return decision
+        from .rdo import rd_lambda
+        cands = [self._dv_ref(mi_row, mi_col, w4, h4)]
+        if mi_col > self.tile[1] and self.intrabc_grid[mi_row, mi_col - 1]:
+            cands.append((int(self.mi.mv_row[mi_row, mi_col - 1]),
+                          int(self.mi.mv_col[mi_row, mi_col - 1])))
+        if mi_row > self.tile[0] and self.intrabc_grid[mi_row - 1, mi_col]:
+            cands.append((int(self.mi.mv_row[mi_row - 1, mi_col]),
+                          int(self.mi.mv_col[mi_row - 1, mi_col])))
+        for k in (1, 2, 3, 4):
+            cands.append((0, -8 * k * bw))
+            cands.append((-8 * k * bh, 0))
+        src = self.source[0][y:y + bh, x:x + bw].astype(np.int64)
+        best = None
+        seen = set()
+        for dv in cands:
+            dv = ((dv[0] >> 4) * 16, (dv[1] >> 4) * 16)   # even full-pel
+            if dv in seen or dv == (0, 0):
+                continue
+            seen.add(dv)
+            if not self._dv_valid(dv, mi_row, mi_col, bw, bh):
+                continue
+            d = BlockDecision(use_intrabc=True,
+                              mv=(int(dv[0]), int(dv[1])))
+            pred = self._ibc_pred(d, 0, x, y, bw, bh)
+            sad = int(np.abs(src - pred).sum())
+            if best is None or sad < best[0]:
+                best = (sad, dv)
+        if best is None:
+            return decision
+        ts = self.tx_size_for(0, bw, bh)
+        pred_m = self.predict(0, decision.y_mode, decision.angle_delta_y,
+                              x, y, bw, bh, ts,
+                              decision.filter_intra_mode)
+        sad_m = int(np.abs(src - pred_m).sum())
+        lam = rd_lambda(self.fh.base_q_idx, self.seq.bit_depth)
+        # dv bits proxy ~ 12; intra mode bits ~ 4: charge the difference
+        if best[0] + np.sqrt(lam) * 8 < sad_m:
+            return BlockDecision(use_intrabc=True,
+                                 mv=(int(best[1][0]), int(best[1][1])),
+                                 segment_id=decision.segment_id)
+        return decision
+
+    def _try_palette(self, decision, x, y, bw, bh):
+        """Palette candidate for one intra block: k-means palette vs
+        the chosen intra mode by luma SSE + rate proxies (the
+        reference's palette RD search shape, palette.c search in
+        EbModeDecision)."""
+        from . import palette as pal
+        from .rdo import rd_lambda
+        if decision.is_inter or decision.palette_colors:
+            return decision
+        if not pal.allow_palette(True, bw, bh):
+            return decision
+        src = self.source[0][y:y + bh, x:x + bw]
+        got = pal.kmeans_palette(src)
+        if got is None:
+            return decision
+        colors, cmap, sse_pal = got
+        ts = self.tx_size_for(0, bw, bh)
+        pred = self.predict(0, decision.y_mode, decision.angle_delta_y,
+                            x, y, bw, bh, ts,
+                            decision.filter_intra_mode)
+        sse_mode = float(((src.astype(np.int64) - pred) ** 2).sum())
+        lam = rd_lambda(self.fh.base_q_idx, self.seq.bit_depth)
+        bits_pal = (bw * bh * 0.7 * np.log2(len(colors))
+                    + 10.0 * len(colors) + 8.0)
+        if sse_pal + lam * bits_pal < sse_mode:
+            return dataclasses.replace(
+                decision, y_mode=PredictionMode.DC_PRED, angle_delta_y=0,
+                filter_intra_mode=-1, tx_depth=0,
+                palette_colors=tuple(colors), palette_map=cmap)
+        return decision
+
+    def _palette_pred(self, decision, px, py, tw, th, blk):
+        """Luma palette prediction for one tx block: colors[index map]
+        (palette_tokens' prediction step, EbDecParseInterBlock.c:2378)."""
+        x0, y0 = blk[0], blk[1]
+        m = decision.palette_map[py - y0:py - y0 + th,
+                                 px - x0:px - x0 + tw]
+        return np.asarray(decision.palette_colors, np.int32)[m]
+
     def _recon_skip(self, plane, decision, t):
         """Redo recon with zero residual for skip blocks."""
-        if plane == 0:
+        if decision.use_intrabc:
+            pred = self._ibc_pred(decision, plane, t["px"], t["py"],
+                                  t["pw"], t["ph"])
+        elif plane == 0 and decision.palette_colors:
+            pred = self._palette_pred(decision, t["px"], t["py"],
+                                      t["pw"], t["ph"], t.get("blk"))
+        elif plane == 0:
             pred = self.predict(plane, decision.y_mode,
                                 decision.angle_delta_y, t["px"], t["py"],
                                 t["pw"], t["ph"], t["tx_size"],
@@ -1788,6 +2071,10 @@ class FrameCodec:
         self._record_tx_geometry(plane, px, py, tw, th, ts)
 
         def _pred():
+            if decision.use_intrabc:
+                return self._ibc_pred(decision, plane, px, py, tw, th)
+            if plane == 0 and decision.palette_colors:
+                return self._palette_pred(decision, px, py, tw, th, blk)
             if plane == 0:
                 return self.predict(plane, decision.y_mode,
                                     decision.angle_delta_y,
@@ -1802,12 +2089,17 @@ class FrameCodec:
         plane_type = int(plane > 0)
         sk_ctx, dc_ctx = self._txb_ctx(plane, px, py, tw, th, ts, beq)
         default_tt = self.tx_type_for(plane, decision, ts)
+        if plane != 0:
+            ttr = None
+        elif decision.use_intrabc:
+            ttr = (lambda ts=ts: self._inter_tx_type_io(ts, None))
+        else:
+            ttr = (lambda ts=ts, ym=_ctx_dir(decision):
+                   self._tx_type_io(plane, ts, ym, None))
         qc, eob, cul, tt = cf.parse_coeffs_txb(
             self.io.ec, self.fc, ts,
             default_tt, plane_type, sk_ctx, dc_ctx,
-            tx_type_reader=(lambda ts=ts, ym=_ctx_dir(decision):
-                            self._tx_type_io(plane, ts, ym, None))
-            if plane == 0 else None)
+            tx_type_reader=ttr)
         self._update_txb_ctx(plane, px, py, ts, cul)
         pred = _pred()
         if eob == 0:
@@ -2059,6 +2351,15 @@ class FrameCodec:
             g.ref_frame1[r0:r1, c0:c1] = decision.ref1
             g.mv1_row[r0:r1, c0:c1] = decision.mv1[0]
             g.mv1_col[r0:r1, c0:c1] = decision.mv1[1]
+        elif decision.use_intrabc:
+            # spec: IBC blocks carry RefFrame INTRA_FRAME with the DV in
+            # Mvs (feeds the INTRA_FRAME stack of later blocks)
+            g.ref_frame[r0:r1, c0:c1] = 0
+            g.mv_row[r0:r1, c0:c1] = decision.mv[0]
+            g.mv_col[r0:r1, c0:c1] = decision.mv[1]
+            g.mode[r0:r1, c0:c1] = 0
+            g.ref_frame1[r0:r1, c0:c1] = 0
+            self.intrabc_grid[r0:r1, c0:c1] = True
         else:
             g.ref_frame[r0:r1, c0:c1] = 0
             g.mv_row[r0:r1, c0:c1] = 0

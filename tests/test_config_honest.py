@@ -7,8 +7,7 @@ from svt_av1_tpu.config import ConfigError, EncoderConfig, derive_signals
 
 
 def test_unimplemented_tools_raise():
-    for field in ("palette_level", "intrabc_mode", "screen_content_mode",
-                  "enable_mfmv", "inter_intra_compound"):
+    for field in ("enable_mfmv", "inter_intra_compound"):
         with pytest.raises(ConfigError):
             EncoderConfig(source_width=64, source_height=64,
                           **{field: 1})
