@@ -39,9 +39,15 @@ def _decimate8(plane, xp):
     return (p.sum((1, 3)) >> 6).astype(xp.int32)
 
 
-def coarse_sb_search(src, ref, xp=np, row0: int = 0):
+def coarse_sb_search(src, ref, xp=np, row0: int = 0,
+                     coarse_r: int = COARSE_R):
     """SB-level full search on /8 planes: returns mv [n_sby, n_sbx, 2]
     (full-pel, (row, col)) minimizing the /8-domain SAD.
+
+    ``coarse_r``: /8-domain reach (full-pel range = 8 * coarse_r);
+    callers scale it with the reference distance — far references need
+    proportionally larger ranges (the reference's HME level-0 covers
+    its whole decimated search region, EbMotionEstimation.c:852).
 
     ``row0``: global pixel row of src's first row when src is a stripe
     of a taller frame whose full reference is ``ref`` (spatial sharding:
@@ -50,9 +56,10 @@ def coarse_sb_search(src, ref, xp=np, row0: int = 0):
     r8 = _decimate8(ref, xp)
     h8, w8 = s8.shape
     n_sby, n_sbx = h8 // 8, w8 // 8
-    pad = xp.pad(r8, COARSE_R, mode="edge")
+    COARSE = int(coarse_r)
+    pad = xp.pad(r8, COARSE, mode="edge")
     r0_8 = row0 // 8
-    npos = 2 * COARSE_R + 1
+    npos = 2 * COARSE + 1
     if xp is not np:
         # lax.scan over the offset grid: identical arithmetic and
         # first-minimum tie-break as the numpy twin below, but the graph
@@ -62,10 +69,10 @@ def coarse_sb_search(src, ref, xp=np, row0: int = 0):
 
         def body(carry, i):
             best, bdy, bdx = carry
-            dy = i // npos - COARSE_R
-            dx = i % npos - COARSE_R
+            dy = i // npos - COARSE
+            dx = i % npos - COARSE
             sh = lax.dynamic_slice(
-                pad, (r0_8 + COARSE_R + dy, COARSE_R + dx), (h8, w8))
+                pad, (r0_8 + COARSE + dy, COARSE + dx), (h8, w8))
             d = xp.abs(s8 - sh)
             cost = d[:n_sby * 8, :n_sbx * 8] \
                 .reshape(n_sby, 8, n_sbx, 8).sum((1, 3))
@@ -87,10 +94,10 @@ def coarse_sb_search(src, ref, xp=np, row0: int = 0):
     best = None
     bdy = None
     bdx = None
-    for dy in range(-COARSE_R, COARSE_R + 1):
-        for dx in range(-COARSE_R, COARSE_R + 1):
-            sh = pad[COARSE_R + r0_8 + dy:COARSE_R + r0_8 + dy + h8,
-                     COARSE_R + dx:COARSE_R + dx + w8]
+    for dy in range(-COARSE, COARSE + 1):
+        for dx in range(-COARSE, COARSE + 1):
+            sh = pad[COARSE + r0_8 + dy:COARSE + r0_8 + dy + h8,
+                     COARSE + dx:COARSE + dx + w8]
             d = xp.abs(s8 - sh)
             cost = d[:n_sby * 8, :n_sbx * 8] \
                 .reshape(n_sby, 8, n_sbx, 8).sum((1, 3))
@@ -183,7 +190,21 @@ ME_SHAPES = ((8, 8), (16, 16), (32, 32), (16, 8), (8, 16),
              (32, 16), (16, 32), (64, 64))
 
 
-def frame_me(src, ref, xp=np, row0: int = 0):
+def coarse_r_for_dist(dist: int) -> int:
+    """/8-domain coarse reach by reference distance: +-64 px for
+    near refs, growing to +-192 px at distance >= 8 (content moving
+    d px/frame needs d*dist reach)."""
+    d = abs(int(dist))
+    if d <= 2:
+        return 8
+    if d <= 4:
+        return 12
+    if d <= 8:
+        return 16
+    return 24
+
+
+def frame_me(src, ref, xp=np, row0: int = 0, coarse_r: int = COARSE_R):
     """Full-frame single-reference ME.
 
     With ``row0`` > 0 (spatial sharding), ``src`` is a stripe whose
@@ -204,7 +225,7 @@ def frame_me(src, ref, xp=np, row0: int = 0):
     """
     H, W = ref.shape                 # frame dims (== src dims unsharded)
     n_sby, n_sbx = src.shape[0] // SB, src.shape[1] // SB
-    coarse = coarse_sb_search(src, ref, xp, row0)  # [n_sby, n_sbx, 2]
+    coarse = coarse_sb_search(src, ref, xp, row0, coarse_r)
     win = SB + 2 * REFINE_R
 
     sy = np.arange(n_sby) * SB

@@ -197,7 +197,10 @@ def inter_frame_maps(src_plane, ref_planes, buf_w, buf_h, qindex, lam,
     mv_r_all, mv_c_all, pred_all, mvb_all = [], [], [], []
     for k in range(K):
         ref = refs[k].astype(xp.int32)
-        me = bme.frame_me(src, ref, xp, row0)
+        # far references need proportionally wider coarse search: at
+        # distance d, content moving v px/frame sits v*d away
+        me = bme.frame_me(src, ref, xp, row0,
+                          coarse_r=bme.coarse_r_for_dist(rel_dists[k]))
         n_sby, n_sbx = me["grid"]
         mv16_dy, mv16_dx, _ = me[(16, 16)]       # [N, 4, 4] pixel MVs
         mv_r16 = _nested_to_grid(mv16_dy, n_sby, n_sbx, 4, 4, xp)
