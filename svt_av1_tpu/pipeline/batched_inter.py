@@ -160,7 +160,7 @@ def _joint_arm(refp, s16, fixed_pred, arm_k, seed_r, seed_c, pos_y,
 def inter_frame_maps(src_plane, ref_planes, buf_w, buf_h, qindex, lam,
                      mode_bits, bd=8, xp=np, row0=0, with_intra=True,
                      bwd_mask=(False,), allow_compound=False,
-                     rel_dists=None):
+                     rel_dists=None, coarse_r=None):
     """(intra_maps, inter_cost_maps, sel_fields, mvbits16): the full
     open-loop decision state for one inter frame against up to three
     references.  MVs are quarter-pel (1/8-unit values, multiples of 2):
@@ -190,7 +190,14 @@ def inter_frame_maps(src_plane, ref_planes, buf_w, buf_h, qindex, lam,
         refs = refs[None]
     K = int(refs.shape[0])
     if rel_dists is None:
-        rel_dists = tuple(1 if b else -1 for b in bwd_mask[:K])
+        rel_dists = np.asarray([1 if b else -1 for b in bwd_mask[:K]],
+                               np.int32)
+    # rel_dists is DATA (a traced array under jit), never part of the
+    # compiled program: random-access GOPs vary distances per frame and
+    # a static distance would recompile the 1080p program every frame
+    rel_dists = xp.asarray(rel_dists).astype(xp.int32)
+    if coarse_r is None:
+        coarse_r = bme.COARSE_R
     stripe_h = src.shape[0]
     nr16, nc16 = stripe_h // 16, buf_w // 16
 
@@ -198,9 +205,10 @@ def inter_frame_maps(src_plane, ref_planes, buf_w, buf_h, qindex, lam,
     for k in range(K):
         ref = refs[k].astype(xp.int32)
         # far references need proportionally wider coarse search: at
-        # distance d, content moving v px/frame sits v*d away
-        me = bme.frame_me(src, ref, xp, row0,
-                          coarse_r=bme.coarse_r_for_dist(rel_dists[k]))
+        # distance d, content moving v px/frame sits v*d away (the
+        # caller passes the max bucket over this frame's references —
+        # one static range keeps the compiled program distance-free)
+        me = bme.frame_me(src, ref, xp, row0, coarse_r=coarse_r)
         n_sby, n_sbx = me["grid"]
         mv16_dy, mv16_dx, _ = me[(16, 16)]       # [N, 4, 4] pixel MVs
         mv_r16 = _nested_to_grid(mv16_dy, n_sby, n_sbx, 4, 4, xp)
@@ -259,9 +267,8 @@ def inter_frame_maps(src_plane, ref_planes, buf_w, buf_h, qindex, lam,
         # error-cancelling pair (both arms on the same layer, errors
         # antisymmetric) — av1_compound_single_motion_search's job in
         # the reference's jnt candidates.
-        dist_arr = xp.asarray(np.asarray(rel_dists, np.int32))
-        df = xp.maximum(xp.abs(dist_arr[fi]), 1)
-        db = xp.maximum(xp.abs(dist_arr[bi]), 1)
+        df = xp.maximum(xp.abs(rel_dists[fi]), 1)
+        db = xp.maximum(xp.abs(rel_dists[bi]), 1)
 
         def _mirror(mvq8, d_from, d_to):
             # floor-div is identical under numpy and jax (device/host
@@ -364,19 +371,19 @@ def inter_frame_maps(src_plane, ref_planes, buf_w, buf_h, qindex, lam,
 _SEL_KEYS = ("sel", "mv_r", "mv_c", "mv1_r", "mv1_c", "fwd_i", "bwd_i")
 
 
-@functools.lru_cache(maxsize=8)
+@functools.lru_cache(maxsize=16)
 def _jitted_inter(buf_w: int, buf_h: int, bd: int, n_refs: int,
                   bwd_mask: tuple, allow_compound: bool,
-                  rel_dists: tuple = None):
+                  coarse_r: int = bme.COARSE_R):
     import jax
     import jax.numpy as jnp
 
-    def run(src_u8, refs_u8, qindex, lam, mode_bits):
+    def run(src_u8, refs_u8, qindex, lam, mode_bits, rel_dists):
         intra, inter_cost, sf, mvb = inter_frame_maps(
             src_u8.astype(jnp.int32), refs_u8.astype(jnp.int32),
             buf_w, buf_h, qindex, lam, mode_bits, bd, jnp,
             bwd_mask=bwd_mask, allow_compound=allow_compound,
-            rel_dists=rel_dists)
+            rel_dists=rel_dists, coarse_r=coarse_r)
         parts = []
         for s in omd.ALL_SHAPES:
             m, c = intra[s]
@@ -402,17 +409,20 @@ def inter_maps_dispatch(src, refs, buf_w, buf_h, qindex, lam, mode_bits,
     if bwd_mask is None:
         bwd_mask = (False,) * refs.shape[0]
     bwd_mask = tuple(bool(b) for b in bwd_mask)
-    if rel_dists is not None:
-        rel_dists = tuple(int(d) for d in rel_dists)
+    if rel_dists is None:
+        rel_dists = tuple(1 if b else -1 for b in bwd_mask[:refs.shape[0]])
+    rel_arr = np.asarray([int(d) for d in rel_dists], np.int32)
+    coarse_r = max(bme.coarse_r_for_dist(int(d)) for d in rel_arr)
     if use_jax:
         try:
             fn = _jitted_inter(buf_w, buf_h, bd, refs.shape[0], bwd_mask,
-                               bool(allow_compound), rel_dists)
+                               bool(allow_compound), coarse_r)
             dt = np.uint8 if bd == 8 else np.uint16
             flat = np.asarray(fn(np.asarray(src).astype(dt),
                                  refs.astype(dt),
                                  np.int32(qindex), float(lam),
-                                 np.asarray(mode_bits, np.float32)))
+                                 np.asarray(mode_bits, np.float32),
+                                 rel_arr))
             intra, inter_cost = {}, {}
             off = 0
             for s in omd.ALL_SHAPES:
@@ -442,7 +452,7 @@ def inter_maps_dispatch(src, refs, buf_w, buf_h, qindex, lam, mode_bits,
     return inter_frame_maps(src, refs, buf_w, buf_h, qindex, lam,
                             mode_bits, bd, np, bwd_mask=bwd_mask,
                             allow_compound=allow_compound,
-                            rel_dists=rel_dists)
+                            rel_dists=rel_arr, coarse_r=coarse_r)
 
 
 class BatchedDecider(BatchedIntraDecider):

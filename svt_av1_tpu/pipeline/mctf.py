@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..ops import me as me_ops
 
 BLK = 32
 WINDOW_BALANCE = 5          # TF_WINDOW_BLOCK_BALANCE_WEIGHT
@@ -58,33 +57,85 @@ def _block_box5(diff: np.ndarray, bh: int, bw: int) -> np.ndarray:
     return acc.transpose(0, 2, 1, 3).reshape(h, w)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=4)
+def _me32_jit(h: int, w: int):
+    """Jitted frame ME returning per-32x32 full-pel MVs (frame dims
+    multiples of 64); None when jax is unavailable."""
+    try:
+        import jax
+        import jax.numpy as jnp
+    except ImportError:          # pragma: no cover - env dependent
+        return None
+    from ..ops import bme
+
+    def run(c_u8, n_u8):
+        me = bme.frame_me(c_u8.astype(jnp.int32), n_u8.astype(jnp.int32),
+                          jnp)
+        mv_r, mv_c, _ = me[(32, 32)]            # [N, 2, 2] per SB
+        n_sby, n_sbx = me["grid"]
+        g = lambda a: a.reshape(n_sby, n_sbx, 2, 2) \
+            .transpose(0, 2, 1, 3).reshape(n_sby * 2, n_sbx * 2)
+        return g(mv_r), g(mv_c)
+
+    return jax.jit(run)
+
+
+def _me32(center_y, ny):
+    """Per-32x32-block full-pel MVs of the neighbor onto the center:
+    the batched frame ME (device when available, numpy twin otherwise)
+    replacing the reference's per-block tf motion search."""
+    from ..pipeline.frame_codec import _device_filters
+    from ..ops import bme
+
+    h, w = center_y.shape
+    fn = _me32_jit(h, w) if _device_filters() else None
+    if fn is not None:
+        mv_r, mv_c = fn(center_y.astype(np.uint8), ny.astype(np.uint8))
+        return np.asarray(mv_r), np.asarray(mv_c)
+    me = bme.frame_me(center_y.astype(np.int32), ny.astype(np.int32), np)
+    maps = bme.to_block_maps(me, w, h)
+    mv_r, mv_c, _ = maps[(32, 32)]
+    return mv_r, mv_c
+
+
 def _mc_blocks(center_y, neigh_planes, bd):
     """Block ME of the neighbor onto the center; returns (pred planes,
     per-block SSE map, per-block mv magnitude map) with 32x32 luma
-    blocks (the reference's tf 32x32 unit)."""
+    blocks (the reference's tf 32x32 unit).  Vectorized: one batched
+    frame-ME call + fancy-indexed gathers (no per-block Python)."""
     h, w = center_y.shape
-    preds = [np.empty_like(p) for p in neigh_planes]
     nb_y, nb_x = h // BLK, w // BLK
-    sse = np.zeros((nb_y, nb_x))
-    dist = np.zeros((nb_y, nb_x))
-    ny = neigh_planes[0]
-    for by in range(nb_y):
-        for bx in range(nb_x):
-            y0, x0 = by * BLK, bx * BLK
-            blk = center_y[y0:y0 + BLK, x0:x0 + BLK].astype(np.uint8)
-            dx, dy, _ = me_ops.hme_search(blk, ny.astype(np.uint8),
-                                          x0, y0, 16, 16)
-            sx = int(np.clip(x0 + dx, 0, w - BLK))
-            sy = int(np.clip(y0 + dy, 0, h - BLK))
-            pred = ny[sy:sy + BLK, sx:sx + BLK]
-            preds[0][y0:y0 + BLK, x0:x0 + BLK] = pred
-            d = pred.astype(np.int64) - center_y[y0:y0 + BLK, x0:x0 + BLK]
-            sse[by, bx] = float((d * d).sum())
-            dist[by, bx] = float(np.hypot((sy - y0) * 8, (sx - x0) * 8))
-            for p in (1, 2):
-                cp = neigh_planes[p]
-                preds[p][y0 >> 1:(y0 + BLK) >> 1, x0 >> 1:(x0 + BLK) >> 1] \
-                    = cp[sy >> 1:(sy + BLK) >> 1, sx >> 1:(sx + BLK) >> 1]
+    ny = neigh_planes[0].astype(np.int32)
+    mv_r, mv_c = _me32(center_y, ny)
+    by = np.arange(nb_y)[:, None] * BLK
+    bx = np.arange(nb_x)[None, :] * BLK
+    sy = np.clip(by + mv_r, 0, h - BLK)
+    sx = np.clip(bx + mv_c, 0, w - BLK)
+    ar = np.arange(BLK)
+    rows = sy[..., None, None] + ar[None, None, :, None]
+    cols = sx[..., None, None] + ar[None, None, None, :]
+    blk_pred = ny[rows, cols]                   # [nb_y, nb_x, 32, 32]
+    pred_y = blk_pred.transpose(0, 2, 1, 3).reshape(h, w) \
+        .astype(neigh_planes[0].dtype)
+    cblk = center_y.reshape(nb_y, BLK, nb_x, BLK).transpose(0, 2, 1, 3)
+    d = blk_pred.astype(np.int64) - cblk
+    sse = (d * d).sum(axis=(2, 3)).astype(np.float64)
+    dist = np.hypot((sy - by) * 8.0, (sx - bx) * 8.0)
+    preds = [pred_y]
+    hb = BLK // 2
+    arc = np.arange(hb)
+    for pl in (1, 2):
+        cp = neigh_planes[pl]
+        cy0 = sy >> 1
+        cx0 = sx >> 1
+        crows = cy0[..., None, None] + arc[None, None, :, None]
+        ccols = cx0[..., None, None] + arc[None, None, None, :]
+        cpred = cp[crows, ccols].transpose(0, 2, 1, 3) \
+            .reshape(h // 2, w // 2).astype(cp.dtype)
+        preds.append(cpred)
     return preds, sse, dist
 
 
@@ -94,10 +145,10 @@ def temporal_filter(center_planes, neighbor_frames, qp: int,
     plane list (same dtypes).  neighbor_frames: list of plane tuples."""
     cy = center_planes[0].astype(np.int32)
     h, w = cy.shape
-    if h % BLK or w % BLK:
-        # pad to block multiple for the mosaic; crop at the end
-        ph = -(-h // BLK) * BLK
-        pw = -(-w // BLK) * BLK
+    if h % 64 or w % 64:
+        # pad to SB multiple (the batched frame ME's unit); crop at end
+        ph = -(-h // 64) * 64
+        pw = -(-w // 64) * 64
         center_planes = [np.pad(p, ((0, (ph - h) >> (1 if i else 0)),
                                     (0, (pw - w) >> (1 if i else 0))),
                                 mode="edge")

@@ -215,6 +215,9 @@ class RateControl:
                 abq = _active_quality(base, boost, KF_LOW, KF_HIGH,
                                       _minq("kf_low_motion_minq_cqp", bd),
                                       _minq("kf_high_motion_minq", bd))
+            # (a key-boost floor at ~1/3 of the base step was measured
+            # BD-negative on LD content: the key's extra quality does
+            # feed the whole chain)
             return int(np.clip(abq, 1, base))
         refs = [self.frame_meta[d] for d in ref_displays
                 if d in self.frame_meta]
