@@ -185,6 +185,18 @@ class Dpb:
                 return i
         return None
 
+    @staticmethod
+    def padded(entry):
+        """REF_PAD-extended int32 planes for MC, padded ONCE per coded
+        picture and memoized in the slot entry (a picture is referenced
+        by several later frames; re-padding per referencing frame costs
+        ~50 MB of np.pad per 1080p frame)."""
+        if "padded" not in entry:
+            from .pipeline.frame_codec import FrameCodec
+            entry["padded"] = [FrameCodec._pad_ref(p)
+                               for p in entry["planes"]]
+        return entry["padded"]
+
     def displays(self):
         return {s["display"] for s in self.slots if s is not None}
 
@@ -635,8 +647,8 @@ class Encoder:
             for n in range(1, 8):
                 d = named[n]
                 if d not in by_display:
-                    by_display[d] = self.dpb.slots[
-                        self.dpb.slot_of_display(d)]["planes"]
+                    by_display[d] = Dpb.padded(self.dpb.slots[
+                        self.dpb.slot_of_display(d)])
             refs = {n: by_display[named[n]] for n in range(1, 8)}
             for n in range(1, 8):
                 sign_bias[n] = int(self._rel_dist(named[n], job.display) > 0)
@@ -956,7 +968,7 @@ class Decoder:
         refs = None
         init_fc = None
         if not is_key:
-            refs = {n: self.dpb.slots[fh.ref_frame_idx[n - 1]]["planes"]
+            refs = {n: Dpb.padded(self.dpb.slots[fh.ref_frame_idx[n - 1]])
                     for n in range(1, 8)}
             if fh.primary_ref_frame != PRIMARY_REF_NONE:
                 slot = self.dpb.slots[

@@ -84,6 +84,7 @@ class FrameHeader:
     base_q_idx: int = 50
     disable_cdf_update: bool = False
     allow_screen_content_tools: bool = False
+    force_integer_mv: bool = False
     allow_intrabc: bool = False
     tx_mode_select: bool = False     # False -> TX_MODE_LARGEST
     reduced_tx_set: bool = False
@@ -585,7 +586,14 @@ def parse_frame_header(r: BitReader, seq: SequenceHeader,
     else:
         fh.allow_screen_content_tools = seq.force_screen_content_tools == 1
     if fh.allow_screen_content_tools and seq.force_integer_mv == 2:
-        r.flag()                         # force_integer_mv (intra: ->1)
+        fh.force_integer_mv = r.flag()
+    # Screen-content syntax (palette / IBC / integer-MV) is only
+    # implemented for intra frames; fail loud on foreign SCT inter
+    # streams rather than silently desyncing the symbol decoder.
+    if fh.allow_screen_content_tools and \
+            fh.frame_type != FrameType.KEY_FRAME:
+        raise UnsupportedBitstream(
+            "screen content tools on a non-key frame")
     size_override = r.flag()
     assert not size_override
     fh.frame_width = seq.max_frame_width

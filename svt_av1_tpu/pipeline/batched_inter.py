@@ -418,8 +418,8 @@ def inter_maps_dispatch(src, refs, buf_w, buf_h, qindex, lam, mode_bits,
             fn = _jitted_inter(buf_w, buf_h, bd, refs.shape[0], bwd_mask,
                                bool(allow_compound), coarse_r)
             dt = np.uint8 if bd == 8 else np.uint16
-            flat = np.asarray(fn(np.asarray(src).astype(dt),
-                                 refs.astype(dt),
+            flat = np.asarray(fn(np.asarray(src).astype(dt, copy=False),
+                                 refs.astype(dt, copy=False),
                                  np.int32(qindex), float(lam),
                                  np.asarray(mode_bits, np.float32),
                                  rel_arr))
@@ -465,6 +465,11 @@ class BatchedDecider(BatchedIntraDecider):
         self._inter = None          # {(w,h): is_inter bool map}
         self._sf = None             # per-16 selection field maps
         self._names = None          # global ref index -> named ref
+        # buf-aligned narrow ME planes per padded-ref identity: a recon
+        # is referenced by several later frames, so the pad-slice +
+        # dtype-narrow copy is paid once per coded picture, not per use
+        # (the cached entry keeps the planes list alive so ids are safe)
+        self._me_plane_cache = {}
 
     def plan_superblock(self, codec, mi_row, mi_col):
         if codec.fh.frame_type == FrameType.KEY_FRAME:
@@ -484,7 +489,13 @@ class BatchedDecider(BatchedIntraDecider):
     def _ref_plane(self, codec, name):
         from .frame_codec import REF_PAD
 
-        ref_planes = codec.refs[name][0]
+        dt = np.uint8 if codec.seq.bit_depth == 8 else np.uint16
+        planes = codec.refs[name]
+        key = (id(planes), codec.buf_h, codec.buf_w)
+        hit = self._me_plane_cache.get(key)
+        if hit is not None and hit[0] is planes:
+            return hit[1]
+        ref_planes = planes[0]
         ref_y = np.asarray(ref_planes)[REF_PAD:REF_PAD + codec.buf_h,
                                        REF_PAD:REF_PAD + codec.buf_w]
         if ref_y.shape != (codec.buf_h, codec.buf_w):
@@ -496,6 +507,10 @@ class BatchedDecider(BatchedIntraDecider):
             full[:h0, w0:] = ref_y[:, w0 - 1:w0]
             full[h0:, :] = full[h0 - 1:h0, :]
             ref_y = full
+        ref_y = np.ascontiguousarray(ref_y).astype(dt)
+        if len(self._me_plane_cache) > 12:
+            self._me_plane_cache.pop(next(iter(self._me_plane_cache)))
+        self._me_plane_cache[key] = (planes, ref_y)
         return ref_y
 
     def _plan_inter(self, codec):

@@ -121,6 +121,59 @@ def partition_dp(cost, lam: float, pbits: dict, mi_rows: int,
     return plan
 
 
+class _MiniFuture:
+    """Future for the prefetch worker (result/cancel only)."""
+
+    def __init__(self):
+        import threading
+
+        self._ev = threading.Event()
+        self._result = None
+        self._exc = None
+
+    def result(self, timeout=None):
+        if not self._ev.wait(timeout):
+            raise TimeoutError("prefetch result")
+        if self._exc is not None:
+            raise self._exc
+        return self._result
+
+    def cancel(self):
+        return False            # best-effort parity with cf.Future
+
+
+class _PrefetchWorker:
+    """Single daemon-thread work queue (the SRM worker analog).
+
+    concurrent.futures' ThreadPoolExecutor joins its (non-daemon)
+    workers at interpreter exit, so one in-flight device compile could
+    stall process shutdown by minutes (seen as the multichip dryrun
+    timing out AFTER printing success); a daemon thread dies with the
+    process instead."""
+
+    def __init__(self):
+        import queue
+        import threading
+
+        self._q = queue.Queue()
+        threading.Thread(target=self._loop, daemon=True,
+                         name="md-prefetch").start()
+
+    def _loop(self):
+        while True:
+            fn, args, fut = self._q.get()
+            try:
+                fut._result = fn(*args)
+            except BaseException as e:   # delivered via fut.result()
+                fut._exc = e
+            fut._ev.set()
+
+    def submit(self, fn, *args):
+        fut = _MiniFuture()
+        self._q.put((fn, args, fut))
+        return fut
+
+
 class BatchedIntraDecider(ModeDecider):
     """Key-frame decider driven by the batched open-loop device pass.
 
@@ -152,13 +205,11 @@ class BatchedIntraDecider(ModeDecider):
 
     def prefetch(self, display: int, source_plane, buf_w: int, buf_h: int,
                  qindex: int, bd: int):
-        import concurrent.futures as cf
-
         from ..entropy.tables import FrameCdfs
         from .rdo import rd_lambda
 
         if BatchedIntraDecider._executor is None:
-            BatchedIntraDecider._executor =                 cf.ThreadPoolExecutor(max_workers=1)
+            BatchedIntraDecider._executor = _PrefetchWorker()
         if self._prefetch is None:
             self._prefetch = {}
         if display in self._prefetch \

@@ -564,8 +564,14 @@ class FrameCodec:
         self.refs = None
         if refs is not None:
             pad_cache = {}
+            vis_h = self.fh.frame_height
 
             def padded(planes):
+                # callers that pass DPB entries (api.Dpb.padded) hand in
+                # already-padded int32 planes: share, don't re-pad
+                p0 = planes[0]
+                if p0.dtype == np.int32 and p0.shape[0] != vis_h:
+                    return list(planes)
                 key = id(planes)
                 if key not in pad_cache:
                     pad_cache[key] = [self._pad_ref(p) for p in planes]
@@ -1889,11 +1895,13 @@ class FrameCodec:
                 dv = (-self.seq.sb_size * 8, 0)
         return ((dv[0] >> 3) * 8, (dv[1] >> 3) * 8)
 
-    INTRABC_DELAY_SB64 = 1
+    # INTRABC_DELAY_PIXELS = 256 => four 64-px superblocks of hardware
+    # reconstruction delay (EbInterPrediction.h:42).
+    INTRABC_DELAY_SB64 = 4
 
     def _dv_valid(self, dv, mi_row, mi_col, bw, bh) -> bool:
         """is_dv_valid (EbDecParseInterBlock.c:1478): full-pel, tile
-        bounds, 256-px (one 64-SB) delay, wavefront constraint."""
+        bounds, 256-px (four 64-SB) delay, wavefront constraint."""
         if (dv[0] & 7) or (dv[1] & 7):
             return False
         t_r0, t_c0, t_r1, t_c1 = self.tile
@@ -1959,6 +1967,14 @@ class FrameCodec:
         for k in (1, 2, 3, 4):
             cands.append((0, -8 * k * bw))
             cands.append((-8 * k * bh, 0))
+        # Delay-4 legal region starts 256 px back on the same SB row
+        # (or any position ≥1 SB row up within the wavefront): add
+        # SB-granular candidates that clear INTRABC_DELAY_PIXELS.
+        sb = self.seq.sb_size
+        for k in (1, 2):
+            cands.append((0, -8 * (256 + (k - 1) * bw)))
+            cands.append((-8 * k * sb, 0))
+            cands.append((-8 * k * sb, -8 * bw))
         src = self.source[0][y:y + bh, x:x + bw].astype(np.int64)
         best = None
         seen = set()

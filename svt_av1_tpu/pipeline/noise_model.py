@@ -102,8 +102,11 @@ def fit_film_grain(y: np.ndarray, seed: int, strength: int = 8,
     coef, _ = _ar_fit(flat, lag)
     qcoef = _quantize_coeffs(coef)
 
-    # per-intensity sigma -> scaling points (<= 8 bins with data)
-    bins = np.clip((means[idx] / 32.0).astype(int), 0, 7)
+    # per-intensity sigma -> scaling points (<= 8 bins with data).
+    # The scaling-point x domain is 8-bit (0..255) regardless of the
+    # source bit depth: normalize block means before binning.
+    bins = np.clip((means[idx] / (32.0 * (1 << (bd - 8)))).astype(int),
+                   0, 7)
     pts = []
     sig_all = float(flat.std())
     for b in range(8):

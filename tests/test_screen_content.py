@@ -62,7 +62,10 @@ def _screen_clip(w=256, h=128):
     return [(y, u, v)] * 2
 
 
-def _tiled_clip(w=256, h=192):
+def _tiled_clip(w=512, h=256):
+    # Wide enough that legal delay-4 DVs exist: same-row sources must
+    # sit >=256 px back (INTRABC_DELAY_PIXELS), so the frame spans 8
+    # SB64 columns and 4 SB64 rows.
     rng = np.random.default_rng(4)
     xx, yy = np.meshgrid(np.arange(64), np.arange(64))
     tile = (120 + 60 * np.sin(xx / 5.7) * np.cos(yy / 4.3)
@@ -149,14 +152,14 @@ def test_palette_wins_on_screen_content(tmp_path):
 @needs_refdec
 def test_intrabc_wins_on_repeated_texture(tmp_path):
     frames = _tiled_clip()
-    _, off = _encode(frames, 256, 192, tmp_path, "off.ivf",
+    _, off = _encode(frames, 512, 256, tmp_path, "off.ivf",
                      screen_content_mode=0)
     with _Spy() as spy:
-        path, on = _encode(frames, 256, 192, tmp_path, "on.ivf",
+        path, on = _encode(frames, 512, 256, tmp_path, "on.ivf",
                            screen_content_mode=1)
     assert spy.ibc > 5, spy.ibc
-    assert on < 0.8 * off, (on, off)         # measured: -49%
-    _check_ref_decode(path, frames, 256, 192, tmp_path)
+    assert on < 0.8 * off, (on, off)
+    _check_ref_decode(path, frames, 512, 256, tmp_path)
 
 
 def test_palette_knob_honesty(tmp_path):
@@ -167,3 +170,28 @@ def test_palette_knob_honesty(tmp_path):
     _, b = _encode(frames, 256, 128, tmp_path, "b.ivf",
                    screen_content_mode=1)
     assert a != b
+
+
+def test_dv_valid_enforces_delay_4():
+    """is_dv_valid must enforce INTRABC_DELAY_PIXELS=256 = four 64-px
+    superblocks of reconstruction delay (EbInterPrediction.h:42)."""
+    class _Seq:
+        sb_size = 64
+        monochrome = False
+
+    fc = fcmod.FrameCodec.__new__(fcmod.FrameCodec)
+    fc.seq = _Seq()
+    fc.tile = (0, 0, 64, 160)          # 640x256 px tile
+    fc.num_planes = 3
+    # active block at SB64 row 0, col 8 (x=512); same row.
+    mi_row, mi_col = 0, 128            # x = 512 px
+    # 192 px back: inside the delay window -> invalid (was accepted
+    # when the delay was 1 SB64).
+    assert not fc._dv_valid((0, -192 * 8), mi_row, mi_col, 64, 64)
+    # 256 px back = exactly 4 SB64s: src index == active - 4 -> still
+    # invalid (spec requires strictly more than the delay).
+    assert not fc._dv_valid((0, -256 * 8), mi_row, mi_col, 64, 64)
+    # 320 px back clears the 4-SB64 delay.
+    assert fc._dv_valid((0, -320 * 8), mi_row, mi_col, 64, 64)
+    # one SB row up, same column: wavefront makes it legal.
+    assert fc._dv_valid((-64 * 8, 0), 16, mi_col, 64, 64)
