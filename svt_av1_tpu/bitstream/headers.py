@@ -86,6 +86,7 @@ class FrameHeader:
     allow_screen_content_tools: bool = False
     force_integer_mv: bool = False
     allow_intrabc: bool = False
+    interpolation_filter: int = 0    # frame-level (EIGHTTAP_REGULAR..)
     tx_mode_select: bool = False     # False -> TX_MODE_LARGEST
     reduced_tx_set: bool = False
     filter_level: tuple[int, int] = (0, 0)
@@ -413,7 +414,10 @@ def write_frame_header(w: BitWriter, seq: SequenceHeader, fh: FrameHeader,
         _write_render_size(w)
         w.flag(False)                    # allow_high_precision_mv
         w.flag(False)                    # is_filter_switchable
-        w.f(0, 2)                        # interpolation_filter = REGULAR
+        # frame-level filter (read_interpolation_filter): the encoder's
+        # 3-way search picks REGULAR/SMOOTH/SHARP per inter frame
+        # (interpolation_filter_search analog, EbEncInterPrediction.c:3047)
+        w.f(fh.interpolation_filter, 2)
         w.flag(fh.is_motion_mode_switchable)
         # use_ref_frame_mvs: seq.enable_ref_frame_mvs == 0 -> skipped
     else:
@@ -615,7 +619,7 @@ def parse_frame_header(r: BitReader, seq: SequenceHeader,
         assert not r.flag()              # render size diff
         assert not r.flag()              # allow_high_precision_mv
         assert not r.flag()              # is_filter_switchable
-        assert r.f(2) == 0               # REGULAR filter
+        fh.interpolation_filter = r.f(2)
         fh.is_motion_mode_switchable = r.flag()
     else:
         if not fh.show_frame:

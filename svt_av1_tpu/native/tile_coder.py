@@ -255,20 +255,22 @@ def _cdfs_tuple(fc):
             fc.dc_sign, fc.filter_intra)
 
 
-_INTERP_TAPS = None
+_INTERP_TAPS: dict = {}
 
 
-def _interp_taps():
-    """[2][16][8] REGULAR kernels: row block 0 the 8-tap table, block 1
-    the 4-tap table (zero-padded) used when the filtered block dimension
+def _interp_taps(kind: int = 0):
+    """[2][16][8] kernels of one InterpFilter kind (the frame-level
+    interpolation_filter): row block 0 the 8-tap table, block 1 the
+    4-tap table (zero-padded) used when the filtered block dimension
     is <= 4 (av1_get_interp_filter_params_with_block_size)."""
-    global _INTERP_TAPS
-    if _INTERP_TAPS is None:
+    got = _INTERP_TAPS.get(kind)
+    if got is None:
         from ..ops import inter as inter_ops
-        _INTERP_TAPS = np.ascontiguousarray(np.stack(
-            [inter_ops.interp_kernel(inter_ops.REGULAR, q4, w)
+        got = np.ascontiguousarray(np.stack(
+            [inter_ops.interp_kernel(kind, q4, w)
              for w in (8, 4) for q4 in range(16)]).astype(np.int32))
-    return _INTERP_TAPS
+        _INTERP_TAPS[kind] = got
+    return got
 
 
 # C-side shape order (coder_native.c SHAPE_LIST); the 64-px shapes are
@@ -470,7 +472,8 @@ def try_encode_tiles_native_inter(codec, decider):
                           "mv1_r", "mv1_c")) \
         + (np.ascontiguousarray(decider._names, np.int32),)
     sig = (np.ascontiguousarray(sig_n), np.ascontiguousarray(sig_i),
-           np.ascontiguousarray(tt_uv), _interp_taps(),
+           np.ascontiguousarray(tt_uv),
+           _interp_taps(getattr(codec.fh, "interpolation_filter", 0)),
            np.asarray(codec.sign_bias, np.int32))
 
     blobs = []

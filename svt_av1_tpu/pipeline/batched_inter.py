@@ -541,6 +541,14 @@ class BatchedDecider(BatchedIntraDecider):
         self._sf = sf
         mvb = np.asarray(mvbits16)
 
+        # frame-level interpolation-filter decision before any replay
+        # MC runs (read_interpolation_filter syntax; the reference
+        # searches per-block, EbEncInterPrediction.c
+        # interpolation_filter_search — frame-level captures the
+        # content-global part of that gain)
+        codec.fh.interpolation_filter = self._select_interp_filter(
+            codec, sf, names)
+
         # per-shape combined cost + choice (vectorized over the grids):
         # a shape is inter-eligible when every 16x16 unit it covers made
         # the SAME choice (ref/compound pair + MVs -> one coded block);
@@ -577,6 +585,45 @@ class BatchedDecider(BatchedIntraDecider):
             self._inter[(w, h)] = use_inter
             cost[(w, h)] = np.where(use_inter, total_inter, ic)
         self._build_plan(codec, cost, lam)
+
+    def _select_interp_filter(self, codec, sf, names):
+        """3-way frame-level filter pick: sampled SAD of the planned
+        fractional-MV units under REGULAR/SMOOTH/SHARP taps.  REGULAR
+        wins ties (the ME/cost maps were modeled with it)."""
+        sel, mvr, mvc = sf["sel"], sf["mv_r"], sf["mv_c"]
+        frac = ((mvr % 8) != 0) | ((mvc % 8) != 0)
+        # units that stay fully inside the visible frame
+        nr, nc = mvr.shape
+        vr = (np.arange(nr) + 1) * 16 <= codec.fh.frame_height
+        vc = (np.arange(nc) + 1) * 16 <= codec.fh.frame_width
+        frac &= vr[:, None] & vc[None, :]
+        idx = np.argwhere(frac)
+        if len(idx) < 8:
+            return 0
+        step = max(1, len(idx) // 96)
+        idx = idx[::step][:96]
+        src = codec.source[0]
+        fh = codec.fh
+        keep = fh.interpolation_filter
+        totals = []
+        for flt in (0, 1, 2):
+            fh.interpolation_filter = flt
+            s = 0
+            for ui, uj in idx:
+                y, x = int(ui) * 16, int(uj) * 16
+                sv = int(sel[ui, uj])
+                ref = names[sv] if sv < len(names) \
+                    else names[int(sf["fwd_i"][ui, uj])]
+                mv = (int(mvr[ui, uj]), int(mvc[ui, uj]))
+                pred = codec.predict_inter(0, mv, x, y, 16, 16, ref)
+                s += int(np.abs(src[y:y + 16, x:x + 16].astype(np.int32)
+                                - pred).sum())
+            totals.append(s)
+        fh.interpolation_filter = keep
+        best = int(np.argmin(totals))
+        if best and totals[best] >= totals[0] * 0.998:
+            return 0
+        return best
 
     def _build_plan(self, codec, cost, lam):
         """Partition DP over the combined cost maps (shared vectorized

@@ -2954,21 +2954,23 @@ class FrameCodec:
         ref = self.refs[ref_name][plane]
         int_x, int_y, sub_x, sub_y = self._mc_pos(ref, plane, mv, px, py,
                                                   pw, ph)
+        flt = self.fh.interpolation_filter
         return np.asarray(inter_ops.convolve_2d_sr(
             ref, int_x, int_y, pw, ph, sub_x, sub_y,
-            bd=self.seq.bit_depth))
+            filter_x=flt, filter_y=flt, bd=self.seq.bit_depth))
 
     def predict_compound(self, plane, mv0, mv1, px, py, pw, ph,
                          ref0_name, ref1_name):
         """COMPOUND_AVERAGE prediction (jnt convolve, no dist weights)."""
         bufs = []
+        flt = self.fh.interpolation_filter
         for mv, name in ((mv0, ref0_name), (mv1, ref1_name)):
             ref = self.refs[name][plane]
             int_x, int_y, sub_x, sub_y = self._mc_pos(ref, plane, mv,
                                                       px, py, pw, ph)
             bufs.append(np.asarray(inter_ops.jnt_convolve(
                 ref, int_x, int_y, pw, ph, sub_x, sub_y,
-                bd=self.seq.bit_depth)))
+                filter_x=flt, filter_y=flt, bd=self.seq.bit_depth)))
         return np.asarray(inter_ops.jnt_average(
             bufs[0], bufs[1], self.seq.bit_depth))
 
