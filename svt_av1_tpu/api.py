@@ -425,7 +425,8 @@ class Encoder:
                 self._next_display, len(self._buffer), eos)
             if jobs is None:
                 break
-            self._maybe_tpl(jobs, consumed)
+            with self.prof("tpl"):
+                self._maybe_tpl(jobs, consumed)
             # dependency count for the mini-GOP base: the group's other
             # frames plus (unless the stream ends here) the next group,
             # which references it as LAST/GOLDEN.  Tail bases at eos get

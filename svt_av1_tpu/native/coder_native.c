@@ -1063,6 +1063,9 @@ typedef struct {
                                          8-tap table then 4-tap table */
     const int32_t *sign_bias;         /* [8] per named ref */
     int reference_select;
+    int pen_q8;                       /* trial-penalty scale, q8 (the
+                                         SAD-lambda ratio to qindex 160;
+                                         batched_inter.selection_pens) */
 } InterState;
 
 static const int SHAPE_LIST[10][2] = {{8, 8}, {16, 16}, {32, 32}, {16, 8},
@@ -2072,7 +2075,7 @@ static void tile_block_inter(Tile *t, int bw, int bh, int mi_row,
             tmode[nt] = NEW_NEWMV;
             tmv[nt][0] = st->mv16_r[u16]; tmv[nt][1] = st->mv16_c[u16];
             tmv[nt][2] = st->mv16_1r[u16]; tmv[nt][3] = st->mv16_1c[u16];
-            tpen[nt] = 96; ++nt;
+            tpen[nt] = (96 * st->pen_q8) >> 8; ++nt;
             if (stk.n > 0) {
                 tmode[nt] = NEAREST_NEARESTMV_M;
                 for (int j = 0; j < 4; ++j) {
@@ -2129,7 +2132,7 @@ static void tile_block_inter(Tile *t, int bw, int bh, int mi_row,
         int nc = 0;
         if (mv_window_ok(st, pmv_r, pmv_c, x, y, bw, bh)) {
             cmv[nc][0] = pmv_r; cmv[nc][1] = pmv_c;
-            cmode[nc] = NEWMV; cpen[nc] = 96; ++nc;
+            cmode[nc] = NEWMV; cpen[nc] = (96 * st->pen_q8) >> 8; ++nc;
         }
         if (mv_window_ok(st, nearest_r, nearest_c, x, y, bw, bh)) {
             cmv[nc][0] = nearest_r; cmv[nc][1] = nearest_c;
@@ -2138,11 +2141,12 @@ static void tile_block_inter(Tile *t, int bw, int bh, int mi_row,
         if (stk.n >= 2 && (near_r != nearest_r || near_c != nearest_c)
             && mv_window_ok(st, near_r, near_c, x, y, bw, bh)) {
             cmv[nc][0] = near_r; cmv[nc][1] = near_c;
-            cmode[nc] = NEARMV; cpen[nc] = 16; ++nc;
+            cmode[nc] = NEARMV; cpen[nc] = (16 * st->pen_q8) >> 8; ++nc;
         }
         if (mv_window_ok(st, 0, 0, x, y, bw, bh)) {
             cmv[nc][0] = 0; cmv[nc][1] = 0;
-            cmode[nc] = GLOBALMV_MODE; cpen[nc] = 32; ++nc;
+            cmode[nc] = GLOBALMV_MODE;
+            cpen[nc] = (32 * st->pen_q8) >> 8; ++nc;
         }
         if (nc == 0) {
             is_inter = 0;           /* python: falls back to decide() */
@@ -2686,6 +2690,8 @@ static PyObject *code_inter_tile(PyObject *self, PyObject *args) {
     st.frame_h = (int)PyLong_AsLong(PyTuple_GET_ITEM(iints, 1));
     st.ref_pad = (int)PyLong_AsLong(PyTuple_GET_ITEM(iints, 2));
     st.reference_select = (int)PyLong_AsLong(PyTuple_GET_ITEM(iints, 3));
+    st.pen_q8 = PyTuple_GET_SIZE(iints) > 4
+        ? (int)PyLong_AsLong(PyTuple_GET_ITEM(iints, 4)) : 256;
 
     st.mi_ref = (int32_t *)pbuf(mia, 0);
     st.mi_ref1 = (int32_t *)pbuf(mia, 1);

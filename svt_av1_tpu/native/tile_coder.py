@@ -509,8 +509,11 @@ def try_encode_tiles_native_inter(codec, decider):
                 codec.bedge_x[0], codec.bedge_x[1], codec.bedge_x[2],
                 codec.bedge_y[0], codec.bedge_y[1], codec.bedge_y[2])
         from ..pipeline.frame_codec import REF_PAD
+        from ..pipeline.batched_inter import SEL_MV_W, selection_pens
+        pen_q8 = int(round(256.0 * float(selection_pens(
+            codec.fh.base_q_idx, codec.seq.bit_depth)[3]) / SEL_MV_W))
         iints = (codec.fh.frame_width, codec.fh.frame_height,
-                 REF_PAD, int(codec.fh.reference_select))
+                 REF_PAD, int(codec.fh.reference_select), pen_q8)
         blob = _cn.code_inter_tile(
             ints, planes, ctxs, _cdfs_tuple(fc), consts, scans, plans,
             part_seq, iints, mia, sgrids, refs, tuple(maps), mvs,

@@ -326,7 +326,9 @@ def edge_params(tx_w, tx_h, skip, block_edge_x, block_edge_y,
     fsize_h = np.where(fs >= 16, 14, np.where(fs >= 8, 8, 4))
     if is_chroma:
         fsize_h = np.minimum(fsize_h, 6)
-    return apply_v, fsize_v, apply_h, fsize_h
+    # uint8 filter sizes: these masks ride host->device every frame
+    return (apply_v, fsize_v.astype(np.uint8),
+            apply_h, fsize_h.astype(np.uint8))
 
 
 def _edge_filter_batch(p, q, apply_m, fsize, blimit, limit, thresh,

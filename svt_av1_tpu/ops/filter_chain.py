@@ -129,6 +129,10 @@ def dlf_cdef_chain(codec):
     base_level = max(fh.filter_level)
     cands = sorted({max(base_level // 2, 1), max(base_level, 1),
                     min(3 * base_level // 2, dlf_ops.MAX_LOOP_FILTER)})
+    # fixed candidate count = one compiled program per geometry (a
+    # duplicated level is a no-op in the argmin)
+    while len(cands) < 3:
+        cands.append(cands[-1])
     bd = seq.bit_depth
     dt = np.uint8 if bd == 8 else np.uint16
     fw, fh_px = codec.mi_cols * 4, codec.mi_rows * 4
@@ -149,8 +153,13 @@ def dlf_cdef_chain(codec):
         shapes.append(codec.recon[p].shape)
     fn = _jit_chain(tuple(shapes), tuple(vis_dims), fh.sharpness, bd,
                     len(cands), fw, fh_px, 3)
-    srcs = [np.ascontiguousarray(codec.source[p]).astype(dt)
-            for p in range(3)]
+    # the batched planner uploads the frame's source once per frame
+    # (codec.dev_source); reuse those device-resident planes here
+    srcs = getattr(codec, "dev_source", None)
+    if srcs is None or any(s.shape != shapes[p]
+                           for p, s in enumerate(srcs)):
+        srcs = [np.ascontiguousarray(codec.source[p]).astype(dt)
+                for p in range(3)]
     flat = np.asarray(fn(np.asarray(cands, np.int32), ns,
                          np.int32(fh.cdef_damping), *srcs, *args))
     off = 0

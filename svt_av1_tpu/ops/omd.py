@@ -386,16 +386,22 @@ def intra_decision_frame(source_plane, buf_w: int, buf_h: int, qindex: int,
     ``use_jax`` runs the whole pass as one jitted device program; the
     numpy path is the bit-identical host reference.
     """
-    src = np.asarray(source_plane)
-    # buf-align the plane on host (cheap); ship the narrowest dtype
-    if src.shape != (buf_h, buf_w):
-        a = np.empty((buf_h, buf_w), src.dtype)
-        h0, w0 = src.shape
-        a[:h0, :w0] = src
-        a[:h0, w0:] = src[:, w0 - 1:w0]
-        a[h0:, :] = a[h0 - 1:h0, :]
-        src = a
-    narrow = src.astype(np.uint8 if bd == 8 else np.uint16)
+    if hasattr(source_plane, "devices"):
+        # device-resident u8/u16 plane (uploaded once per frame by the
+        # caller); must already be buf-aligned
+        assert source_plane.shape == (buf_h, buf_w)
+        narrow = source_plane
+    else:
+        src = np.asarray(source_plane)
+        # buf-align the plane on host (cheap); ship the narrowest dtype
+        if src.shape != (buf_h, buf_w):
+            a = np.empty((buf_h, buf_w), src.dtype)
+            h0, w0 = src.shape
+            a[:h0, :w0] = src
+            a[:h0, w0:] = src[:, w0 - 1:w0]
+            a[h0:, :] = a[h0 - 1:h0, :]
+            src = a
+        narrow = src.astype(np.uint8 if bd == 8 else np.uint16)
     if use_jax:
         try:
             fn = _jitted(buf_w, buf_h, bd, tuple(shapes))

@@ -47,11 +47,25 @@ MV_BIT_SCALE = 2.0
 # together is much cheaper per unit than a lone 16x16 deviating (which
 # also fragments the partition merge).  SB-level penalties are per
 # 16-unit-summed SAD (16 units/SB); DEV_PEN is the extra charge for a
-# unit deviating from its SB's winner.
+# unit deviating from its SB's winner.  The values below are the
+# qindex-160 operating point; the live penalties scale with the
+# SAD-domain lambda (rdo.sad_lambda, av1_get_sad_per_bit semantics) so
+# the rate charge tracks the quantizer across the BD-rate ladder.
 REF_PEN_SB = 768.0           # non-primary single ref, per SB
 COMP_PEN_SB = 640.0          # averaged compound (2 MVs + comp syntax)
 DEV_PEN = 320.0              # per-unit deviation from the SB winner
 SEL_MV_W = 16.0              # weight of the mv-bits proxy in selection
+PEN_TUNE_QINDEX = 160        # the qindex the constants were tuned at
+
+
+def selection_pens(qindex: int, bd: int = 8) -> np.ndarray:
+    """[ref_pen_sb, comp_pen_sb, dev_pen, sel_mv_w] scaled to the
+    frame's quantizer (traced DATA under jit — no recompiles)."""
+    from .rdo import sad_lambda
+
+    s = sad_lambda(int(qindex), bd) / sad_lambda(PEN_TUNE_QINDEX, bd)
+    return np.asarray([REF_PEN_SB * s, COMP_PEN_SB * s, DEV_PEN * s,
+                       SEL_MV_W * s], np.float32)
 
 
 def _mc_cost_maps(resid_padded, buf_w, buf_h, qindex, lam, bd, xp,
@@ -160,7 +174,7 @@ def _joint_arm(refp, s16, fixed_pred, arm_k, seed_r, seed_c, pos_y,
 def inter_frame_maps(src_plane, ref_planes, buf_w, buf_h, qindex, lam,
                      mode_bits, bd=8, xp=np, row0=0, with_intra=True,
                      bwd_mask=(False,), allow_compound=False,
-                     rel_dists=None, coarse_r=None):
+                     rel_dists=None, coarse_r=None, pens=None):
     """(intra_maps, inter_cost_maps, sel_fields, mvbits16): the full
     open-loop decision state for one inter frame against up to three
     references.  MVs are quarter-pel (1/8-unit values, multiples of 2):
@@ -189,6 +203,10 @@ def inter_frame_maps(src_plane, ref_planes, buf_w, buf_h, qindex, lam,
     if refs.ndim == 2:
         refs = refs[None]
     K = int(refs.shape[0])
+    if pens is None:
+        pens = np.asarray([REF_PEN_SB, COMP_PEN_SB, DEV_PEN, SEL_MV_W],
+                          np.float32)
+    pens = xp.asarray(pens).astype(xp.float32)
     if rel_dists is None:
         rel_dists = np.asarray([1 if b else -1 for b in bwd_mask[:K]],
                                np.int32)
@@ -198,6 +216,8 @@ def inter_frame_maps(src_plane, ref_planes, buf_w, buf_h, qindex, lam,
     rel_dists = xp.asarray(rel_dists).astype(xp.int32)
     if coarse_r is None:
         coarse_r = bme.COARSE_R
+    if not isinstance(coarse_r, (tuple, list)):
+        coarse_r = (coarse_r,) * K
     stripe_h = src.shape[0]
     nr16, nc16 = stripe_h // 16, buf_w // 16
 
@@ -205,10 +225,11 @@ def inter_frame_maps(src_plane, ref_planes, buf_w, buf_h, qindex, lam,
     for k in range(K):
         ref = refs[k].astype(xp.int32)
         # far references need proportionally wider coarse search: at
-        # distance d, content moving v px/frame sits v*d away (the
-        # caller passes the max bucket over this frame's references —
-        # one static range keeps the compiled program distance-free)
-        me = bme.frame_me(src, ref, xp, row0, coarse_r=coarse_r)
+        # distance d, content moving v px/frame sits v*d away.  The
+        # window is PER-REF (a near LAST pays a small search while a
+        # far GOLDEN pays the wide one) and static per compiled
+        # program; distances themselves stay traced data.
+        me = bme.frame_me(src, ref, xp, row0, coarse_r=coarse_r[k])
         n_sby, n_sbx = me["grid"]
         mv16_dy, mv16_dx, _ = me[(16, 16)]       # [N, 4, 4] pixel MVs
         mv_r16 = _nested_to_grid(mv16_dy, n_sby, n_sbx, 4, 4, xp)
@@ -239,7 +260,7 @@ def inter_frame_maps(src_plane, ref_planes, buf_w, buf_h, qindex, lam,
     s16 = src.reshape(nr16, 16, nc16, 16).transpose(0, 2, 1, 3)
     p16 = preds.reshape(K, nr16, 16, nc16, 16).transpose(0, 1, 3, 2, 4)
     sad = xp.abs(s16[None] - p16).sum((-1, -2)).astype(xp.float32)
-    base = sad + SEL_MV_W * mvb_all                   # [K, nr16, nc16]
+    base = sad + pens[3] * mvb_all                    # [K, nr16, nc16]
 
     fwd_list = [k for k in range(K) if not bwd_mask[k]]
     bwd_list = [k for k in range(K) if bwd_mask[k]]
@@ -307,7 +328,7 @@ def inter_frame_maps(src_plane, ref_planes, buf_w, buf_h, qindex, lam,
             for i in range(1, 5))                       # fr, fc, br, bc
         mvb_c = _take16(mvb_all, fi, xp) + _take16(mvb_all, bi, xp)
         base = xp.concatenate(
-            [base, (sad_c + SEL_MV_W * mvb_c)[None]], axis=0)
+            [base, (sad_c + pens[3] * mvb_c)[None]], axis=0)
         cand16 = xp.concatenate([p16, comp16[None]], axis=0)
     else:
         fi = bi = zero_i
@@ -319,11 +340,13 @@ def inter_frame_maps(src_plane, ref_planes, buf_w, buf_h, qindex, lam,
     nsy, nsx = nr16 // 4, nc16 // 4
     sb_base = base[:, :nsy * 4, :nsx * 4] \
         .reshape(nc, nsy, 4, nsx, 4).sum((2, 4))
-    sb_pen = np.zeros(nc, np.float32)
-    sb_pen[1:K] = REF_PEN_SB
+    pen_sel = np.zeros(nc, np.float32)
+    pen_sel[1:K] = 1.0
+    comp_sel = np.zeros(nc, np.float32)
     if do_comp:
-        sb_pen[K] = COMP_PEN_SB
-    sb_sel = xp.argmin(sb_base + xp.asarray(sb_pen)[:, None, None],
+        comp_sel[K] = 1.0
+    sb_pen = xp.asarray(pen_sel) * pens[0] + xp.asarray(comp_sel) * pens[1]
+    sb_sel = xp.argmin(sb_base + sb_pen[:, None, None],
                        axis=0).astype(xp.int32)       # [nsy, nsx]
     sb_sel16 = xp.repeat(xp.repeat(sb_sel, 4, 0), 4, 1)
     if sb_sel16.shape != (nr16, nc16):                # non-/4 stripes
@@ -331,7 +354,7 @@ def inter_frame_maps(src_plane, ref_planes, buf_w, buf_h, qindex, lam,
                           ((0, nr16 - sb_sel16.shape[0]),
                            (0, nc16 - sb_sel16.shape[1])), mode="edge")
     ks = xp.arange(nc, dtype=xp.int32)[:, None, None]
-    score = base + DEV_PEN * (ks != sb_sel16[None]).astype(xp.float32)
+    score = base + pens[2] * (ks != sb_sel16[None]).astype(xp.float32)
 
     sel = xp.argmin(score, axis=0).astype(xp.int32)   # [nr16, nc16]
     pred_fin = _take16(cand16, sel, xp)               # [nr16,nc16,16,16]
@@ -374,16 +397,20 @@ _SEL_KEYS = ("sel", "mv_r", "mv_c", "mv1_r", "mv1_c", "fwd_i", "bwd_i")
 @functools.lru_cache(maxsize=16)
 def _jitted_inter(buf_w: int, buf_h: int, bd: int, n_refs: int,
                   bwd_mask: tuple, allow_compound: bool,
-                  coarse_r: int = bme.COARSE_R):
+                  coarse_r=bme.COARSE_R):
     import jax
     import jax.numpy as jnp
 
-    def run(src_u8, refs_u8, qindex, lam, mode_bits, rel_dists):
+    def run(src_u8, qindex, lam, mode_bits, rel_dists, pens, *refs_u8):
+        # refs arrive as SEPARATE arguments so callers can pass
+        # device-resident planes (uploaded once per coded picture at
+        # DPB refresh, not once per referencing frame)
+        refs32 = jnp.stack([r.astype(jnp.int32) for r in refs_u8])
         intra, inter_cost, sf, mvb = inter_frame_maps(
-            src_u8.astype(jnp.int32), refs_u8.astype(jnp.int32),
+            src_u8.astype(jnp.int32), refs32,
             buf_w, buf_h, qindex, lam, mode_bits, bd, jnp,
             bwd_mask=bwd_mask, allow_compound=allow_compound,
-            rel_dists=rel_dists, coarse_r=coarse_r)
+            rel_dists=rel_dists, coarse_r=coarse_r, pens=pens)
         parts = []
         for s in omd.ALL_SHAPES:
             m, c = intra[s]
@@ -402,27 +429,36 @@ def inter_maps_dispatch(src, refs, buf_w, buf_h, qindex, lam, mode_bits,
                         bd, use_jax, bwd_mask=None, allow_compound=False,
                         rel_dists=None):
     """Run inter_frame_maps as ONE jitted device program (or the numpy
-    reference), returning numpy results."""
-    refs = np.asarray(refs)
-    if refs.ndim == 2:
-        refs = refs[None]
+    reference), returning numpy results.
+
+    ``refs``: a [K, H, W] array OR a list of K planes; list entries may
+    be device-resident jax arrays (the DPB uploads each coded picture's
+    ME plane once; passing the same array again costs no transfer)."""
+    if isinstance(refs, (list, tuple)):
+        ref_list = list(refs)
+    else:
+        refs = np.asarray(refs)
+        if refs.ndim == 2:
+            refs = refs[None]
+        ref_list = list(refs)
     if bwd_mask is None:
-        bwd_mask = (False,) * refs.shape[0]
+        bwd_mask = (False,) * len(ref_list)
     bwd_mask = tuple(bool(b) for b in bwd_mask)
     if rel_dists is None:
-        rel_dists = tuple(1 if b else -1 for b in bwd_mask[:refs.shape[0]])
+        rel_dists = tuple(1 if b else -1 for b in bwd_mask[:len(ref_list)])
     rel_arr = np.asarray([int(d) for d in rel_dists], np.int32)
-    coarse_r = max(bme.coarse_r_for_dist(int(d)) for d in rel_arr)
+    coarse_r = tuple(bme.coarse_r_for_dist(int(d)) for d in rel_arr)
     if use_jax:
         try:
-            fn = _jitted_inter(buf_w, buf_h, bd, refs.shape[0], bwd_mask,
+            fn = _jitted_inter(buf_w, buf_h, bd, len(ref_list), bwd_mask,
                                bool(allow_compound), coarse_r)
             dt = np.uint8 if bd == 8 else np.uint16
-            flat = np.asarray(fn(np.asarray(src).astype(dt, copy=False),
-                                 refs.astype(dt, copy=False),
+            flat = np.asarray(fn(np.asarray(src).astype(dt, copy=False)
+                                 if not hasattr(src, "devices") else src,
                                  np.int32(qindex), float(lam),
                                  np.asarray(mode_bits, np.float32),
-                                 rel_arr))
+                                 rel_arr, selection_pens(qindex, bd),
+                                 *ref_list))
             intra, inter_cost = {}, {}
             off = 0
             for s in omd.ALL_SHAPES:
@@ -449,10 +485,13 @@ def inter_maps_dispatch(src, refs, buf_w, buf_h, qindex, lam, mode_bits,
             return intra, inter_cost, sf, mvb
         except ImportError:
             pass
-    return inter_frame_maps(src, refs, buf_w, buf_h, qindex, lam,
+    return inter_frame_maps(np.asarray(src),
+                            np.stack([np.asarray(r) for r in ref_list]),
+                            buf_w, buf_h, qindex, lam,
                             mode_bits, bd, np, bwd_mask=bwd_mask,
                             allow_compound=allow_compound,
-                            rel_dists=rel_arr, coarse_r=coarse_r)
+                            rel_dists=rel_arr, coarse_r=coarse_r,
+                            pens=selection_pens(qindex, bd))
 
 
 class BatchedDecider(BatchedIntraDecider):
@@ -486,7 +525,11 @@ class BatchedDecider(BatchedIntraDecider):
             return
         self._plan_inter(codec)
 
-    def _ref_plane(self, codec, name):
+    def _ref_plane(self, codec, name, device=False):
+        """Buf-aligned narrow ME plane for a named ref; with ``device``
+        a jax array uploaded ONCE per coded picture (later frames that
+        reference the same picture reuse the device-resident copy — no
+        per-frame host->device transfer)."""
         from .frame_codec import REF_PAD
 
         dt = np.uint8 if codec.seq.bit_depth == 8 else np.uint16
@@ -494,7 +537,17 @@ class BatchedDecider(BatchedIntraDecider):
         key = (id(planes), codec.buf_h, codec.buf_w)
         hit = self._me_plane_cache.get(key)
         if hit is not None and hit[0] is planes:
-            return hit[1]
+            if not device:
+                return hit[1]
+            if hit[2] is not None:
+                return hit[2]
+            try:
+                import jax
+                dev = jax.device_put(hit[1])
+                self._me_plane_cache[key] = (planes, hit[1], dev)
+                return dev
+            except ImportError:
+                return hit[1]
         ref_planes = planes[0]
         ref_y = np.asarray(ref_planes)[REF_PAD:REF_PAD + codec.buf_h,
                                        REF_PAD:REF_PAD + codec.buf_w]
@@ -508,10 +561,17 @@ class BatchedDecider(BatchedIntraDecider):
             full[h0:, :] = full[h0 - 1:h0, :]
             ref_y = full
         ref_y = np.ascontiguousarray(ref_y).astype(dt)
+        dev = None
+        if device:
+            try:
+                import jax
+                dev = jax.device_put(ref_y)
+            except ImportError:
+                pass
         if len(self._me_plane_cache) > 12:
             self._me_plane_cache.pop(next(iter(self._me_plane_cache)))
-        self._me_plane_cache[key] = (planes, ref_y)
-        return ref_y
+        self._me_plane_cache[key] = (planes, ref_y, dev)
+        return dev if dev is not None else ref_y
 
     def _plan_inter(self, codec):
         from .rdo import rd_lambda
@@ -519,8 +579,26 @@ class BatchedDecider(BatchedIntraDecider):
         lam = rd_lambda(codec.fh.base_q_idx, codec.seq.bit_depth)
         mode_bits = default_mode_bits(codec.fc)
         names = codec.search_refs()[:3]
+        # pad to a FIXED ref count: one compiled device program per
+        # geometry instead of one per {1,2,3}-ref frame (a duplicated
+        # ref never wins selection — argmin ties break to the original)
+        while self.use_jax and 0 < len(names) < 3:
+            names = names + [names[0]]
         self._names = names
-        refs = np.stack([self._ref_plane(codec, n) for n in names])
+        refs = [self._ref_plane(codec, n, device=self.use_jax)
+                for n in names]
+        src = codec.source[0]
+        if self.use_jax:
+            try:
+                import jax
+                dt = np.uint8 if codec.seq.bit_depth == 8 else np.uint16
+                # one upload per frame, shared with the DLF/CDEF chain
+                codec.dev_source = tuple(
+                    jax.device_put(np.ascontiguousarray(p).astype(
+                        dt, copy=False)) for p in codec.source)
+                src = codec.dev_source[0]
+            except ImportError:
+                pass
         # the "backward" side of a compound pair follows the NAMED ref
         # class (BWDREF..ALTREF), not display order: bidirectional
         # compound syntax codes ref1 with the comp_bwdref tree
@@ -534,7 +612,7 @@ class BatchedDecider(BatchedIntraDecider):
             (ref_dists.get(n, 1 if n >= 5 else -1) if ref_dists
              else (1 if n >= 5 else -1)) for n in names)
         intra, inter_cost, sf, mvbits16 = inter_maps_dispatch(
-            codec.source[0], refs, codec.buf_w, codec.buf_h,
+            src, refs, codec.buf_w, codec.buf_h,
             codec.fh.base_q_idx, lam, mode_bits, codec.seq.bit_depth,
             self.use_jax, bwd_mask, allow_comp, rel)
         sf = {k: np.asarray(v) for k, v in sf.items()}
@@ -653,7 +731,9 @@ class BatchedDecider(BatchedIntraDecider):
             sign_bias=codec.sign_bias, ref_frame1=rb, tile=codec.tile,
             **codec.gm_stack_kwargs(rf, rb, mi_row, mi_col, w4, h4)).stack
         lower = lambda mv: mp.lower_mv_precision(mv, False, False)
-        trials = [(mp.NEW_NEWMV, mv0, mv1, 96)]
+        ps = float(selection_pens(codec.fh.base_q_idx,
+                                  codec.seq.bit_depth)[3]) / SEL_MV_W
+        trials = [(mp.NEW_NEWMV, mv0, mv1, 96 * ps)]
         if stack:
             trials.append((mp.NEAREST_NEARESTMV,
                            lower(stack[0][0]), lower(stack[0][1]), 0))
@@ -705,16 +785,18 @@ class BatchedDecider(BatchedIntraDecider):
         # device plan supplies NEWMV; NEAREST/NEAR/GLOBAL often code
         # almost for free (the reference's candidate classes)
         src_blk = codec.source[0][y:y + bh, x:x + bw].astype(np.int32)
+        ps = float(selection_pens(codec.fh.base_q_idx,
+                                  codec.seq.bit_depth)[3]) / SEL_MV_W
         cands = []
         if codec.mv_window_in_frame(mv, x, y, bw, bh):
-            cands.append((mv, mp.NEWMV, 96))
+            cands.append((mv, mp.NEWMV, 96 * ps))
         if codec.mv_window_in_frame(nearest, x, y, bw, bh):
             cands.append((nearest, mp.NEARESTMV, 0))
         if len(stack_res.stack) >= 2 and near != nearest \
                 and codec.mv_window_in_frame(near, x, y, bw, bh):
-            cands.append((near, mp.NEARMV, 16))
+            cands.append((near, mp.NEARMV, 16 * ps))
         if codec.mv_window_in_frame((0, 0), x, y, bw, bh):
-            cands.append(((0, 0), mp.GLOBALMV, 32))
+            cands.append(((0, 0), mp.GLOBALMV, 32 * ps))
         if not cands:
             return self.decide(codec, x, y, bw, bh)
         best = None

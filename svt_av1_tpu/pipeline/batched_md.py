@@ -252,8 +252,21 @@ class BatchedIntraDecider(ModeDecider):
         mode_bits = default_mode_bits(codec.fc)
         maps = self._take_prefetched(codec)
         if maps is None:
+            src = codec.source[0]
+            if self.use_jax:
+                try:
+                    import jax
+                    dt = np.uint8 if codec.seq.bit_depth == 8 \
+                        else np.uint16
+                    # one upload per frame, shared with the filter chain
+                    codec.dev_source = tuple(
+                        jax.device_put(np.ascontiguousarray(p).astype(
+                            dt, copy=False)) for p in codec.source)
+                    src = codec.dev_source[0]
+                except ImportError:
+                    pass
             maps = omd.intra_decision_frame(
-                codec.source[0], codec.buf_w, codec.buf_h,
+                src, codec.buf_w, codec.buf_h,
                 codec.fh.base_q_idx, lam, mode_bits,
                 bd=codec.seq.bit_depth, use_jax=self.use_jax)
         self._modes = {s: m for s, (m, _) in maps.items()}

@@ -32,6 +32,12 @@ def rd_lambda(qindex: int, bit_depth: int = 8) -> float:
     return 0.85 * q * q
 
 
+def sad_lambda(qindex: int, bit_depth: int = 8) -> float:
+    """SAD-domain rate multiplier (av1_get_sad_per_bit semantics:
+    proportional to dc_q, the sqrt of the SSE-domain rd_lambda)."""
+    return dc_q(qindex, bit_depth) / 8.0
+
+
 def _symbol_cost_bits(icdf: np.ndarray, sym: int, nsyms: int) -> float:
     prev = 32768 if sym == 0 else int(icdf[sym - 1])
     p = (prev - int(icdf[sym])) / 32768.0

@@ -70,7 +70,11 @@ def _pair_stats(src, ref, buf_w, buf_h, bd, use_jax):
         try:
             fn = _jitted_stats(buf_w, buf_h, bd)
             dt = np.uint8 if bd == 8 else np.uint16
-            flat = np.asarray(fn(src.astype(dt), ref.astype(dt)))
+            if not hasattr(src, "devices"):
+                src = src.astype(dt)
+            if not hasattr(ref, "devices"):
+                ref = ref.astype(dt)
+            flat = np.asarray(fn(src, ref))
             n_sby, n_sbx = buf_h // bme.SB, buf_w // bme.SB
             n16 = (buf_h // 16) * (buf_w // 16)
             grid = (n_sby, n_sbx)
@@ -137,6 +141,15 @@ def tpl_gop_flow(frames_y, displays, buf_w: int, buf_h: int,
         return a
 
     planes = [bufal(np.asarray(f)) for f in frames_y]
+    if use_jax:
+        try:
+            import jax
+            # each frame serves as src AND ref of adjacent pairs: one
+            # upload per frame for the whole window, not one per call
+            dt = np.uint8 if bd == 8 else np.uint16
+            planes = [jax.device_put(p.astype(dt)) for p in planes]
+        except ImportError:
+            pass
     intra = [None] * n       # per-frame intra-cost proxy (variance)
     fwd = [None] * n         # i predicted from i-1
     bwd = [None] * n         # i predicted from i+1

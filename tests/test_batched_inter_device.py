@@ -46,7 +46,8 @@ def _run_pair(refs, bwd_mask, allow_comp):
 
     host = bi.inter_frame_maps(src, stack, buf_w, buf_h, qindex, lam,
                                mode_bits, 8, np, bwd_mask=bwd_mask,
-                               allow_compound=allow_comp)
+                               allow_compound=allow_comp,
+                               pens=bi.selection_pens(qindex, 8))
     dev = bi.inter_maps_dispatch(src, stack, buf_w, buf_h, qindex, lam,
                                  mode_bits, 8, use_jax=True,
                                  bwd_mask=bwd_mask,
