@@ -281,6 +281,9 @@ class Encoder:
                 self.pd.scene_changes = set(
                     detect_scene_changes(two_pass_stats))
         self._buffer = []            # pending source frames (display order)
+        self._me_src = {}            # display -> buf-aligned ME luma
+                                     # (open-loop plan refs; device
+                                     # arrays when jax is live)
         self._next_display = 0       # display idx of _buffer[0]
         self._sent = 0
         self.dpb = Dpb()
@@ -438,8 +441,10 @@ class Encoder:
                 if job.kind == "code" and job.layer == 0 \
                         and not job.is_key:
                     job.n_deps = consumed - 1 + future
-            for job in jobs:
+            for ji, job in enumerate(jobs):
                 self._maybe_prefetch(job)
+                self._maybe_prefetch_inter(
+                    job, jobs[ji + 1] if ji + 1 < len(jobs) else None)
                 packets.append(self._run_job(job))
             if consumed > 0:
                 self._tpl_seed = self._buffer[consumed - 1]
@@ -502,6 +507,115 @@ class Encoder:
         dec.prefetch(job.display + 1,
                      np.asarray(self._buffer[nxt][0]),
                      buf_w, buf_h, qindex, cfg.encoder_bit_depth)
+
+    def _buf_dims(self):
+        cfg = self.cfg
+        mi_c = 2 * ((cfg.source_width + 7) >> 3)
+        mi_r = 2 * ((cfg.source_height + 7) >> 3)
+        sb = self.seq.sb_size
+        return -(-(mi_c * 4) // sb) * sb, -(-(mi_r * 4) // sb) * sb
+
+    def _me_plane(self, y):
+        """Buf-aligned narrow luma plane for open-loop ME
+        (FrameCodec._pad_plane twin); device-resident when jax is
+        live so the plan programs ship no reference bytes."""
+        buf_w, buf_h = self._buf_dims()
+        dt = np.uint8 if self.cfg.encoder_bit_depth == 8 else np.uint16
+        y = np.asarray(y)
+        a = np.zeros((buf_h, buf_w), dt)
+        h0, w0 = y.shape
+        a[:h0, :w0] = y
+        if w0 < buf_w:
+            a[:h0, w0:] = a[:h0, w0 - 1:w0]
+        if h0 < buf_h:
+            a[h0:, :] = a[h0 - 1:h0, :]
+        try:
+            import jax
+            return jax.device_put(a)
+        except ImportError:
+            return a
+
+    def _store_me_src(self, display: int, plane) -> None:
+        if display in self._me_src:
+            return
+        while len(self._me_src) > 40:
+            self._me_src.pop(next(iter(self._me_src)))
+        self._me_src[display] = plane
+
+    def _maybe_prefetch_inter(self, job: CodeJob, nxt) -> None:
+        """Cross-frame pipeline overlap for inter frames: with open-loop
+        ME (plan refs = coded pictures' SOURCES) the NEXT frame's device
+        plan has no dependency on this frame's reconstruction, so it
+        runs on the worker thread while the host codes this frame (the
+        reference's decoupled ME process, EbMotionEstimationProcess.c).
+        The predicted ref structure is re-derived at retrieval; a
+        mismatch just discards the prefetch."""
+        if nxt is None or nxt.kind != "code" or nxt.is_key:
+            return
+        if not self.sig.open_loop_me or self.pd.key_interval == 1:
+            return
+        # layer-0 frames get temporally filtered: their plan source
+        # isn't known until TF runs
+        if getattr(nxt, "layer", 1) == 0 and self.sig.tf_level > 0 \
+                and self.pd.gop > 1:
+            return
+        dec = self._decider_cached()
+        if not hasattr(dec, "prefetch_inter"):
+            return
+        displays = set(self.dpb.displays())
+        anchor = self._anchor
+        if job.kind == "code":
+            if self._refresh_mask(job):
+                displays.add(job.display)
+            if job.is_key or job.layer == 0:
+                anchor = job.display
+            # this job's coded source doubles as nxt's LAST ref; for
+            # non-TF jobs it equals the raw source, storable now
+            if job.display not in self._me_src \
+                    and not (job.is_key or (job.layer == 0
+                                            and self.sig.tf_level > 0)):
+                bidx = job.display - self._next_display
+                if 0 <= bidx < len(self._buffer):
+                    self._store_me_src(
+                        job.display,
+                        self._me_plane(self._buffer[bidx][0]))
+        if not displays:
+            return
+
+        class _View:
+            def __init__(s, d):
+                s._d = d
+
+            def displays(s):
+                return s._d
+
+        named = _named_ref_displays(nxt.display, _View(displays), anchor)
+        seen = {}
+        for n in (1, 5, 7, 4, 2, 3, 6):       # search_refs preference
+            d = named[n]
+            if d not in seen:
+                seen[d] = n
+        names = list(seen.values())[:3]
+        me_refs, ref_disp = {}, []
+        for n in names:
+            got = self._me_src.get(named[n])
+            if got is None:
+                return
+            me_refs[n] = got
+            ref_disp.append(named[n])
+        nidx = nxt.display - self._next_display
+        if not (0 <= nidx < len(self._buffer)):
+            return
+        src = self._me_plane(self._buffer[nidx][0])
+        rel = tuple(self._rel_dist(named[n], nxt.display) for n in names)
+        qindex = self._qindex_for(nxt, (named[LAST], named[BWDREF]))
+        ref_sel = any(self._rel_dist(named[n], nxt.display) > 0
+                      for n in range(1, 8))
+        buf_w, buf_h = self._buf_dims()
+        dec.prefetch_inter(nxt.display, src, me_refs, names, rel,
+                           tuple(ref_disp), qindex, ref_sel,
+                           self.sig.compound_level, buf_w, buf_h,
+                           self.cfg.encoder_bit_depth)
 
     def _decider_cached(self):
         """One decider instance per encoder (state is per-frame keyed on
@@ -743,6 +857,19 @@ class Encoder:
                               self.sig.enable_hme_level1,
                               self.sig.enable_hme_level2)
         codec.aq_map = aq_map
+        if not job.is_key and self.sig.open_loop_me:
+            # open-loop plan refs: the named refs' SOURCE planes (the
+            # conformant replay still predicts against recon)
+            me_refs = {}
+            for n in range(1, 8):
+                got = self._me_src.get(named[n])
+                if got is None:
+                    me_refs = None
+                    break
+                me_refs[n] = got
+            if me_refs is not None:
+                codec.me_refs = me_refs
+                codec.me_ref_displays = {n: named[n] for n in range(1, 8)}
         # filter searches below may change tile syntax (cdef strength
         # indices, LR params), forcing a second entropy pass; cache the
         # first pass's decisions + quantized coefficients so that pass
@@ -818,6 +945,14 @@ class Encoder:
             codec = codec2
         self.last_recon = codec.cropped_recon()
         self.recon_by_display[job.display] = self.last_recon
+        if self.sig.open_loop_me and job.display not in self._me_src:
+            # this picture's CODED source (post-TF) is the open-loop ME
+            # reference for later frames; the planner already uploaded
+            # it (codec.dev_source)
+            dev = getattr(codec, "dev_source", None)
+            self._store_me_src(
+                job.display,
+                dev[0] if dev is not None else self._me_plane(planes[0]))
 
         # header derivations (skip-mode frames) use the decoder's view of
         # the DPB, i.e. BEFORE this frame's refresh

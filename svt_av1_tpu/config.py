@@ -305,6 +305,7 @@ class DerivedSignals:
     tf_level: int
     rdoq_level: int            # 0 off / 1 full trellis + fp quant
     md_stage_nics: tuple[int, int, int, int]   # candidates kept per MD stage
+    open_loop_me: bool         # batched plan MEs against ref SOURCES
 
 
 def derive_signals(cfg: EncoderConfig) -> DerivedSignals:
@@ -367,6 +368,11 @@ def derive_signals(cfg: EncoderConfig) -> DerivedSignals:
         intrabc_level=(cfg.intrabc_mode if cfg.intrabc_mode != -1
                        else (1 if cfg.screen_content_mode == 1 else 0)),
         md_stage_nics=(64, 16, 8, 4) if m <= 2 else ((32, 12, 6, 3) if m <= 5 else (16, 8, 4, 2)),
+        # the reference's ME process searches SOURCE pictures at every
+        # preset (open loop, EbMotionEstimationProcess.c); the batched
+        # plan adopts that at the fastest preset, which also decouples
+        # the device plan from the recon chain (cross-frame pipelining)
+        open_loop_me=(m >= 8),
     )
 
 

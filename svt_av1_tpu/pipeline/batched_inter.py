@@ -573,32 +573,15 @@ class BatchedDecider(BatchedIntraDecider):
         self._me_plane_cache[key] = (planes, ref_y, dev)
         return dev if dev is not None else ref_y
 
-    def _plan_inter(self, codec):
-        from .rdo import rd_lambda
-
-        lam = rd_lambda(codec.fh.base_q_idx, codec.seq.bit_depth)
-        mode_bits = default_mode_bits(codec.fc)
+    def _plan_params(self, codec):
+        """(names, bwd_mask, allow_comp, rel): the plan's static shape
+        — shared by the in-line path and the cross-frame prefetch."""
         names = codec.search_refs()[:3]
         # pad to a FIXED ref count: one compiled device program per
         # geometry instead of one per {1,2,3}-ref frame (a duplicated
         # ref never wins selection — argmin ties break to the original)
         while self.use_jax and 0 < len(names) < 3:
             names = names + [names[0]]
-        self._names = names
-        refs = [self._ref_plane(codec, n, device=self.use_jax)
-                for n in names]
-        src = codec.source[0]
-        if self.use_jax:
-            try:
-                import jax
-                dt = np.uint8 if codec.seq.bit_depth == 8 else np.uint16
-                # one upload per frame, shared with the DLF/CDEF chain
-                codec.dev_source = tuple(
-                    jax.device_put(np.ascontiguousarray(p).astype(
-                        dt, copy=False)) for p in codec.source)
-                src = codec.dev_source[0]
-            except ImportError:
-                pass
         # the "backward" side of a compound pair follows the NAMED ref
         # class (BWDREF..ALTREF), not display order: bidirectional
         # compound syntax codes ref1 with the comp_bwdref tree
@@ -611,10 +594,112 @@ class BatchedDecider(BatchedIntraDecider):
         rel = tuple(
             (ref_dists.get(n, 1 if n >= 5 else -1) if ref_dists
              else (1 if n >= 5 else -1)) for n in names)
-        intra, inter_cost, sf, mvbits16 = inter_maps_dispatch(
-            src, refs, codec.buf_w, codec.buf_h,
-            codec.fh.base_q_idx, lam, mode_bits, codec.seq.bit_depth,
-            self.use_jax, bwd_mask, allow_comp, rel)
+        return names, bwd_mask, allow_comp, rel
+
+    # cross-frame prefetch state: {display: (key, future)} where key =
+    # (qindex, names, rel, allow_comp) must match at retrieval
+    _prefetch_inter: dict | None = None
+
+    def prefetch_inter(self, display: int, src_plane, me_refs: dict,
+                       names: list, rel: tuple, ref_displays: tuple,
+                       qindex: int, reference_select: bool,
+                       compound_level: int,
+                       buf_w: int, buf_h: int, bd: int):
+        """Submit the NEXT frame's device plan while the host codes the
+        current one (open-loop: ME runs on reference SOURCES, so the
+        plan has no dependency on the in-flight reconstruction — the
+        reference's source-based ME process, EbMotionEstimationProcess).
+        The caller predicts ``names``/``rel``; _plan_inter verifies the
+        prediction and falls back to the in-line path on mismatch."""
+        from ..entropy.tables import FrameCdfs
+        from .batched_md import _PrefetchWorker
+        from .rdo import rd_lambda
+
+        if BatchedDecider._executor is None:
+            BatchedDecider._executor = _PrefetchWorker()
+        if self._prefetch_inter is None:
+            self._prefetch_inter = {}
+        while self.use_jax and 0 < len(names) < 3:
+            names = names + [names[0]]
+            rel = rel + (rel[0],)
+            ref_displays = ref_displays + (ref_displays[0],)
+        bwd_mask = tuple(n >= 5 for n in names)
+        allow_comp = bool(reference_select and compound_level > 0
+                          and any(bwd_mask) and not all(bwd_mask))
+        key = (qindex, tuple(names), tuple(rel), tuple(ref_displays),
+               allow_comp)
+        if display in self._prefetch_inter \
+                and self._prefetch_inter[display][0] == key:
+            return
+        lam = rd_lambda(qindex, bd)
+        mode_bits = default_mode_bits(FrameCdfs(qindex))
+        refs = [me_refs[n] for n in names]
+        fut = BatchedDecider._executor.submit(
+            inter_maps_dispatch, src_plane, refs, buf_w, buf_h,
+            qindex, lam, mode_bits, bd, self.use_jax, bwd_mask,
+            allow_comp, rel)
+        self._prefetch_inter[display] = (key, fut)
+
+    def _take_prefetched_inter(self, codec, key):
+        if not self._prefetch_inter:
+            return None
+        got = self._prefetch_inter.pop(codec.fh.order_hint, None)
+        if got is None:
+            return None
+        if got[0] != key:
+            got[1].cancel()
+            return None
+        return got[1].result()
+
+    def _plan_inter(self, codec):
+        from .rdo import rd_lambda
+
+        lam = rd_lambda(codec.fh.base_q_idx, codec.seq.bit_depth)
+        names, bwd_mask, allow_comp, rel = self._plan_params(codec)
+        self._names = names
+        if self.use_jax:
+            try:
+                import jax
+                dt = np.uint8 if codec.seq.bit_depth == 8 else np.uint16
+                # one upload per frame, shared with the DLF/CDEF chain
+                codec.dev_source = tuple(
+                    jax.device_put(np.ascontiguousarray(p).astype(
+                        dt, copy=False)) for p in codec.source)
+            except ImportError:
+                pass
+        me_refs = getattr(codec, "me_refs", None)
+        ref_disp = getattr(codec, "me_ref_displays", None)
+        key = (codec.fh.base_q_idx, tuple(names), tuple(rel),
+               tuple(ref_disp[n] for n in names) if ref_disp else (),
+               allow_comp)
+        got = self._take_prefetched_inter(codec, key) \
+            if me_refs is not None else None
+        if got is not None:
+            intra, inter_cost, sf, mvbits16 = got
+            # the prefetch planned with qindex-default mode bits; keep
+            # the in-line path identical (determinism regardless of
+            # prefetch timing)
+            mode_bits = None
+        else:
+            from ..entropy.tables import FrameCdfs
+            mode_bits = default_mode_bits(FrameCdfs(codec.fh.base_q_idx)) \
+                if me_refs is not None else default_mode_bits(codec.fc)
+            if me_refs is not None:
+                # open-loop: ME against reference SOURCES (the coded
+                # pictures' pre-recon planes), decoupling the device
+                # plan from the reconstruction chain
+                refs = [me_refs[n] for n in names]
+            else:
+                refs = [self._ref_plane(codec, n, device=self.use_jax)
+                        for n in names]
+            src = codec.dev_source[0] \
+                if getattr(codec, "dev_source", None) is not None \
+                else codec.source[0]
+            intra, inter_cost, sf, mvbits16 = inter_maps_dispatch(
+                src, refs, codec.buf_w, codec.buf_h,
+                codec.fh.base_q_idx, lam, mode_bits,
+                codec.seq.bit_depth,
+                self.use_jax, bwd_mask, allow_comp, rel)
         sf = {k: np.asarray(v) for k, v in sf.items()}
         self._sf = sf
         mvb = np.asarray(mvbits16)
