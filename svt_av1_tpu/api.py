@@ -260,6 +260,8 @@ class Encoder:
             bit_depth=cfg.encoder_bit_depth,
             enable_filter_intra=sig.enable_filter_intra,
             enable_warped_motion=sig.enable_warped_motion,
+            enable_masked_compound=sig.compound_level >= 2,
+            enable_interintra_compound=sig.interintra_level > 0,
             enable_intra_edge_filter=True,
             enable_order_hint=self.pd.gop > 1,
             enable_superres=cfg.superres_mode > 0 and cfg.superres_denom > 8,
@@ -443,9 +445,9 @@ class Encoder:
                     job.n_deps = consumed - 1 + future
             for ji, job in enumerate(jobs):
                 self._maybe_prefetch(job)
-                self._maybe_prefetch_inter(
-                    job, jobs[ji + 1] if ji + 1 < len(jobs) else None)
-                packets.append(self._run_job(job))
+                nxt = next((j for j in jobs[ji + 1:] if j.kind == "code"),
+                           None)
+                packets.append(self._run_job(job, nxt))
             if consumed > 0:
                 self._tpl_seed = self._buffer[consumed - 1]
             self._buffer = self._buffer[consumed:]
@@ -542,45 +544,48 @@ class Encoder:
             self._me_src.pop(next(iter(self._me_src)))
         self._me_src[display] = plane
 
-    def _maybe_prefetch_inter(self, job: CodeJob, nxt) -> None:
+    def _maybe_prefetch_inter(self, job: CodeJob, nxt, fh,
+                              planes) -> None:
         """Cross-frame pipeline overlap for inter frames: with open-loop
         ME (plan refs = coded pictures' SOURCES) the NEXT frame's device
         plan has no dependency on this frame's reconstruction, so it
         runs on the worker thread while the host codes this frame (the
         reference's decoupled ME process, EbMotionEstimationProcess.c).
-        The predicted ref structure is re-derived at retrieval; a
-        mismatch just discards the prefetch."""
+
+        Called AFTER this frame's header is final: the post-refresh DPB
+        display set, this frame's qindex feedback and its (TF-filtered)
+        coded source are all exact, so the prediction matches what
+        _plan_inter re-derives at retrieval."""
         if nxt is None or nxt.kind != "code" or nxt.is_key:
             return
         if not self.sig.open_loop_me or self.pd.key_interval == 1:
             return
-        # layer-0 frames get temporally filtered: their plan source
-        # isn't known until TF runs
+        # the NEXT frame's plan source must be its raw buffer source
+        # (layer-0 frames get temporally filtered later)
         if getattr(nxt, "layer", 1) == 0 and self.sig.tf_level > 0 \
                 and self.pd.gop > 1:
             return
         dec = self._decider_cached()
         if not hasattr(dec, "prefetch_inter"):
             return
-        displays = set(self.dpb.displays())
-        anchor = self._anchor
-        if job.kind == "code":
-            if self._refresh_mask(job):
+        # this frame's coded source (post-TF) is nxt's likeliest ref
+        self._store_me_src(job.display, self._me_plane(planes[0]))
+        # exact post-refresh display set (slot replacement = eviction)
+        mask = fh.refresh_frame_flags
+        displays = set()
+        for i, s in enumerate(self.dpb.slots):
+            if (mask >> i) & 1:
                 displays.add(job.display)
-            if job.is_key or job.layer == 0:
-                anchor = job.display
-            # this job's coded source doubles as nxt's LAST ref; for
-            # non-TF jobs it equals the raw source, storable now
-            if job.display not in self._me_src \
-                    and not (job.is_key or (job.layer == 0
-                                            and self.sig.tf_level > 0)):
-                bidx = job.display - self._next_display
-                if 0 <= bidx < len(self._buffer):
-                    self._store_me_src(
-                        job.display,
-                        self._me_plane(self._buffer[bidx][0]))
+            elif s is not None:
+                displays.add(s["display"])
+        anchor = job.display if (job.is_key or job.layer == 0) \
+            else self._anchor
         if not displays:
             return
+        # exact qindex chaining: record this frame's meta now (identical
+        # to the note_coded call at the end of this frame)
+        self.rc.note_coded(job.display, fh.base_q_idx, job.layer,
+                           job.is_key)
 
         class _View:
             def __init__(s, d):
@@ -625,7 +630,7 @@ class Encoder:
             self._decider_obj = self._decider()
         return self._decider_obj
 
-    def _run_job(self, job: CodeJob) -> bytes:
+    def _run_job(self, job: CodeJob, nxt: CodeJob | None = None) -> bytes:
         if job.kind == "show_existing":
             slot = self.dpb.slot_of_display(job.display)
             w = BitWriter()
@@ -633,7 +638,7 @@ class Encoder:
             w.trailing_bits()
             return temporal_delimiter_obu() + wrap_obu(
                 ObuType.OBU_FRAME_HEADER, w.bytes())
-        return self._encode_display(job)
+        return self._encode_display(job, nxt)
 
     def _qindex_for(self, job: CodeJob, ref_displays: tuple = ()) -> int:
         return self.rc.pick_qindex(job.is_key, job.layer, job.display,
@@ -747,7 +752,8 @@ class Encoder:
         analog; see profiling.StageTimer)."""
         return self.prof.report(self.frame_count)
 
-    def _encode_display(self, job: CodeJob) -> bytes:
+    def _encode_display(self, job: CodeJob, nxt: CodeJob | None = None
+                        ) -> bytes:
         with self.prof("temporal_filter"):
             planes = self._tf_source(
                 job, self._buffer[job.display - self._next_display])
@@ -843,6 +849,9 @@ class Encoder:
                                for n in range(1, 8)}
         codec.lr_source = lr_source
         codec.rdoq_level = self.sig.rdoq_level
+        # fast presets search the reduced CDEF strength subset
+        # (cdef_pick_method fast levels in the reference)
+        codec.cdef_fast = self.sig.cdef_level <= 2
         codec.rdoq_layer = (getattr(job, "layer", 0),
                             self.cfg.hierarchical_levels)
         codec.obmc_level = self.sig.obmc_level
@@ -880,6 +889,10 @@ class Encoder:
                         or self.seq.enable_restoration)
         if may_reencode:
             codec.txb_cache = {}
+        if not fh.error_resilient_mode:
+            # pipeline overlap: submit the NEXT frame's open-loop device
+            # plan before the host starts this frame's coding pass
+            self._maybe_prefetch_inter(job, nxt, fh, planes)
         with self.prof("encode_tiles"):
             tile_data = _assemble_tile_group(codec.encode_tiles(decider),
                                              fh)

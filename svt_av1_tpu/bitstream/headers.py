@@ -53,6 +53,8 @@ class SequenceHeader:
     chroma_sample_position: int = 0
     separate_uv_delta_q: bool = False
     enable_warped_motion: bool = False
+    enable_interintra_compound: bool = False
+    enable_masked_compound: bool = False
     film_grain_params_present: bool = False
     still_picture: bool = False
     # screen content: 0 = off, 2 = per-frame selection (spec
@@ -169,8 +171,8 @@ def write_sequence_header(seq: SequenceHeader) -> bytes:
     w.flag(seq.use_128x128_superblock)
     w.flag(seq.enable_filter_intra)
     w.flag(seq.enable_intra_edge_filter)
-    w.flag(False)                       # enable_interintra_compound
-    w.flag(False)                       # enable_masked_compound
+    w.flag(seq.enable_interintra_compound)
+    w.flag(seq.enable_masked_compound)
     w.flag(seq.enable_warped_motion)
     w.flag(False)                       # enable_dual_filter
     w.flag(seq.enable_order_hint)
@@ -245,8 +247,8 @@ def parse_sequence_header(data: bytes) -> SequenceHeader:
     seq.use_128x128_superblock = r.flag()
     seq.enable_filter_intra = r.flag()
     seq.enable_intra_edge_filter = r.flag()
-    r.flag()                             # enable_interintra_compound
-    r.flag()                             # enable_masked_compound
+    seq.enable_interintra_compound = r.flag()
+    seq.enable_masked_compound = r.flag()
     seq.enable_warped_motion = r.flag()
     r.flag()                             # enable_dual_filter
     seq.enable_order_hint = r.flag()

@@ -306,6 +306,8 @@ class DerivedSignals:
     rdoq_level: int            # 0 off / 1 full trellis + fp quant
     md_stage_nics: tuple[int, int, int, int]   # candidates kept per MD stage
     open_loop_me: bool         # batched plan MEs against ref SOURCES
+    interintra_level: int      # 0 off / 1 smooth+wedge II trials
+
 
 
 def derive_signals(cfg: EncoderConfig) -> DerivedSignals:
@@ -350,7 +352,12 @@ def derive_signals(cfg: EncoderConfig) -> DerivedSignals:
         # the frame-batched device path scores averaged compound per
         # unit at negligible cost, so compound stays on across the
         # preset ladder (set_comp_controls analog)
-        compound_level=cfg.compound_level if cfg.compound_level != -1 else 1,
+        # 1 = averaged compound; 2 adds the masked types (wedge +
+        # diffwtd, the reference's inter_compound_mode ladder) at the
+        # quality presets where the per-block RD walk runs
+        compound_level=cfg.compound_level if cfg.compound_level != -1
+        else (2 if m <= 4 else 1),
+        interintra_level=1 if m <= 4 else 0,
         # the reference filters layer-0 pictures at EVERY preset: level
         # 1/2 (full window) below M7, level 4 (small window) above
         # (set_tf_controls, EbPictureDecisionProcess.c:3820-3840); our

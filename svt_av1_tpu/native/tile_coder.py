@@ -326,6 +326,9 @@ def _eligible_inter(codec, decider) -> bool:
         return False
     if fh.is_motion_mode_switchable or fh.allow_warped_motion:
         return False
+    # masked-compound / inter-intra syntax interleaves per block
+    if seq.enable_masked_compound or seq.enable_interintra_compound:
+        return False
     gm = getattr(fh, "global_motion", ())
     if gm and any(t for t, _ in gm):
         return False

@@ -21,15 +21,18 @@ from . import dlf as dlf_ops
 
 PRI_SET = (0, 1, 2, 4, 6, 8, 12, 15)
 SEC_SET = (0, 1, 2, 3)
+# fast-preset subset (the reference's reduced cdef search at high
+# presets, cdef_pick_method fast levels)
+PRI_SET_FAST = (0, 2, 4, 8, 15)
+SEC_SET_FAST = (0, 1, 2)
 
 
 @functools.lru_cache(maxsize=8)
 def _jit_chain(shapes: tuple, vis: tuple, sharpness: int, bd: int,
-               n_cand: int, fw: int, fh: int, nplanes: int):
+               n_cand: int, fw: int, fh: int, nplanes: int,
+               pri_set: tuple = PRI_SET, sec_set: tuple = SEC_SET):
     import jax
     import jax.numpy as jnp
-
-    pri_set, sec_set = PRI_SET, SEC_SET
 
     def run(cands, nonskip, damping, src_y, src_u, src_v, *args):
         # ---- DLF: luma level search + apply (ops/dlf.py run) ----
@@ -133,6 +136,9 @@ def dlf_cdef_chain(codec):
     # duplicated level is a no-op in the argmin)
     while len(cands) < 3:
         cands.append(cands[-1])
+    fast = bool(getattr(codec, "cdef_fast", False))
+    pri_set = PRI_SET_FAST if fast else PRI_SET
+    sec_set = SEC_SET_FAST if fast else SEC_SET
     bd = seq.bit_depth
     dt = np.uint8 if bd == 8 else np.uint16
     fw, fh_px = codec.mi_cols * 4, codec.mi_rows * 4
@@ -152,7 +158,7 @@ def dlf_cdef_chain(codec):
                  av, fv, ah, fh_]
         shapes.append(codec.recon[p].shape)
     fn = _jit_chain(tuple(shapes), tuple(vis_dims), fh.sharpness, bd,
-                    len(cands), fw, fh_px, 3)
+                    len(cands), fw, fh_px, 3, pri_set, sec_set)
     # the batched planner uploads the frame's source once per frame
     # (codec.dev_source); reuse those device-resident planes here
     srcs = getattr(codec, "dev_source", None)

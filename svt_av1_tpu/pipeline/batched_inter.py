@@ -647,6 +647,9 @@ class BatchedDecider(BatchedIntraDecider):
         if got is None:
             return None
         if got[0] != key:
+            from ..profiling import LOG
+            LOG.debug("prefetch_inter mismatch d=%d want=%s got=%s",
+                      codec.fh.order_hint, key, got[0])
             got[1].cancel()
             return None
         return got[1].result()

@@ -254,6 +254,16 @@ class BlockDecision:
     ref: int = 1                        # named reference (LAST..ALTREF)
     ref1: int = 0                       # second ref (compound); 0 = none
     mv1: tuple = (0, 0)
+    # masked compound (COMPOUND_WEDGE / COMPOUND_DIFFWTD)
+    compound_type: int = 0              # 0 avg / 1 wedge / 2 diffwtd
+    wedge_index: int = 0
+    wedge_sign: int = 0
+    mask_type: int = 0                  # DIFFWTD_38 / DIFFWTD_38_INV
+    # inter-intra (single ref, rf[1] = INTRA_FRAME)
+    interintra: bool = False
+    interintra_mode: int = 0            # II_DC/II_V/II_H/II_SMOOTH
+    wedge_interintra: bool = False
+    interintra_wedge_index: int = 0
 
 
 class ModeDecider:
@@ -449,24 +459,108 @@ class ModeDecider:
                     if comp_best is None or sad < comp_best[0]:
                         comp_best = (sad, mode, mv0, mv1, rf, rb)
 
+        # masked compound trial (wedge / diffwtd) on the winning pair:
+        # blend the already-computed CONV pair through each candidate
+        # mask (compound_type search, EbModeDecision.c inter_comp)
+        comp_masked = None
+        if comp_best is not None and codec.seq.enable_masked_compound:
+            from ..ops import masks as mk
+
+            _, cmode, mv0, mv1, rf, rb = comp_best
+            bufs = []
+            flt = codec.fh.interpolation_filter
+            for mv, name in ((mv0, rf), (mv1, rb)):
+                refp = codec.refs[name][0]
+                ix, iy, sx, sy = codec._mc_pos(refp, 0, mv, x, y, bw, bh)
+                bufs.append(np.asarray(inter_ops.jnt_convolve(
+                    refp, ix, iy, bw, bh, sx, sy, filter_x=flt,
+                    filter_y=flt, bd=codec.seq.bit_depth)))
+            trials = []
+            if mk.wedge_used(bw, bh):
+                for widx in range(16):
+                    for ws in (0, 1):
+                        trials.append((1, widx, ws, 0,
+                                       mk.wedge_mask(bw, bh, widx, ws),
+                                       24))
+            for mt in (0, 1):
+                trials.append((2, 0, 0, mt,
+                               mk.diffwtd_mask_d16(bufs[0], bufs[1], mt,
+                                                   codec.seq.bit_depth),
+                               16))
+            for ctype, widx, ws, mt, mask, pen in trials:
+                p = mk.blend_a64_d16(bufs[0], bufs[1], mask, 0, 0,
+                                     codec.seq.bit_depth)
+                sad = int(np.abs(src - p).sum()) + pen
+                if sad < comp_best[0] and (comp_masked is None
+                                           or sad < comp_masked[0]):
+                    comp_masked = (sad, ctype, widx, ws, mt)
+
+        # inter-intra trial on the best single-ref candidate
+        # (inter_intra candidate class; wedge sign always 0)
+        ii_best = None
+        if (codec.seq.enable_interintra_compound
+                and 8 <= bw <= 32 and 8 <= bh <= 32
+                and (bw, bh) not in ((8, 32), (32, 8))
+                and in_frame(best[2])):
+            from ..ops import masks as mk
+
+            inter_p = codec.predict_inter(0, best[2], x, y, bw, bh,
+                                          best[4])
+            ii_map = (PredictionMode.DC_PRED, PredictionMode.V_PRED,
+                      PredictionMode.H_PRED, PredictionMode.SMOOTH_PRED)
+            for iim in range(4):
+                ip = codec.predict(0, ii_map[iim], 0, x, y, bw, bh,
+                                   max_txsize_rect(bw, bh))
+                m = mk.smooth_interintra_mask(bw, bh, iim)
+                p = mk.blend_a64_pixels(ip, inter_p, m)
+                sad = int(np.abs(src - p).sum()) + 24
+                if ii_best is None or sad < ii_best[0]:
+                    ii_best = (sad, iim, False, 0, ip)
+            if mk.wedge_used(bw, bh) and ii_best is not None:
+                ip = codec.predict(0, ii_map[ii_best[1]], 0, x, y, bw,
+                                   bh, max_txsize_rect(bw, bh))
+                for widx in range(16):
+                    m = mk.wedge_mask(bw, bh, widx, 0)
+                    p = mk.blend_a64_pixels(ip, inter_p, m)
+                    sad = int(np.abs(src - p).sum()) + 32
+                    if sad < ii_best[0]:
+                        ii_best = (sad, ii_best[1], True, widx, ip)
+
         # intra fallback
         intra_d = self.decide(codec, x, y, bw, bh)
         pred = codec.predict(0, intra_d.y_mode, 0, x, y, bw, bh,
                              max_txsize_rect(bw, bh))
         intra_sad = int(np.abs(src - pred).sum()) + 128
-        if comp_best is not None and comp_best[0] < best[0] \
-                and comp_best[0] < intra_sad:
-            return BlockDecision(
+        comp_cost = comp_masked[0] if comp_masked is not None \
+            else (comp_best[0] if comp_best is not None else 1 << 40)
+        single_cost = ii_best[0] if ii_best is not None \
+            and ii_best[0] < best[0] else best[0]
+        if comp_best is not None and comp_cost < single_cost \
+                and comp_cost < intra_sad:
+            d = BlockDecision(
                 is_inter=True, inter_mode=comp_best[1],
                 mv=(int(comp_best[2][0]), int(comp_best[2][1])),
                 mv1=(int(comp_best[3][0]), int(comp_best[3][1])),
                 ref=comp_best[4], ref1=comp_best[5])
-        if intra_sad < best[0]:
+            if comp_masked is not None:
+                d.compound_type = comp_masked[1]
+                d.wedge_index = comp_masked[2]
+                d.wedge_sign = comp_masked[3]
+                d.mask_type = comp_masked[4]
+            return d
+        if intra_sad < single_cost:
             return intra_d
-        return BlockDecision(is_inter=True, inter_mode=best[1],
-                             mv=(int(best[2][0]), int(best[2][1])),
-                             ref_mv_idx=best[3], ref=best[4],
-                             motion_mode=warp_mode)
+        d = BlockDecision(is_inter=True, inter_mode=best[1],
+                          mv=(int(best[2][0]), int(best[2][1])),
+                          ref_mv_idx=best[3], ref=best[4],
+                          motion_mode=warp_mode)
+        if ii_best is not None and ii_best[0] < best[0]:
+            d.interintra = True
+            d.interintra_mode = ii_best[1]
+            d.wedge_interintra = ii_best[2]
+            d.interintra_wedge_index = ii_best[3]
+            d.motion_mode = 0          # rf[1] = INTRA -> SIMPLE
+        return d
 
     def decide(self, codec: "FrameCodec", x: int, y: int, bw: int, bh: int
                ) -> BlockDecision:
@@ -532,6 +626,9 @@ class FrameCodec:
         self.pal_colors = np.zeros((self.mi_rows, self.mi_cols, 8),
                                    np.int32)
         self.intrabc_grid = np.zeros((self.mi_rows, self.mi_cols), bool)
+        # comp_group_idx of the covering block (masked-compound ctx,
+        # get_comp_group_idx_context_enc)
+        self.comp_group = np.zeros((self.mi_rows, self.mi_cols), np.int8)
         self.partitions = np.zeros((self.mi_rows, self.mi_cols), np.int32)
         self.seg_map = np.zeros((self.mi_rows, self.mi_cols), np.int8)
         # var-tx split contexts: above tx widths / left tx heights in
@@ -2367,6 +2464,11 @@ class FrameCodec:
             g.ref_frame1[r0:r1, c0:c1] = decision.ref1
             g.mv1_row[r0:r1, c0:c1] = decision.mv1[0]
             g.mv1_col[r0:r1, c0:c1] = decision.mv1[1]
+            self.comp_group[r0:r1, c0:c1] = \
+                1 if getattr(decision, "compound_type", 0) else 0
+            if g.interintra is not None:
+                g.interintra[r0:r1, c0:c1] = \
+                    bool(getattr(decision, "interintra", False))
         elif decision.use_intrabc:
             # spec: IBC blocks carry RefFrame INTRA_FRAME with the DV in
             # Mvs (feeds the INTRA_FRAME stack of later blocks)
@@ -2393,6 +2495,19 @@ class FrameCodec:
             gh = max((h4 * MI >> sh) >> 2, 1)
             gw = max((w4 * MI >> sh) >> 2, 1)
             self.skip_grid[plane][y4a:y4a + gh, x4a:x4a + gw] = dlf_skip
+
+    def _comp_group_ctx(self, mi_row, mi_col):
+        """comp_group_idx cdf context from the above/left neighbors
+        (get_comp_group_idx_context_enc, EbEntropyCoding.c:97)."""
+        out = 0
+        for r, c in ((mi_row - 1, mi_col), (mi_row, mi_col - 1)):
+            if r < self.tile[0] or c < self.tile[1]:
+                continue
+            if self.mi.ref_frame1[r, c] > 0:
+                out += int(self.comp_group[r, c])
+            elif self.mi.ref_frame[r, c] == 7:      # ALTREF single
+                out += 3
+        return min(5, out)
 
     def _intra_inter_ctx(self, mi_row, mi_col):
         up = mi_row > self.tile[0]
@@ -2974,11 +3089,75 @@ class FrameCodec:
         return np.asarray(inter_ops.jnt_average(
             bufs[0], bufs[1], self.seq.bit_depth))
 
+    def predict_masked_compound(self, plane, decision, px, py, pw, ph):
+        """COMPOUND_WEDGE / COMPOUND_DIFFWTD: CONV-domain pair blended
+        through the soft mask (build_masked_compound_no_round +
+        blend_a64_d16_mask, EbInterPrediction.c:1936).  The diffwtd
+        mask derives from the LUMA pair and is cached for chroma."""
+        from ..ops import masks as mk
+
+        flt = self.fh.interpolation_filter
+        bufs = []
+        for mv, name in ((decision.mv, decision.ref),
+                         (decision.mv1, decision.ref1)):
+            ref = self.refs[name][plane]
+            int_x, int_y, sub_x, sub_y = self._mc_pos(ref, plane, mv,
+                                                      px, py, pw, ph)
+            bufs.append(np.asarray(inter_ops.jnt_convolve(
+                ref, int_x, int_y, pw, ph, sub_x, sub_y,
+                filter_x=flt, filter_y=flt, bd=self.seq.bit_depth)))
+        sub = 1 if plane else 0
+        if decision.compound_type == 1:          # WEDGE
+            mask = mk.wedge_mask(pw << sub, ph << sub,
+                                 decision.wedge_index,
+                                 decision.wedge_sign)
+        else:                                    # DIFFWTD
+            if plane == 0:
+                mask = mk.diffwtd_mask_d16(bufs[0], bufs[1],
+                                           decision.mask_type,
+                                           self.seq.bit_depth)
+                self._seg_mask = mask
+            else:
+                mask = self._seg_mask
+        return mk.blend_a64_d16(bufs[0], bufs[1], mask, sub, sub,
+                                self.seq.bit_depth)
+
+    def predict_interintra(self, plane, decision, px, py, pw, ph):
+        """Inter-intra: single-ref MC blended with an intra prediction;
+        the mask weights the INTRA side (combine_interintra,
+        EbInterPrediction.c:2154; wedge sign is always 0)."""
+        from ..ops import masks as mk
+
+        if self._is_warp_global(decision, pw, ph, plane):
+            # do_warp applies to the inter side of GLOBALMV interintra
+            # blocks too (EbDecInterPrediction.c:904)
+            inter = self.predict_warp(plane, decision.ref, px, py, pw, ph)
+        else:
+            inter = self.predict_inter(plane, decision.mv, px, py, pw,
+                                       ph, decision.ref)
+        ii_to_intra = (PredictionMode.DC_PRED, PredictionMode.V_PRED,
+                       PredictionMode.H_PRED, PredictionMode.SMOOTH_PRED)
+        intra = self.predict(plane, ii_to_intra[decision.interintra_mode],
+                             0, px, py, pw, ph, max_txsize_rect(pw, ph))
+        sub = 1 if plane else 0
+        if decision.wedge_interintra:
+            mask = mk.wedge_mask(pw << sub, ph << sub,
+                                 decision.interintra_wedge_index, 0)
+            return mk.blend_a64_pixels(intra, inter, mask, sub, sub)
+        mask = mk.smooth_interintra_mask(pw, ph, decision.interintra_mode)
+        return mk.blend_a64_pixels(intra, inter, mask, 0, 0)
+
     def predict_inter_block(self, plane, decision, px, py, pw, ph):
         if decision.ref1 > 0:
+            if getattr(decision, "compound_type", 0):
+                return self.predict_masked_compound(plane, decision, px,
+                                                    py, pw, ph)
             return self.predict_compound(plane, decision.mv, decision.mv1,
                                          px, py, pw, ph, decision.ref,
                                          decision.ref1)
+        if getattr(decision, "interintra", False):
+            return self.predict_interintra(plane, decision, px, py,
+                                           pw, ph)
         if decision.motion_mode == 1:
             base = self.predict_inter(plane, decision.mv, px, py, pw, ph,
                                       decision.ref)
@@ -3345,9 +3524,48 @@ class FrameCodec:
             if io.is_decoder:
                 decision = decision2
 
+        # inter-intra (read_interintra_mode; rf[1] = INTRA_FRAME):
+        # single-ref blocks 8x8..32x32, before motion_mode
+        interintra = False
+        if is_inter and not comp and self.seq.enable_interintra_compound \
+                and (8 <= bw <= 32 and 8 <= bh <= 32
+                     and (bw, bh) not in ((8, 32), (32, 8))):
+            from ..ops import masks as mk
+            grp = _SIZE_GROUP_BY_ENUM[_bsize_enum(bw, bh)]
+            interintra = bool(io.symbol(
+                None if decision is None else int(decision.interintra),
+                self.fc.interintra[grp], 2))
+            ii_mode = use_w = widx = 0
+            if interintra:
+                ii_mode = io.symbol(
+                    None if decision is None
+                    else int(decision.interintra_mode),
+                    self.fc.interintra_mode[grp], 4)
+                if mk.wedge_used(bw, bh):
+                    use_w = io.symbol(
+                        None if decision is None
+                        else int(decision.wedge_interintra),
+                        self.fc.wedge_interintra[_bsize_enum(bw, bh)], 2)
+                    if use_w:
+                        widx = io.symbol(
+                            None if decision is None
+                            else int(decision.interintra_wedge_index),
+                            self.fc.wedge_idx[_bsize_enum(bw, bh)], 16)
+            if io.is_decoder:
+                decision.interintra = interintra
+                decision.interintra_mode = ii_mode
+                decision.wedge_interintra = bool(use_w)
+                decision.interintra_wedge_index = widx
+
         if is_inter:
-            mm = self._code_motion_mode(decision, mi_row, mi_col, w4, h4,
-                                        bw, bh)
+            if interintra:
+                # rf[1] == INTRA_FRAME skips motion_mode (SIMPLE)
+                mm = 0
+                if io.is_decoder:
+                    decision.motion_mode = 0
+            else:
+                mm = self._code_motion_mode(decision, mi_row, mi_col,
+                                            w4, h4, bw, bh)
             if io.is_decoder:
                 decision.motion_mode = mm
                 if mm == 2:
@@ -3355,6 +3573,44 @@ class FrameCodec:
                         decision, mi_row, mi_col, w4, h4, bw, bh)
                     assert self._cur_warp_mat is not None, \
                         "WARPED_CAUSAL with invalid projection"
+
+        # masked compound (read_compound_type): comp_group_idx then
+        # wedge / diffwtd parameters
+        if is_inter and comp and self.seq.enable_masked_compound:
+            from ..ops import masks as mk
+            cg_ctx = self._comp_group_ctx(mi_row, mi_col)
+            cgi = io.symbol(
+                None if decision is None
+                else int(decision.compound_type > 0),
+                self.fc.comp_group_idx[cg_ctx], 2)
+            ctype = widx = wsign = mtype = 0
+            if cgi:
+                if mk.wedge_used(bw, bh):
+                    ctype = io.symbol(
+                        None if decision is None
+                        else int(decision.compound_type) - 1,
+                        self.fc.compound_type[_bsize_enum(bw, bh)], 2)
+                else:
+                    ctype = 1                    # DIFFWTD implied
+                if ctype == 0:                   # COMPOUND_WEDGE
+                    widx = io.symbol(
+                        None if decision is None
+                        else int(decision.wedge_index),
+                        self.fc.wedge_idx[_bsize_enum(bw, bh)], 16)
+                    wsign = io.literal(
+                        None if decision is None
+                        else int(decision.wedge_sign), 1)
+                else:                            # COMPOUND_DIFFWTD
+                    mtype = io.literal(
+                        None if decision is None
+                        else int(decision.mask_type), 1)
+            # comp_group_idx == 0: enable_jnt_comp is 0 at the sequence
+            # level, so compound_idx is implied 1 (simple average)
+            if io.is_decoder:
+                decision.compound_type = (1 + ctype) if cgi else 0
+                decision.wedge_index = widx
+                decision.wedge_sign = wsign
+                decision.mask_type = mtype
 
         vartx = self._code_block_tx_size(decision, skip, is_inter,
                                          mi_row, mi_col, bw, bh)

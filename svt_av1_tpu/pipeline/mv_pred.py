@@ -59,6 +59,11 @@ class MiGrid:
     ref_frame1: np.ndarray = None   # second ref (compound); 0 = none
     mv1_row: np.ndarray = None
     mv1_col: np.ndarray = None
+    # inter-intra blocks carry RefFrame[1] = INTRA_FRAME (not NONE):
+    # they join MVP stacks via RefFrame[0] but are NOT warp samples
+    # (find_samples requires ref_frame[1] == NONE_FRAME,
+    # EbAdaptiveMotionVectorPrediction.c:1642)
+    interintra: np.ndarray = None
 
     @classmethod
     def create(cls, mi_rows: int, mi_cols: int) -> "MiGrid":
@@ -66,7 +71,8 @@ class MiGrid:
         return cls(z(np.int8), z(np.int16), z(np.int16), z(np.uint8),
                    np.ones((mi_rows, mi_cols), np.int16),
                    np.ones((mi_rows, mi_cols), np.int16),
-                   z(np.int8), z(np.int16), z(np.int16))
+                   z(np.int8), z(np.int16), z(np.int16),
+                   z(bool))
 
 
 @dataclasses.dataclass
@@ -512,7 +518,9 @@ def find_warp_samples(grid: MiGrid, mi_row: int, mi_col: int, bw4: int,
 
     def cand_ok(r, c):
         return int(grid.ref_frame[r, c]) == ref_frame \
-            and int(grid.ref_frame1[r, c]) == 0
+            and int(grid.ref_frame1[r, c]) == 0 \
+            and not (grid.interintra is not None
+                     and grid.interintra[r, c])
 
     if up:
         r = mi_row - 1

@@ -20,7 +20,7 @@ def _encode(frames, w, h, disable_prefetch=False, monkeypatch=None):
                         enc_mode=8, intra_period_length=len(frames))
     enc = Encoder(cfg)
     if disable_prefetch:
-        enc._maybe_prefetch_inter = lambda job, nxt: None
+        enc._maybe_prefetch_inter = lambda job, nxt, fh, planes: None
     out = b""
     for f in frames:
         for p in enc.send_picture(f):
